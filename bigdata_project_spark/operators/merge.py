@@ -1,0 +1,46 @@
+"""MERGE / upsert semantics (SURVEY.md §2.1 S9).
+
+The reference deduplicates bronze loads with DuckDB MERGE in two flavors:
+
+- **all-column MERGE** — keys = every data column, so a matched row updates
+  to itself; net effect is "insert rows not already present"
+  (reference bronze/utils.py:348-366). Equivalent to dedup-union.
+- **keyed MERGE** — explicit key list (``Id``/``COD``/``ID``), matched rows
+  take the incoming values (bronze/utils.py:442-454, 697-711).
+
+Without a transactional table format (Delta/Iceberg — jars not in this
+image) these are emulated as pure DataFrame expressions; with one on the
+classpath the same call sites can switch to a real ``MERGE INTO``.
+
+Scale notes
+-----------
+- Both shapes are a single shuffle on the merge keys (hash aggregate /
+  hash join) — map-side partial aggregation applies, and AQE handles skew.
+- The keyed merge broadcasts nothing by default: either side may be huge.
+  If the incoming batch is small relative to the base table, Catalyst/AQE
+  converts the anti-join to broadcast automatically under the threshold.
+- At 100 TB the rewrite cost of emulation is the real bottleneck — the
+  production answer is Delta/Iceberg MERGE with file-level pruning; this
+  module isolates the choice behind one function pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def merge_all_columns(old: DataFrame, new: DataFrame) -> DataFrame:
+    """All-column MERGE ≡ union + dedup on every column
+    (bronze/utils.py:342-366: merge keys generated from
+    information_schema.columns = all data columns)."""
+    cols = old.columns
+    return old.unionByName(new.select(*cols)).dropDuplicates(cols)
+
+
+def merge_keyed(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Keyed MERGE: incoming rows win on key match, unmatched old rows kept
+    (``WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *``,
+    bronze/utils.py:442-454)."""
+    cols = old.columns
+    untouched = old.join(new.select(*keys), on=keys, how="left_anti")
+    return new.select(*cols).unionByName(untouched)

@@ -1,0 +1,119 @@
+"""Scan-side operators (SURVEY.md §2.1 S1-S5).
+
+The reference ingests with DuckDB scans: multi-URL gzip CSV with
+``all_varchar=true`` + ``filename=true`` (reference bronze/utils.py:325-330),
+JSON arrays with nested inference (bronze/utils.py:392-399), and registers
+in-memory frames as relations (bronze/utils.py:685). Spark equivalents below.
+
+Scale notes
+-----------
+- A list of paths parallelizes natively: one Spark task per file split, no
+  driver loop. At 100 TB the same call fans out across executors; nothing
+  here collects to the driver.
+- Bronze stays all-string by *explicit schema* (never ``inferSchema``, which
+  costs an extra full scan and can flip types between loads).
+- ``spark.sql.files.maxPartitionBytes`` (default 128 MB) governs split size;
+  leave it unless files are pathological.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table (TESTDATA.md) as a DataFrame."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def _all_string_schema(spark: SparkSession, path: str | list[str], sep: str, header: bool) -> T.StructType:
+    """Derive column names from the header of the first file, typed string.
+
+    Mirrors the reference's schema-on-first-file-then-frozen behavior
+    (bronze/utils.py:318-331): names come from one cheap header read, types
+    are forced to VARCHAR. Only the header line is read (limit 1 on a
+    single-column scan), not a full inference pass.
+    """
+    first = path[0] if isinstance(path, list) else path
+    header_df = spark.read.option("sep", sep).option("header", False).csv(first).limit(1)
+    row = header_df.first()
+    if row is None:
+        raise ValueError(f"empty CSV at {first}")
+    names = list(row) if header else [f"column{i}" for i in range(len(row))]
+    return T.StructType([T.StructField(str(n), T.StringType(), True) for n in names])
+
+
+def read_csv_all_string(
+    spark: SparkSession,
+    path: str | list[str],
+    sep: str = ",",
+    header: bool = True,
+    with_filename: bool = True,
+) -> DataFrame:
+    """S1/S4: multi-file CSV scan, every column string, optional filename col.
+
+    Matches DuckDB ``read_csv([...], all_varchar=true, filename=true)``
+    (reference bronze/utils.py:325-330; pipe-delimited variant
+    docs/dag_bronze_mitma.py:134-139). Compressed ``.csv.gz`` is handled
+    transparently by Spark's codec detection.
+    """
+    schema = _all_string_schema(spark, path, sep, header)
+    df = (
+        spark.read.schema(schema)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+    if with_filename:
+        df = df.withColumn("filename", F.input_file_name())
+    return df
+
+
+def read_json_array(spark: SparkSession, path: str | list[str], schema: T.StructType | None = None) -> DataFrame:
+    """S2: JSON scan with nested struct/array inference.
+
+    DuckDB ``read_json(url, format='array')`` (bronze/utils.py:392-399).
+    Spark's json reader is line-oriented by default; ``multiLine`` handles a
+    top-level JSON array. Pass ``schema`` on re-loads to skip re-inference
+    (the reference freezes schemas after the first file too).
+    """
+    reader = spark.read.option("multiLine", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def with_audit_columns(df: DataFrame, source: str | None = None) -> DataFrame:
+    """Audit columns appended to every bronze row (bronze/utils.py:321-324):
+    ``loaded_at`` (current timestamp) and ``source_file``/``source_url``."""
+    df = df.withColumn("loaded_at", F.current_timestamp())
+    if source is not None:
+        df = df.withColumn("source_file", F.lit(source))
+    elif "filename" not in df.columns:
+        df = df.withColumn("source_file", F.input_file_name())
+    return df
+
+
+def register_temp(spark: SparkSession, name: str, df: DataFrame) -> None:
+    """S5: register a DataFrame as a queryable relation
+    (DuckDB ``con.register``, bronze/utils.py:685)."""
+    df.createOrReplaceTempView(name)

@@ -1,0 +1,31 @@
+"""Every registered query must match its DuckDB oracle at sf0.001.
+
+This mirrors the driver's correctness gate (row count + columns +
+order-insensitive values) so regressions surface in `pytest` long before a
+round boundary. The heavier sf0.01 sweep runs via
+`python -m bigdata_project_spark.oracle_check`.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_project_spark import registry
+from bigdata_project_spark.oracle_check import compare_one
+
+
+def _cases():
+    qs, os_ = registry.queries(), registry.oracles()
+    return [(name, qs[name], os_.get(name)) for name in sorted(qs)]
+
+
+@pytest.mark.parametrize("name,fn,sql", _cases(), ids=[c[0] for c in _cases()])
+def test_query_matches_oracle(spark, duck, sf_dir, name, fn, sql):
+    if sql is None:
+        # rows-only contract: must at least run and return a stable schema
+        df = fn(spark, sf_dir)
+        assert df.columns
+        assert df.count() >= 0
+        return
+    problems = compare_one(spark, duck, name, fn, sql, sf_dir)
+    assert not problems, f"{name}: " + "; ".join(problems)
