@@ -33,9 +33,36 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 def _load() -> None:
     if _QUERIES:
         return
-    from bigdata_project_spark.plans import silver_od
+    from bigdata_project_spark.plans import (
+        bronze_merge,
+        holidays_json,
+        silver_distances,
+        silver_ine,
+        silver_od,
+        silver_people_day,
+    )
 
     register("silver_od", silver_od.query, silver_od.ORACLE)
+    register("silver_people_day", silver_people_day.query, silver_people_day.ORACLE)
+    register("silver_zones", silver_distances.query_zones, silver_distances.ORACLE_ZONES)
+    register(
+        "silver_distances",
+        silver_distances.query_distances,
+        silver_distances.ORACLE_DISTANCES,
+    )
+    register(
+        "bronze_merge_all_columns",
+        bronze_merge.query_merge_all_columns,
+        bronze_merge.ORACLE_MERGE_ALL,
+    )
+    register(
+        "bronze_merge_keyed",
+        bronze_merge.query_merge_keyed,
+        bronze_merge.ORACLE_MERGE_KEYED,
+    )
+    register("silver_ine_empresas", silver_ine.query_ine_empresas, silver_ine.ORACLE_INE_EMPRESAS)
+    register("silver_ine_renta", silver_ine.query_ine_renta, silver_ine.ORACLE_INE_RENTA)
+    register("bronze_holidays_json", holidays_json.query, holidays_json.ORACLE)
 
 
 def queries() -> dict[str, QueryFn]:

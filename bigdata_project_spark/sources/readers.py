@@ -37,7 +37,21 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table (TESTDATA.md) as a DataFrame."""
+    """Read one synthetic table (TESTDATA.md) as a DataFrame.
+
+    ``events.parquet`` carries nanosecond timestamps, which Spark only
+    reads via the nanos-as-long legacy conf; normalize ``ts`` back to a
+    microsecond TIMESTAMP_NTZ so downstream plans see one timestamp type.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer division: ns epochs (~1.7e18) overflow double precision
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
