@@ -1,0 +1,254 @@
+"""Aggregation / window / set-op analytics the reference lacks.
+
+The reference has *no* GROUP BY, window functions, or top-k anywhere
+(SURVEY.md §2.4-§2.6) — DuckDB internals supply them implicitly for the
+notebooks. A complete engine needs them as first-class, scale-designed
+operators, so each one is declared here with a DuckDB oracle.
+
+Float-parity design (see registry docstring): aggregate sums run through
+DECIMAL casts on both engines — Spark sums partitions in parallel and
+DuckDB sequentially, so double summation would differ in the last ulps;
+decimal summation is exact and order-independent.
+
+Scale notes:
+- Every groupBy below is a hash aggregate with map-side partial
+  aggregation — one shuffle of the (small) group space, never of raw rows.
+- Window functions shuffle once on the partition key; running sums stream
+  within each partition.
+- Top-k per group uses rank-limit pushdown (WindowGroupLimit in Spark 4):
+  each input partition forwards at most k rows per key before the shuffle.
+- Global top-k (`orderBy().limit(k)`) uses TakeOrderedAndProject — a
+  per-partition heap + driver merge, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.sources.readers import load_table
+
+_DEC = "decimal(18,2)"
+
+
+def query_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical multi-aggregate scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    tax = F.col("l_tax").cast(_DEC)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(_DEC) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(_DEC) - disc) * (F.lit(1).cast(_DEC) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def query_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject, deterministic tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
+def query_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — rank-limit pushdown pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "rank_in_cust",
+        )
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
+    FROM orders
+)
+WHERE rank_in_cust <= 3
+"""
+
+
+def query_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend over time (frame-bounded window agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_spent"),
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent
+FROM orders
+"""
+
+
+def query_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns (explicit value list → static schema)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+ORACLE_PIVOT_STATUS = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def query_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping-set aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+ORACLE_ROLLUP_SUMMARY = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def query_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates (the approx variant is rows-only, below)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_DISTINCT_COUNTS = """
+SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+"""
+
+
+def query_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — sketch internals differ from
+    DuckDB's approx_count_distinct, so this is a rows-only check; accuracy
+    is asserted against the exact count in tests/test_analytics.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+def query_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (EXISTS / NOT EXISTS) — absent from the
+    reference (§2.3 'not present') but core engine surface."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000.0)
+    with_big = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_big_order").alias("status")
+    )
+    without_any = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", F.lit("no_orders").alias("status"))
+    return with_big.unionByName(without_any)
+
+
+ORACLE_SEMI_ANTI_JOIN = """
+SELECT c_custkey, 'has_big_order' AS status
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS status
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""

@@ -1,0 +1,136 @@
+"""Event-time windowing over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §2.10), but a complete engine needs
+event-time semantics. These are the *batch* forms — identical logic runs
+under Structured Streaming in ``bigdata_project_spark.streaming`` (same
+``F.window``/``session_window`` calls + watermarks), tested with a memory
+sink in tests/test_streaming.py.
+
+Oracle design: tumbling = date_trunc grid; sliding (width w, slide s) =
+each event belongs to exactly w/s grid windows, reconstructed in SQL by
+cross-joining k offsets; sessions = classic gaps-and-islands (lag + flag +
+running sum), which is also exactly how the batch sessionizer works.
+
+Scale notes:
+- Tumbling/sliding aggregation is a hash aggregate keyed on
+  (window_start, key): map-side partial, one shuffle of the window space.
+- Sliding windows multiply rows by w/s before aggregation — kept at 2×
+  here; watermarked streaming bounds the state instead of the data volume.
+- Sessionization shuffles once on user_id; within a partition it is a
+  streaming scan. Skewed users are the classic hazard — AQE skew-join
+  handles the join case; for pathological single-user skew, range-split
+  sessions by day first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.sources.readers import load_table
+
+_DEC = "decimal(18,2)"
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def query_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ORACLE_TUMBLING_1H = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def query_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+# Each event lands in exactly 2 windows: starts floor5(ts) and floor5(ts)-5m.
+ORACLE_SLIDING_10M_5M = """
+WITH assigned AS (
+    SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300 * 1000000) AS window_start
+    FROM events, (SELECT UNNEST([0, 1]) AS k)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n_events
+FROM assigned
+GROUP BY 1
+"""
+
+
+def query_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts after a >30 min
+    silence per user. Output: one row per session."""
+    ev = load_table(spark, sf_dir, "events")
+    order_w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(order_w)
+    with_flag = ev.withColumn(
+        "new_session",
+        (prev_us.isNull() | ((us - prev_us) > 30 * 60 * 1_000_000)).cast("int"),
+    )
+    with_id = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            order_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), _FMT).alias("session_start"),
+            F.date_format(F.max("ts"), _FMT).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("session_value"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+with_id AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM with_id
+GROUP BY user_id, session_seq
+"""

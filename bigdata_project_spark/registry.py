@@ -64,6 +64,21 @@ def _load() -> None:
     register("silver_ine_renta", silver_ine.query_ine_renta, silver_ine.ORACLE_INE_RENTA)
     register("bronze_holidays_json", holidays_json.query, holidays_json.ORACLE)
 
+    from bigdata_project_spark.plans import analytics, event_windows
+
+    register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
+    register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
+    register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)
+    register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
+    register("agg_pivot_status", analytics.query_pivot_status, analytics.ORACLE_PIVOT_STATUS)
+    register("agg_rollup_summary", analytics.query_rollup_summary, analytics.ORACLE_ROLLUP_SUMMARY)
+    register("agg_distinct_counts", analytics.query_distinct_counts, analytics.ORACLE_DISTINCT_COUNTS)
+    register("agg_approx_distinct", analytics.query_approx_distinct, None)
+    register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
+    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
+    register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
+    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
+
 
 def queries() -> dict[str, QueryFn]:
     _load()

