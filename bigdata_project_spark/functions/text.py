@@ -1,0 +1,85 @@
+"""Text-analysis expression helpers for the training-data pipeline ops.
+
+All pure ``pyspark.sql.functions`` — JVM-side, codegen'd, no Python row
+path. Each has an exact DuckDB-SQL twin used by the oracle queries
+(operators/text_dedup.py), with arithmetic arranged so both engines
+produce bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenization shared by every text operator.
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """lower/trim + whitespace split. DuckDB twin:
+    ``string_split_regex(lower(trim(text)), '\\s+')``."""
+    return F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE)
+
+
+def content_hash(text: Column) -> Column:
+    """md5 of whitespace-normalized utf-8 text — the exact-dedup key.
+    DuckDB twin: ``md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))``."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(F.encode(norm, "UTF-8"))
+
+
+def hex16_to_int(hex4: Column) -> Column:
+    """First-4-hex-chars → 16-bit int, via arithmetic both engines share
+    (``conv`` has no DuckDB twin; ``instr`` does)."""
+    digits = "0123456789abcdef"
+
+    def val(i: int) -> Column:
+        return F.instr(F.lit(digits), F.substring(hex4, i + 1, 1)) - 1
+
+    return val(0) * 4096 + val(1) * 256 + val(2) * 16 + val(3)
+
+
+HEX16_TO_INT_SQL = (
+    "((instr('0123456789abcdef', substring({h}, 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substring({h}, 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substring({h}, 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring({h}, 4, 1)) - 1))"
+)
+
+
+def word_hash16(word: Column) -> Column:
+    """Deterministic 16-bit hash of a token (md5-based, engine-portable)."""
+    return hex16_to_int(F.md5(F.encode(word, "UTF-8")))
+
+
+WORD_HASH16_SQL = HEX16_TO_INT_SQL.format(h="md5({w})")
+
+
+def hex32_to_int(hex8: Column) -> Column:
+    """First-8-hex-chars → 32-bit int (Horner over hex digits; exact in
+    BIGINT/double arithmetic on both engines)."""
+    digits = "0123456789abcdef"
+    acc: Column | None = None
+    for i in range(8):
+        v = (F.instr(F.lit(digits), F.substring(hex8, i + 1, 1)) - 1).cast("bigint")
+        acc = v if acc is None else acc * 16 + v
+    return acc
+
+
+def _hex32_sql(h: str) -> str:
+    expr = None
+    for i in range(8):
+        v = f"CAST(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1 AS BIGINT)"
+        expr = v if expr is None else f"({expr} * 16 + {v})"
+    return expr
+
+
+HEX32_TO_INT_SQL = _hex32_sql("{h}")
+
+
+def word_hash32(word: Column) -> Column:
+    """Deterministic 32-bit hash of a token (md5-based, engine-portable)."""
+    return hex32_to_int(F.md5(F.encode(word, "UTF-8")))
+
+
+WORD_HASH32_SQL = HEX32_TO_INT_SQL.format(h="md5({w})")

@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB: media lives as a ``binary`` column
+(or object-store URI) beside typed metadata; decode/resize/feature steps
+run as Arrow-batched pandas functions over ``mapInPandas`` so each task
+touches only its partition's bytes. The actual codecs (PIL/ffmpeg/etc.)
+are NOT in this container, so the decode kernels are stubbed — clearly
+marked — while everything Spark-side (schema, batching, partitioning, UDF
+signatures) is real and tested (tests/test_multimodal.py).
+
+``query_binary_meta`` is the oracle-checked part: building the binary
+column and computing metadata (sizes, hashes) with JVM builtins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_project_spark.sources.readers import load_table
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct.
+
+    In production the payload is the media blob read from object storage;
+    here it's the utf-8 text bytes (deterministic stand-in)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def query_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = with_binary_payload(docs)
+    return payload.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.origin").alias("origin"),
+        F.md5("payload").alias("payload_md5"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+    )
+
+
+# DuckDB 1.0 lacks md5(BLOB); md5/sha256 on VARCHAR hash the utf-8 bytes,
+# which is exactly what the Spark side feeds in.
+ORACLE_BINARY_META = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       'text/plain' AS mime,
+       source AS origin,
+       md5(text) AS payload_md5,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+# ------------------------------------------------------------- stubs --
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes) -> object:
+    """REAL CODEC NOT AVAILABLE IN THIS ENVIRONMENT.
+
+    Production: ``PIL.Image.open(io.BytesIO(payload))``. The Spark-side
+    plumbing that would call this (mapInPandas batching, schema) is what's
+    tested; the codec itself is a stub by design."""
+    raise NotImplementedError("image codec not available in this container")
+
+
+def extract_features_fake(df: DataFrame) -> DataFrame:
+    """Deterministic fake feature extractor with REAL Spark plumbing:
+    Arrow-batched mapInPandas over the binary column, one partition's
+    payloads per task, vectorized numpy byte math as the decode stand-in."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            n = payloads.str.len().to_numpy()
+            mean = payloads.map(lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if len(b) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (n % 640).astype("int32"),
+                    "height": (n % 480).astype("int32"),
+                    "mean_byte": mean,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_fake(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Fake video frame sampler: emits one row per sampled 'frame' offset —
+    the explode-shaped output a real frame sampler produces, with
+    deterministic fake frame hashes."""
+    n_frames = F.greatest(
+        (F.octet_length("payload") / every_n_bytes).cast("int"), F.lit(1)
+    )
+    return df.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).withColumn(
+        "frame_hash",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("frame_idx").cast("string"))),
+    )

@@ -1,0 +1,208 @@
+"""Text-analysis operators over ``documents``: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All per-row expression work (plus one explode+aggregate for the marker
+scorer and fingerprint) — zero Python in the row path, every query
+oracle-checked against DuckDB with portable arithmetic.
+
+Scale: per-row expressions are map-only; the explode-based scorers are a
+single combiner-friendly hash aggregate on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
+from bigdata_project_spark.functions.text import WORD_HASH16_SQL, tokens, word_hash16
+from bigdata_project_spark.sources.readers import load_table
+
+# ------------------------------------------------------------ token count --
+
+# BPE-ish segmentation: letter runs, digit runs, single non-space symbols.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def query_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        round_portable(
+            F.length(F.regexp_replace(F.lower("text"), r"[^a-z]", ""))
+            / F.greatest(F.length("text"), F.lit(1)),
+            6,
+        ).alias("alpha_ratio"),
+    )
+
+
+ORACLE_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars_actual,
+       {round_portable_sql("length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / greatest(length(text), 1)", 6)} AS alpha_ratio
+FROM documents
+"""
+
+# ---------------------------------------------------------------- lang id --
+
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def query_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language guess (n-gram-heuristic family): count marker
+    hits per language over exploded tokens, argmax with a fixed tie order.
+    The fixture text is synthetic word soup, so the *guess* is arbitrary —
+    what's verified is the distributed scoring machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w"))
+    scores = words.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(F.when(F.col("w").isin(*marks), 1).otherwise(0)).cast("bigint").alias(f"s_{lang}")
+            for lang, marks in _MARKERS.items()
+        ]
+    )
+    guess = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")), "en"
+        )
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    return scores.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        "s_en",
+        "s_es",
+        "s_de",
+        guess.alias("guessed_lang"),
+    )
+
+
+def _marker_case(lang: str) -> str:
+    marks = ", ".join(f"'{m}'" for m in _MARKERS[lang])
+    return f"CAST(SUM(CASE WHEN w IN ({marks}) THEN 1 ELSE 0 END) AS BIGINT) AS s_{lang}"
+
+
+ORACLE_LANG_ID = f"""
+WITH words AS (
+    SELECT doc_id, lang, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+),
+scores AS (
+    SELECT doc_id, lang,
+           {_marker_case("en")},
+           {_marker_case("es")},
+           {_marker_case("de")}
+    FROM words GROUP BY doc_id, lang
+)
+SELECT doc_id, lang AS labeled_lang, s_en, s_es, s_de,
+       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_de THEN 'es'
+            ELSE 'de' END AS guessed_lang
+FROM scores
+"""
+
+# ---------------------------------------------------------- quality score --
+
+_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "for", "on", "at")
+
+
+def query_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality: length, punctuation density, stopword
+    ratio, mean word length — the standard cheap pre-filter for LLM data."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    n_punct = F.length(F.regexp_replace("text", r"[^\.,;:!\?]", ""))
+    mean_wl = F.aggregate(
+        toks, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+    ) / F.greatest(n_tok, F.lit(1)).cast("double")
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    punct_ratio = n_punct.cast("double") / F.greatest(F.length("text"), F.lit(1)).cast("double")
+    length_score = F.least(F.length("text").cast("double") / 500.0, F.lit(1.0))
+    quality = length_score * 0.4 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2 + F.least(mean_wl / 10.0, F.lit(1.0)) * 0.1
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        round_portable(stop_ratio, 6).alias("stopword_ratio"),
+        round_portable(punct_ratio, 6).alias("punct_ratio"),
+        round_portable(mean_wl, 6).alias("mean_word_len"),
+        round_portable(quality, 6).alias("quality"),
+    )
+
+
+_stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+ORACLE_QUALITY_SCORE = f"""
+WITH base AS (
+    SELECT doc_id, text,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id, text, toks,
+           len(toks) AS n_tok,
+           len([w for w in toks if w IN ({_stop_list})]) AS n_stop,
+           length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct,
+           list_reduce(list_prepend(0.0, [CAST(length(w) AS DOUBLE) for w in toks]), (x, y) -> x + y)
+               / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_wl
+    FROM base
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       {round_portable_sql("n_stop * 1.0 / greatest(n_tok, 1)", 6)} AS stopword_ratio,
+       {round_portable_sql("n_punct * 1.0 / greatest(length(text), 1)", 6)} AS punct_ratio,
+       {round_portable_sql("mean_wl", 6)} AS mean_word_len,
+       {round_portable_sql(
+           "least(length(text) * 1.0 / 500.0, 1.0) * 0.4"
+           " + (n_stop * 1.0 / greatest(n_tok, 1)) * 0.3"
+           " + (1.0 - n_punct * 1.0 / greatest(length(text), 1)) * 0.2"
+           " + least(mean_wl / 10.0, 1.0) * 0.1",
+           6,
+       )} AS quality
+FROM m
+"""
+
+# ------------------------------------------------------------ fingerprint --
+
+_MOD = 1_000_000_007
+_BASE = 131
+
+
+def query_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint over token hashes:
+    fold acc → (acc*131 + h(w)) mod 1e9+7 — order-sensitive, so it
+    distinguishes permutations (unlike bag-of-words hashes). Pure
+    sequential fold per row; identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hashes = F.transform(toks, lambda w: word_hash16(w).cast("bigint"))
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * _BASE + h) % _MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        [CAST({WORD_HASH16_SQL.format(w="w")} AS BIGINT)
+                         for w in string_split_regex(lower(trim(text)), '\\s+')]),
+           (acc, h) -> (acc * {_BASE} + h) % {_MOD}
+       ) AS fingerprint
+FROM documents
+"""

@@ -1,0 +1,378 @@
+"""Deduplication operators over the ``documents`` table — the core
+training-data-pipeline surface (BASELINE.json north star; absent from the
+reference, which only ever needed row-level MERGE dedup).
+
+Four families, each a registered query with a DuckDB oracle:
+
+- **exact**        : md5 of normalized text → keep min doc_id per hash.
+- **MinHash+LSH**  : word-3-gram shingles → k=12 portable min-hashes →
+                     4 bands × 3 rows → band-bucket self-join for candidate
+                     pairs → verified Jaccard filter.
+- **SimHash**      : 16-bit simhash over token hashes; near-pairs found by
+                     4-bit band blocking + Hamming ≤ 3 verification.
+- **n-gram Jaccard**: exact all-pairs Jaccard over shingles (the quality
+                     baseline the approximate methods are judged against
+                     in tests/test_dedup.py).
+
+Portability: hashes are md5 hex strings (identical in both engines);
+"min-hash" is the lexicographic min of salted md5s; simhash bits come from
+md5 hex chars via instr arithmetic (functions/text.py). No engine-specific
+hash function is ever compared across engines.
+
+Scale notes (the whole point of these designs):
+- Shingling explodes ~L rows per doc — embarrassingly parallel, no shuffle.
+- MinHash signatures: ONE hash-aggregate shuffle keyed on doc_id (k
+  conditional mins aggregate map-side). Band melt is per-row; the LSH
+  candidate join shuffles only (band, signature) buckets — at 100 TB this
+  is the textbook near-dup plan (the brute-force all-pairs join is O(n²)
+  and exists here only as the small-scale oracle baseline).
+- Exact dedup: hash-aggregate on a 32-char key; combiner-friendly,
+  skew-safe (hash keys are uniform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
+from bigdata_project_spark.functions.text import (
+    WORD_HASH32_SQL,
+    content_hash,
+    tokens,
+    word_hash32,
+)
+from bigdata_project_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------- exact --
+
+def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a re-keyed copy of the first 50 docs — a deterministic
+    duplicated corpus so the dedup operators have real work to do."""
+    docs = load_table(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return docs.unionByName(dups)
+
+
+_CORPUS_SQL = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id < 50
+"""
+
+
+def query_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_dups(spark, sf_dir)
+    return (
+        corpus.withColumn("content_hash", content_hash(F.col("text")))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+       MIN(doc_id) AS doc_id,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY 1
+"""
+
+# ------------------------------------------------------------- shingles --
+
+def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingles per doc (doc_id, shingle)."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= n
+    )
+    idx = F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1))).alias("i")
+    with_i = toked.select("doc_id", "t", idx)
+    shingle = F.concat_ws(
+        " ", *[F.element_at("t", F.col("i") + k) for k in range(n)]
+    )
+    return with_i.select("doc_id", shingle.alias("shingle")).distinct()
+
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM {src})
+         , UNNEST(range(1, len(t) - 1)) AS r(i)
+    WHERE len(t) >= 3
+"""
+
+# -------------------------------------------------------- n-gram Jaccard --
+
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("ca") + F.col("cb") - F.col("n_common")),
+        )
+    )
+
+
+def query_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (threshold 0.9)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(shingle_rows(docs))
+    return pairs.filter(F.col("jaccard") >= 0.9).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        round_portable(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+_JACCARD_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL.format(src="documents")}),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           n_common * 1.0 / (ca.c + cb.c - n_common) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+"""
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+SELECT doc_a, doc_b, n_common, {round_portable_sql("jaccard", 6)} AS jaccard
+FROM ({_JACCARD_SQL})
+WHERE jaccard >= 0.9
+"""
+
+# --------------------------------------------------------- MinHash + LSH --
+
+N_HASHES = 12
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """k salted-md5 min-hashes per doc in ONE aggregate pass."""
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.col("shingle"), F.lit(f"#{i}")), "UTF-8"))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures and bucket-join: candidates agree on ≥1 band."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    melted = sigs.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def query_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by true Jaccard ≥ 0.9."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs)
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    verified = cands.join(_jaccard_pairs(sh), ["doc_a", "doc_b"])
+    return verified.filter(F.col("jaccard") >= 0.9).select(
+        "doc_a",
+        "doc_b",
+        round_portable(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+_mh_cols = ",\n           ".join(
+    f"MIN(md5(shingle || '#{i}')) AS mh{i}" for i in range(N_HASHES)
+)
+_band_rows = ", ".join(
+    "struct_pack(band := {b}, sig := {sig})".format(
+        b=b,
+        sig=" || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+    )
+    for b in range(N_BANDS)
+)
+
+ORACLE_DEDUP_MINHASH_LSH = f"""
+WITH sh AS ({_SHINGLES_SQL.format(src="documents")}),
+sigs AS (
+    SELECT doc_id,
+           {_mh_cols}
+    FROM sh GROUP BY doc_id
+),
+melted AS (
+    SELECT doc_id, bs.band AS band, bs.sig AS sig
+    FROM sigs, UNNEST([{_band_rows}]) AS t(bs)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM melted a JOIN melted b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+jac AS ({_JACCARD_SQL})
+SELECT cands.doc_a, cands.doc_b, {round_portable_sql("jaccard", 6)} AS jaccard
+FROM cands JOIN jac ON cands.doc_a = jac.doc_a AND cands.doc_b = jac.doc_b
+WHERE jaccard >= 0.9
+"""
+
+# --------------------------------------------------------------- SimHash --
+
+SIMHASH_BITS = 32
+
+
+def simhash_column(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): term-frequency-weighted 32-bit simhash —
+    explode + ONE hash aggregate, fully distributed. Weighting by
+    occurrence (not distinct words) is the published Charikar scheme and
+    is what separates documents sharing a vocabulary but not a
+    distribution."""
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).withColumn("h", word_hash32(F.col("w")))
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.floor(F.col("h") / (2**j)) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+_simhash_bit_sums = ",\n           ".join(
+    f"SUM(CASE WHEN (CAST(floor(h / {2**j}) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_simhash_combine = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+_SIMHASH_SQL = f"""
+    SELECT doc_id, CAST({_simhash_combine} AS BIGINT) AS simhash
+    FROM (
+        SELECT doc_id,
+           {_simhash_bit_sums}
+        FROM (
+            SELECT doc_id, w, {WORD_HASH32_SQL.format(w="w")} AS h
+            FROM (SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                  FROM documents)
+        )
+        GROUP BY doc_id
+    )
+"""
+
+
+def query_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_column(docs)
+
+
+ORACLE_DEDUP_SIMHASH = _SIMHASH_SQL
+
+
+def query_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-pairs by simhash: block on the four 8-bit bands (a pair within
+    Hamming ≤ 3 must agree exactly on ≥1 band — pigeonhole), then verify
+    Hamming ≤ 3. Band blocking keeps the join linear in bucket sizes — the
+    100 TB-safe plan vs the O(n²) all-pairs XOR."""
+    docs = load_table(spark, sf_dir, "documents")
+    sims = simhash_column(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.floor(F.col("simhash") / (2 ** (8 * b))).cast("bigint").__mod__(256).alias("nib"),
+            )
+            for b in range(4)
+        ]
+    )
+    melted = sims.select("doc_id", "simhash", F.explode(bands).alias("bs")).select(
+        "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.nib").alias("nib")
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.withColumn("hamming", hamming.cast("bigint")).filter(
+        F.col("hamming") <= 3
+    ).select("doc_a", "doc_b", "hamming")
+
+
+_band_nibs = ", ".join(
+    f"struct_pack(band := {b}, nib := CAST(floor(simhash / {2 ** (8 * b)}) AS BIGINT) % 256)"
+    for b in range(4)
+)
+
+ORACLE_DEDUP_SIMHASH_PAIRS = f"""
+WITH sims AS ({_SIMHASH_SQL}),
+melted AS (
+    SELECT doc_id, simhash, bs.band AS band, bs.nib AS nib
+    FROM sims, UNNEST([{_band_nibs}]) AS t(bs)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sim_a, b.simhash AS sim_b
+    FROM melted a JOIN melted b
+      ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""

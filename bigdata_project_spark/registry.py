@@ -79,6 +79,23 @@ def _load() -> None:
     register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
     register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
 
+    from bigdata_project_spark.multimodal import binary_ops
+    from bigdata_project_spark.operators import similarity, text_analysis, text_dedup
+
+    register("dedup_exact", text_dedup.query_dedup_exact, text_dedup.ORACLE_DEDUP_EXACT)
+    register("dedup_ngram_jaccard", text_dedup.query_dedup_ngram_jaccard, text_dedup.ORACLE_DEDUP_NGRAM_JACCARD)
+    register("dedup_minhash_lsh", text_dedup.query_dedup_minhash_lsh, text_dedup.ORACLE_DEDUP_MINHASH_LSH)
+    register("dedup_simhash", text_dedup.query_dedup_simhash, text_dedup.ORACLE_DEDUP_SIMHASH)
+    register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
+    register("sim_cosine_topk", similarity.query_cosine_topk, similarity.ORACLE_COSINE_TOPK)
+    register("sim_neardup_pairs", similarity.query_neardup_pairs, similarity.ORACLE_NEARDUP_PAIRS)
+    register("sim_ann_lsh_buckets", similarity.query_ann_lsh_buckets, None)
+    register("text_token_stats", text_analysis.query_token_stats, text_analysis.ORACLE_TOKEN_STATS)
+    register("text_lang_id", text_analysis.query_lang_id, text_analysis.ORACLE_LANG_ID)
+    register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
+    register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
+    register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
+
 
 def queries() -> dict[str, QueryFn]:
     _load()

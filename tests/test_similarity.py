@@ -1,0 +1,50 @@
+"""Similarity-search semantics beyond oracle parity."""
+
+from __future__ import annotations
+
+import math
+
+from bigdata_project_spark.operators.similarity import (
+    query_ann_lsh_buckets,
+    query_cosine_topk,
+    query_neardup_pairs,
+)
+from bigdata_project_spark.sources.readers import load_table
+
+
+def test_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    q = emb[0]
+    scored = sorted(
+        (
+            (float(v @ q / (math.sqrt(v @ v) * math.sqrt(q @ q))), vid)
+            for vid, v in emb.items()
+            if vid != 0
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = [(r["cos_sim"], r["vec_id"]) for r in query_cosine_topk(spark, sf_dir).collect()]
+    assert [vid for _, vid in got] == [vid for _, vid in scored]
+    for (g, _), (w, _) in zip(got, scored):
+        assert abs(g - w) < 1e-6
+
+
+def test_lsh_buckets_subset_of_brute_force(spark, sf_dir):
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in query_neardup_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in query_ann_lsh_buckets(spark, sf_dir).collect()
+    }
+    # LSH verifies with exact cosine, so every pair it keeps that shares a
+    # label must exist in the same-label brute force set; cross-label pairs
+    # are extra coverage the IVF variant can't see.
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    same_label_lsh = {p for p in lsh if labels[p[0]] == labels[p[1]]}
+    assert same_label_lsh <= brute
