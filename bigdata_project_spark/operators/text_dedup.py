@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
 from bigdata_project_spark.functions.text import (
+    HEX32_TO_INT_SQL,
     WORD_HASH32_SQL,
     content_hash,
     tokens,
@@ -169,14 +170,27 @@ N_HASHES = 12
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+# Universal-hash family h_i(v) = (a_i·v + b_i) mod P over the 32-bit
+# md5-derived shingle value v: ONE md5 per shingle + k multiply-adds,
+# instead of k salted md5s (k× the hashing cost — the difference is ~7M
+# md5 calls at sf0.1, and grows linearly with corpus size).
+# a·v < 2^31·2^32 = 2^63 keeps BIGINT arithmetic exact on both engines.
+_MH_P = 1_000_000_007
+_MH_A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869]
+_MH_B = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47]
+
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """k salted-md5 min-hashes per doc in ONE aggregate pass."""
+    """k universal-hash min-hashes per doc in ONE aggregate pass."""
+    from bigdata_project_spark.functions.text import hex32_to_int
+
+    v = hex32_to_int(F.md5(F.encode(F.col("shingle"), "UTF-8")))
+    with_v = sh.withColumn("v", v)
     aggs = [
-        F.min(F.md5(F.encode(F.concat(F.col("shingle"), F.lit(f"#{i}")), "UTF-8"))).alias(f"mh{i}")
+        F.min((F.col("v") * _MH_A[i] + _MH_B[i]) % _MH_P).alias(f"mh{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return with_v.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -209,11 +223,29 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def query_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates verified by true Jaccard ≥ 0.9."""
+    """LSH candidates verified by true Jaccard ≥ 0.9.
+
+    Verification joins the per-doc shingle *sets* onto the (few) candidate
+    pairs and intersects them there — never the all-pairs shingle join the
+    exact baseline does. That asymmetry is the entire point of LSH: the
+    oracle uses the naive all-pairs form and must agree, since
+    |A∩B|/|A∪B| is the same number either way."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_rows(docs)
     cands = lsh_candidate_pairs(minhash_signatures(sh))
-    verified = cands.join(_jaccard_pairs(sh), ["doc_a", "doc_b"])
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shingles"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+    )
     return verified.filter(F.col("jaccard") >= 0.9).select(
         "doc_a",
         "doc_b",
@@ -222,7 +254,7 @@ def query_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _mh_cols = ",\n           ".join(
-    f"MIN(md5(shingle || '#{i}')) AS mh{i}" for i in range(N_HASHES)
+    f"MIN((v * {_MH_A[i]} + {_MH_B[i]}) % {_MH_P}) AS mh{i}" for i in range(N_HASHES)
 )
 _band_rows = ", ".join(
     "struct_pack(band := {b}, sig := {sig})".format(
@@ -234,10 +266,13 @@ _band_rows = ", ".join(
 
 ORACLE_DEDUP_MINHASH_LSH = f"""
 WITH sh AS ({_SHINGLES_SQL.format(src="documents")}),
+shv AS (
+    SELECT doc_id, {HEX32_TO_INT_SQL.format(h="md5(shingle)")} AS v FROM sh
+),
 sigs AS (
     SELECT doc_id,
            {_mh_cols}
-    FROM sh GROUP BY doc_id
+    FROM shv GROUP BY doc_id
 ),
 melted AS (
     SELECT doc_id, bs.band AS band, bs.sig AS sig
