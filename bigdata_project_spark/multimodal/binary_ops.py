@@ -111,6 +111,68 @@ def extract_features_fake(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def query_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the binary column (rows-only check: the
+    byte-mean decode stand-in is deliberately engine-internal; schema and
+    row-per-doc contract asserted here and in tests/test_multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features_fake(with_binary_payload(docs))
+
+
+def query_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per sampled frame offset — the explode-shaped plumbing of a
+    video frame sampler, oracle-checked (fake frame hash is portable md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_fake(with_binary_payload(docs))
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id,
+       frame_idx,
+       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+FROM (
+    SELECT doc_id,
+           unnest(range(0, greatest(octet_length(encode(text)) // 64, 1))) AS frame_idx
+    FROM documents
+)
+"""
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("thumb_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_fake(df: DataFrame, target_bytes: int = 32) -> DataFrame:
+    """Fake image resize with REAL plumbing: Arrow-batched mapInPandas
+    emitting a fixed-budget binary 'thumbnail' per payload (production:
+    PIL resize + re-encode; see decode_image_stub). Strided byte sampling
+    is the deterministic stand-in for downsampling."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def shrink(b: bytes) -> bytes:
+            if len(b) <= target_bytes:
+                return bytes(b)
+            stride = len(b) // target_bytes
+            return bytes(b[::stride][:target_bytes])
+
+        for pdf in it:
+            thumbs = pdf["payload"].map(shrink)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "thumb_bytes": thumbs.str.len().astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_fake(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Fake video frame sampler: emits one row per sampled 'frame' offset —
     the explode-shaped output a real frame sampler produces, with

@@ -165,6 +165,118 @@ def query_ine_empresas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def query_ine_poblacion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variant (reference silver/ine/ine_poblacion.py:17-47).
+
+    Differs from empresas in plan shape, not just columns: the reference
+    applies ``DISTINCT ON (COD)`` *after* the two left joins (so the kept
+    row carries ``codigo_ine`` from the join), emits ``codigo_ine`` and
+    drops ``COD``, casts Valor→DOUBLE, and has no CNAE predicate — only
+    the OR-of-NOT-NULL zone guard. The reference's DISTINCT ON has no
+    ORDER BY (nondeterministic pick); we add explicit tiebreakers mirrored
+    in the oracle (SURVEY.md §7.4)."""
+    ef = _bronze_ine(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    flat = (
+        ef.filter(F.col("Data").isNotNull() & (F.size("Data") > 0))
+        .select("COD", "Nombre", F.explode("Data").alias("data_item"))
+        .select(
+            "COD",
+            coalesce_blank(
+                F.split_part(F.col("Nombre"), F.lit("."), F.lit(1)), F.col("Nombre")
+            ).alias("nombre"),
+            F.lower(F.trim(F.split_part(F.col("Nombre"), F.lit("."), F.lit(2)))).alias("tipo"),
+            F.date_format(date_from_epoch_ms_plus1(F.col("data_item.Fecha")), "yyyy-MM-dd").alias(
+                "fecha"
+            ),
+            F.col("data_item.Valor").cast("double").alias("valor"),
+            F.col("data_item.Id").alias("oid"),
+        )
+    )
+    muni = cust.select(
+        F.upper(F.col("c_name")).alias("m_nombre"),
+        F.col("c_custkey").alias("m_codigo"),
+    )
+    cross = supp.select(
+        F.col("s_suppkey").alias("municipio_ine"),
+        F.when(F.col("s_suppkey") % 2 == 1, F.concat(F.lit("D"), F.col("s_suppkey"))).alias("distrito_mitma"),
+        F.when(F.col("s_suppkey") % 3 == 1, F.concat(F.lit("M"), F.col("s_suppkey"))).alias("municipio_mitma"),
+        F.when(F.col("s_suppkey") % 5 == 1, F.concat(F.lit("G"), F.col("s_suppkey"))).alias("gau_mitma"),
+    )
+    joined = (
+        flat.join(
+            F.broadcast(muni),
+            F.lower(F.col("nombre")) == F.lower(F.col("m_nombre")),
+            "left",
+        )
+        .join(
+            F.broadcast(cross),
+            F.col("m_codigo") % 100 == F.col("municipio_ine"),
+            "left",
+        )
+        .filter(
+            F.col("distrito_mitma").isNotNull()
+            | F.col("municipio_mitma").isNotNull()
+            | F.col("gau_mitma").isNotNull()
+        )
+    )
+    # A2 after the joins, as the reference does — with deterministic order
+    one = distinct_on(
+        joined,
+        keys=["COD"],
+        order_by=[F.col("fecha").desc(), F.col("valor").desc(), F.col("oid").desc()],
+    )
+    return one.select(
+        F.col("m_codigo").alias("codigo_ine"),
+        "fecha",
+        "nombre",
+        "tipo",
+        "valor",
+        "distrito_mitma",
+        "municipio_mitma",
+        "gau_mitma",
+    )
+
+
+ORACLE_INE_POBLACION = f"""
+WITH ef AS ({_BRONZE_SQL}),
+flat AS (
+    SELECT COD,
+           COALESCE(NULLIF(TRIM(split_part(Nombre, '.', 1)), ''), Nombre) AS nombre,
+           lower(TRIM(split_part(Nombre, '.', 2))) AS tipo,
+           strftime(CAST(epoch_ms(data_item.Fecha) AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d') AS fecha,
+           CAST(data_item.Valor AS DOUBLE) AS valor,
+           data_item.Id AS oid
+    FROM ef, UNNEST(ef.Data) AS t(data_item)
+    WHERE Data IS NOT NULL AND len(Data) > 0
+),
+muni AS (
+    SELECT upper(c_name) AS m_nombre, c_custkey AS m_codigo FROM customer
+),
+cross_w AS (
+    SELECT s_suppkey AS municipio_ine,
+           CASE WHEN s_suppkey % 2 = 1 THEN 'D' || CAST(s_suppkey AS VARCHAR) END AS distrito_mitma,
+           CASE WHEN s_suppkey % 3 = 1 THEN 'M' || CAST(s_suppkey AS VARCHAR) END AS municipio_mitma,
+           CASE WHEN s_suppkey % 5 = 1 THEN 'G' || CAST(s_suppkey AS VARCHAR) END AS gau_mitma
+    FROM supplier
+),
+joined AS (
+    SELECT flat.*, muni.m_codigo, cross_w.distrito_mitma, cross_w.municipio_mitma, cross_w.gau_mitma
+    FROM flat
+    LEFT JOIN muni ON lower(flat.nombre) LIKE lower(muni.m_nombre)
+    LEFT JOIN cross_w ON muni.m_codigo % 100 = cross_w.municipio_ine
+    WHERE (distrito_mitma IS NOT NULL OR municipio_mitma IS NOT NULL OR gau_mitma IS NOT NULL)
+)
+SELECT m_codigo AS codigo_ine, fecha, nombre, tipo, valor, distrito_mitma, municipio_mitma, gau_mitma
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY COD ORDER BY fecha DESC, valor DESC, oid DESC) AS rn
+    FROM joined
+) WHERE rn = 1
+"""
+
+
 def query_ine_renta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Renta variant: the regex family (F11 global+case-insensitive
     regexp_replace, F12 regexp_matches predicate, F13 regexp_extract,

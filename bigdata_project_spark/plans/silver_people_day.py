@@ -60,6 +60,73 @@ def query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OV_BRANCHES = {"distrito": "R", "municipio": "A", "gau": "N"}
+
+
+def query_overnights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overnight-stays variant (reference silver/mitma/mitma_overnights.py:30-73):
+    same U1/P2/F2/F14 pipeline but with TWO zone columns and a 4-way
+    NOT NULL filter (P4). Fixture: ``lineitem`` sliced by ``l_returnflag``
+    plays the three per-zone bronze tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    bronze = li.select(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyyMMdd").alias("fecha"),
+        F.col("l_partkey").cast("string").alias("zona_pernoctacion"),
+        F.col("l_suppkey").cast("string").alias("zona_residencia"),
+        F.floor("l_quantity").cast("bigint").cast("string").alias("personas_str"),
+    )
+    branches = {
+        level: bronze.filter(F.col("l_returnflag") == rf).drop("l_returnflag")
+        for level, rf in _OV_BRANCHES.items()
+    }
+    base = union_conform(branches, discriminator="zone_level")
+
+    conformed = base.select(
+        "zone_level",
+        F.date_format(parse_date_yyyymmdd("fecha"), "yyyy-MM-dd").alias("date"),
+        F.col("zona_pernoctacion").alias("overnight_zone"),
+        F.col("zona_residencia").alias("residence_zone"),
+        F.col("personas_str").cast("double").alias("people"),
+    )
+    return conformed.filter(
+        F.col("date").isNotNull()
+        & F.col("overnight_zone").isNotNull()
+        & F.col("residence_zone").isNotNull()
+        & F.col("people").isNotNull()
+    )
+
+
+ORACLE_OVERNIGHTS = """
+WITH bronze AS (
+    SELECT l_returnflag,
+           strftime(l_shipdate, '%Y%m%d') AS fecha,
+           CAST(l_partkey AS VARCHAR) AS zona_pernoctacion,
+           CAST(l_suppkey AS VARCHAR) AS zona_residencia,
+           CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) AS personas_str
+    FROM lineitem
+),
+base AS (
+    SELECT 'distrito'  AS zone_level, * EXCLUDE (l_returnflag) FROM bronze WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT 'municipio' AS zone_level, * EXCLUDE (l_returnflag) FROM bronze WHERE l_returnflag = 'A'
+    UNION ALL
+    SELECT 'gau'       AS zone_level, * EXCLUDE (l_returnflag) FROM bronze WHERE l_returnflag = 'N'
+)
+SELECT zone_level,
+       strftime(strptime(fecha, '%Y%m%d'), '%Y-%m-%d') AS date,
+       zona_pernoctacion AS overnight_zone,
+       zona_residencia AS residence_zone,
+       CAST(personas_str AS DOUBLE) AS people
+FROM base
+WHERE strptime(fecha, '%Y%m%d') IS NOT NULL
+  AND zona_pernoctacion IS NOT NULL
+  AND zona_residencia IS NOT NULL
+  AND CAST(personas_str AS DOUBLE) IS NOT NULL
+"""
+
+
 ORACLE = """
 WITH bronze AS (
     SELECT o_orderstatus,

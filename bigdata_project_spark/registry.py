@@ -44,6 +44,11 @@ def _load() -> None:
 
     register("silver_od", silver_od.query, silver_od.ORACLE)
     register("silver_people_day", silver_people_day.query, silver_people_day.ORACLE)
+    register(
+        "silver_overnights",
+        silver_people_day.query_overnights,
+        silver_people_day.ORACLE_OVERNIGHTS,
+    )
     register("silver_zones", silver_distances.query_zones, silver_distances.ORACLE_ZONES)
     register(
         "silver_distances",
@@ -61,6 +66,11 @@ def _load() -> None:
         bronze_merge.ORACLE_MERGE_KEYED,
     )
     register("silver_ine_empresas", silver_ine.query_ine_empresas, silver_ine.ORACLE_INE_EMPRESAS)
+    register(
+        "silver_ine_poblacion",
+        silver_ine.query_ine_poblacion,
+        silver_ine.ORACLE_INE_POBLACION,
+    )
     register("silver_ine_renta", silver_ine.query_ine_renta, silver_ine.ORACLE_INE_RENTA)
     register("bronze_holidays_json", holidays_json.query, holidays_json.ORACLE)
 
@@ -95,6 +105,8 @@ def _load() -> None:
     register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
     register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
     register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
+    register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
+    register("multimodal_features", binary_ops.query_features, None)
 
 
 def queries() -> dict[str, QueryFn]:
