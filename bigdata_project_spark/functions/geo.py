@@ -22,6 +22,90 @@ from pyspark.sql import functions as F
 EARTH_RADIUS_M = 6371008.8
 
 
+def parse_wkt_polygons(wkt: str) -> list[list[list[tuple[float, float]]]]:
+    """G1/G2: parse POLYGON / MULTIPOLYGON WKT → list of polygons, each a
+    list of rings (first exterior, rest holes), each a list of (x, y).
+
+    Pure-Python stand-in for ``ST_GeomFromText`` + ``ST_Multi`` (reference
+    silver/mitma/mitma_zonification.py:41) — shapely/Sedona are not in
+    this container, and the reference's geometries are small per-row
+    strings, so a per-row parser inside an Arrow batch is the right shape:
+    work stays data-parallel, no driver collection."""
+    body = wkt.strip()
+    head, _, rest = body.partition("(")
+    kind = head.strip().upper()
+    coords = "(" + rest
+    if kind == "POLYGON":  # promote to MULTI (ST_Multi)
+        coords = f"({coords})"
+    elif kind != "MULTIPOLYGON":
+        raise ValueError(f"unsupported WKT type: {kind}")
+    polys: list[list[list[tuple[float, float]]]] = []
+    depth, start = 0, 0
+    ring_stack: list[list[tuple[float, float]]] = []
+    for i, ch in enumerate(coords):
+        if ch == "(":
+            depth += 1
+            start = i + 1
+        elif ch == ")":
+            if depth == 3:  # closing a ring
+                pts = []
+                for pair in coords[start:i].split(","):
+                    xs, ys = pair.split()[:2]
+                    pts.append((float(xs), float(ys)))
+                ring_stack.append(pts)
+            elif depth == 2:  # closing a polygon
+                polys.append(ring_stack)
+                ring_stack = []
+            depth -= 1
+    return polys
+
+
+def multipolygon_centroid(polys: list[list[list[tuple[float, float]]]]) -> tuple[float, float]:
+    """G3/G4: area-weighted centroid of a multipolygon (shoelace formula;
+    holes enter with negative signed area). Matches ``ST_Centroid`` +
+    ``ST_X``/``ST_Y`` semantics for areal geometries."""
+    A = cx = cy = 0.0
+    for rings in polys:
+        for ring in rings:
+            n = len(ring)
+            for i in range(n):
+                x0, y0 = ring[i]
+                x1, y1 = ring[(i + 1) % n]
+                cross = x0 * y1 - x1 * y0
+                A += cross
+                cx += (x0 + x1) * cross
+                cy += (y0 + y1) * cross
+    if A == 0.0:
+        raise ValueError("degenerate geometry: zero area")
+    return cx / (3.0 * A), cy / (3.0 * A)
+
+
+def wkt_centroids(df, wkt_col: str = "wkt"):
+    """Attach centroid_lon/centroid_lat parsed from a WKT text column —
+    the bronze→silver zonification step (WKT stored as plain text in
+    bronze, geometry derived in silver). Arrow-batched mapInPandas: each
+    task parses only its partition's rows."""
+    import pandas as pd
+
+    schema_out = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def batches(it):
+        for pdf in it:
+            cents = pdf[wkt_col].map(
+                lambda w: multipolygon_centroid(parse_wkt_polygons(w))
+            )
+            pdf = pdf.copy()
+            pdf["centroid_lon"] = cents.map(lambda c: c[0])
+            pdf["centroid_lat"] = cents.map(lambda c: c[1])
+            yield pdf
+
+    return df.mapInPandas(
+        batches, schema=f"{schema_out}, centroid_lon double, centroid_lat double"
+    )
+
+
 def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
     """Great-circle distance in kilometers between two lon/lat points.
 

@@ -147,6 +147,78 @@ FROM pairs
 WHERE raw_cos >= 0.35
 """
 
+def query_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection over ``documents``.
+
+    The corpus is documents ∪ a re-keyed copy of the first 50 (the same
+    planted-duplicate scheme as dedup_exact); their embeddings ride along
+    via the 1:1 doc_id↔vec_id fixture mapping. Candidates are blocked by
+    IVF cell (``label`` — a planted copy keeps its cell, so recall for
+    true dups is exact), verified cos ≥ 0.99, and resolved to a dedup
+    decision: keep the lower doc_id, drop the higher. Per-cell pair
+    blocks run as BLAS matmuls in applyInPandas (see query_neardup_pairs);
+    at 100 TB cells shard the O(n²) into bounded bucket blocks."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"keep_doc": pd.Series(dtype="int64"), "dup_doc": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        gram = (m @ m.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = gram[ia, ib] >= 0.99
+        ia, ib = ia[keep], ib[keep]
+        cos = gram[ia, ib] if len(ia) else np.array([], dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "keep_doc": ids[ia],
+                "dup_doc": ids[ib],
+                "cos_sim": np.floor(cos * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    pairs = corpus.groupBy("label").applyInPandas(
+        cell_pairs, schema="keep_doc long, dup_doc long, cos_sim double"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.select(F.col("doc_id").alias("keep_doc"), "source", "n_chars")
+    return pairs.join(F.broadcast(kept), "keep_doc")
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH corpus AS (
+    SELECT * FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, embedding, label
+    FROM embeddings WHERE vec_id < 50
+),
+pairs AS (
+    SELECT a.vec_id AS keep_doc, b.vec_id AS dup_doc,
+           {_cos_sql("a.embedding", "b.embedding")} AS raw_cos
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT keep_doc, dup_doc, {round_portable_sql("raw_cos", 6)} AS cos_sim,
+       d.source, d.n_chars
+FROM pairs
+JOIN documents d ON d.doc_id = keep_doc
+WHERE raw_cos >= 0.99
+"""
+
+
 # --------------------------------------------------- LSH scale variant --
 
 N_PLANES = 32

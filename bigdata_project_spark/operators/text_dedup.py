@@ -28,6 +28,13 @@ Scale notes (the whole point of these designs):
   and exists here only as the small-scale oracle baseline).
 - Exact dedup: hash-aggregate on a 32-char key; combiner-friendly,
   skew-safe (hash keys are uniform).
+- MEASURED: rewriting shingling/minhash as per-row array expressions
+  (transform/array_distinct/array_min) to avoid the distinct+groupBy
+  shuffles is 4-13× SLOWER at sf0.1 — Catalyst interprets higher-order
+  lambdas per element (no codegen), which swamps the shuffle savings.
+  The explode→codegen-projection→hash-aggregate forms below keep every
+  hot expression inside WholeStageCodegen; prefer them until Spark
+  codegens HOFs.
 """
 
 from __future__ import annotations

@@ -57,6 +57,48 @@ def query_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zones(spark, sf_dir)
 
 
+def query_zones_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full G1-G4 zonification path: WKT text (as stored in bronze,
+    reference bronze/utils.py:679-681) → parse → ST_Multi promotion →
+    area-weighted centroid → ST_X/ST_Y.
+
+    Each nation key k generates a MULTIPOLYGON of two disjoint triangles
+    with areas 3 and 6, so the area-weighted centroid ((9k+74)/9, 67/9)
+    differs from the naive vertex mean — the oracle checks the closed
+    form, which only matches if parsing, ring handling, and the shoelace
+    weighting are all correct."""
+    nation = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    wkt = F.format_string(
+        "MULTIPOLYGON(((%d 0, %d 0, %d 3, %d 0)), ((%d 10, %d 10, %d 12, %d 10)))",
+        k, k + 2, k, k,
+        k + 10, k + 16, k + 10, k + 10,
+    )
+    from bigdata_project_spark.functions.geo import wkt_centroids
+
+    bronze = nation.select(
+        F.col("n_nationkey").cast("string").alias("id"),
+        F.col("n_name").alias("name"),
+        wkt.alias("wkt"),
+    )
+    parsed = wkt_centroids(bronze, "wkt")
+    return parsed.select(
+        "id",
+        "name",
+        round_portable(F.col("centroid_lon"), 6).alias("centroid_lon"),
+        round_portable(F.col("centroid_lat"), 6).alias("centroid_lat"),
+    )
+
+
+ORACLE_ZONES_WKT = f"""
+SELECT CAST(n_nationkey AS VARCHAR) AS id,
+       n_name AS name,
+       {round_portable_sql("(CAST(n_nationkey AS DOUBLE) * 9.0e0 + 74.0e0) / 9.0e0", 6)} AS centroid_lon,
+       {round_portable_sql("67.0e0 / 9.0e0", 6)} AS centroid_lat
+FROM nation
+"""
+
+
 def query_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = zones(spark, sf_dir)
     o, d = z.alias("o"), z.alias("d")

@@ -51,6 +51,11 @@ def _load() -> None:
     )
     register("silver_zones", silver_distances.query_zones, silver_distances.ORACLE_ZONES)
     register(
+        "silver_zones_wkt",
+        silver_distances.query_zones_wkt,
+        silver_distances.ORACLE_ZONES_WKT,
+    )
+    register(
         "silver_distances",
         silver_distances.query_distances,
         silver_distances.ORACLE_DISTANCES,
@@ -97,6 +102,7 @@ def _load() -> None:
     register("dedup_minhash_lsh", text_dedup.query_dedup_minhash_lsh, text_dedup.ORACLE_DEDUP_MINHASH_LSH)
     register("dedup_simhash", text_dedup.query_dedup_simhash, text_dedup.ORACLE_DEDUP_SIMHASH)
     register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
+    register("dedup_embedding_cosine", similarity.query_dedup_embedding, similarity.ORACLE_DEDUP_EMBEDDING)
     register("sim_cosine_topk", similarity.query_cosine_topk, similarity.ORACLE_COSINE_TOPK)
     register("sim_neardup_pairs", similarity.query_neardup_pairs, similarity.ORACLE_NEARDUP_PAIRS)
     register("sim_ann_lsh_buckets", similarity.query_ann_lsh_buckets, None)

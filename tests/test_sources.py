@@ -1,0 +1,101 @@
+"""Scan/sink surface (SURVEY.md §2.1 S1-S11): all-string CSV with filename
+pseudo-column, JSON-array scan with nested inference, audit columns, the
+saveAsTable sink family, and catalog introspection."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from bigdata_project_spark.sources.readers import (
+    read_csv_all_string,
+    read_json_array,
+    register_temp,
+    with_audit_columns,
+)
+from bigdata_project_spark.sources.sinks import (
+    append_table,
+    create_table_schema_only,
+    drop_table,
+    replace_table,
+)
+
+
+@pytest.fixture()
+def csv_files(tmp_path):
+    """Two pipe-delimited files, one gzipped — the reference's multi-URL
+    `.csv.gz` shape (bronze/utils.py:325-330)."""
+    p1 = tmp_path / "a.csv"
+    p1.write_text("fecha|origen|viajes\n20220301|A01|12.5\n20220302|A02|3\n")
+    p2 = tmp_path / "b.csv.gz"
+    with gzip.open(p2, "wt") as f:
+        f.write("fecha|origen|viajes\n20220303|B01|7\n")
+    return [str(p1), str(p2)]
+
+
+def test_csv_all_string_multi_file(spark, csv_files):
+    df = read_csv_all_string(spark, csv_files, sep="|")
+    assert [f.dataType.simpleString() for f in df.schema.fields[:3]] == ["string"] * 3
+    rows = df.orderBy("fecha").collect()
+    assert len(rows) == 3
+    assert rows[0]["viajes"] == "12.5"  # stays VARCHAR, no inference
+    assert rows[0]["filename"].endswith("a.csv")
+    assert rows[2]["filename"].endswith("b.csv.gz")
+
+
+def test_json_array_nested_inference(spark, tmp_path):
+    payload = [
+        {"COD": "1", "Nombre": "Uno. Seg", "Data": [{"Fecha": 1648771200000, "Valor": 1.5}]},
+        {"COD": "2", "Nombre": "Dos. Seg", "Data": []},
+    ]
+    p = tmp_path / "ine.json"
+    p.write_text(json.dumps(payload))
+    df = read_json_array(spark, str(p))
+    kinds = dict(df.dtypes)
+    assert kinds["COD"] == "string"
+    assert kinds["Data"].startswith("array<struct<")
+    first = df.orderBy("COD").first()
+    assert first["Data"][0]["Valor"] == 1.5
+
+
+def test_audit_columns(spark, csv_files):
+    df = with_audit_columns(read_csv_all_string(spark, csv_files, sep="|", with_filename=False))
+    row = df.first()
+    assert row["loaded_at"] is not None
+    assert row["source_file"].endswith((".csv", ".csv.gz"))
+
+
+def test_register_temp_queryable(spark):
+    register_temp(spark, "tmp_zonificacion", spark.range(3))
+    assert spark.sql("SELECT count(*) AS n FROM tmp_zonificacion").first()["n"] == 3
+    spark.catalog.dropTempView("tmp_zonificacion")
+
+
+def test_sink_family_and_catalog(spark):
+    """S6 schema-only create → S8 append → S7 replace → S11 introspection
+    → S10 drop, against the session warehouse."""
+    t = "test_sink_tbl"
+    drop_table(spark, t)
+    src = spark.range(5).withColumnRenamed("id", "k")
+
+    create_table_schema_only(src, t)
+    assert spark.table(t).count() == 0
+    # idempotent (CREATE IF NOT EXISTS): second call must not fail/overwrite
+    create_table_schema_only(src, t)
+
+    append_table(src, t)
+    append_table(src, t)
+    assert spark.table(t).count() == 10
+
+    replace_table(src.filter("k < 2"), t)
+    assert spark.table(t).count() == 2
+
+    # S11: SHOW TABLES / information_schema.columns equivalents
+    assert t in [x.name for x in spark.catalog.listTables()]
+    cols = spark.catalog.listColumns(t)
+    assert [c.name for c in cols] == ["k"]
+
+    drop_table(spark, t)
+    assert t not in [x.name for x in spark.catalog.listTables()]
