@@ -1,0 +1,82 @@
+"""Skew-mitigation operators: salting for hot keys.
+
+At 100 TB a handful of hot keys (the reference analogue: a mega-city zone
+in the OD matrix receiving a large share of all trips) turn one shuffle
+partition into the straggler that owns the job's tail latency. Two
+standing fixes, both pure DataFrame:
+
+- **AQE skew-join splitting** (``spark.sql.adaptive.skewJoin.enabled``,
+  on in session.py): runtime re-plan that splits oversized partitions.
+  First line of defense; needs no code change.
+- **Explicit salting** (this module): when AQE can't help — skewed
+  *aggregations* (AQE only splits joins) or deterministic plans for
+  repeated production runs.
+
+Both operators are semantics-preserving: tests/test_skew.py checks
+salted == unsalted on a deliberately skewed corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    n_salts: int = 16,
+    row_entropy: Column | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: SUM/COUNT per key.
+
+    Phase 1 aggregates on (keys, salt) — the hot key's rows spread over
+    ``n_salts`` partitions — phase 2 re-aggregates the (tiny) salted
+    partials on the true keys. Works for any algebraic aggregate; SUM and
+    COUNT are wired here (the engine's common case).
+
+    ``row_entropy``: expression whose hash spreads rows (defaults to
+    ``monotonically_increasing_id()`` — deterministic per partition
+    layout; pass a stable column for bit-exact reruns across layouts).
+    """
+    entropy = (
+        row_entropy if row_entropy is not None else F.monotonically_increasing_id()
+    )
+    salt = F.pmod(F.hash(entropy), F.lit(n_salts)).alias("__salt")
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            *[F.sum(c).alias(f"__s_{a}") for c, a in sum_cols.items()],
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"__s_{a}").alias(a) for a in sum_cols.values()],
+        F.sum("__n").alias("n_rows"),
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the (small) dim ``n_salts`` times,
+    salt the fact side, join on (key, salt).
+
+    The hot fact key's rows land in ``n_salts`` different partitions, each
+    meeting its own dim replica. Replication factor × dim size is the
+    cost — use for dims too big to broadcast outright but small enough to
+    replicate; below broadcast threshold, plain ``broadcast(dim)`` wins.
+    """
+    fact_salted = fact.withColumn(
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    dim_rep = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = fact_salted.join(dim_rep, [key, "__salt"])
+    return out.drop("__salt")

@@ -68,6 +68,27 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once dedup on event_id — the streaming twin of
+    the reference's idempotent MERGE re-ingest (bronze/utils.py:348-366):
+    replayed rows inside the watermark horizon are dropped, and state is
+    bounded by the watermark instead of growing with the stream.
+    ``dropDuplicatesWithinWatermark`` keys state on (event_id) only for
+    the watermark window — the 100 TB-safe form of streaming dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enrich_stream_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: per-micro-batch hash join against the
+    (re-read) static dimension — the streaming form of the silver dim
+    enrichments (J2). No state, no shuffle of the stream side."""
+    return events.join(F.broadcast(dim), events.user_id == dim.c_custkey, "left").select(
+        "event_id", "ts", "user_id", "event_type", "value", dim.c_mktsegment.alias("segment")
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drain all available input synchronously into a memory sink table."""
     q = (

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 from bigdata_project_spark.plans.event_windows import query_tumbling_1h
 from bigdata_project_spark.streaming.stateful import events_after_threshold
 from bigdata_project_spark.streaming.windows import (
+    dedup_within_watermark,
+    enrich_stream_static,
     read_event_stream,
     run_to_memory,
     session_windows,
@@ -36,6 +38,33 @@ def test_stream_session_windows_run(spark, sf_dir):
     rows = spark.sql("SELECT * FROM stream_sessions").collect()
     assert rows
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    stream = dedup_within_watermark(read_event_stream(spark, sf_dir))
+    q = stream.writeStream.outputMode("append").format("memory").queryName("dedup_wm").start()
+    q.processAllAvailable()
+    q.stop()
+    from bigdata_project_spark.sources.readers import load_table
+
+    n_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    out = spark.sql("SELECT event_id FROM dedup_wm")
+    assert out.count() == n_distinct
+    assert out.distinct().count() == n_distinct
+
+
+def test_stream_static_join_enriches(spark, sf_dir):
+    from bigdata_project_spark.sources.readers import load_table
+
+    dim = load_table(spark, sf_dir, "customer")
+    stream = enrich_stream_static(read_event_stream(spark, sf_dir), dim)
+    q = stream.writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    q.processAllAvailable()
+    q.stop()
+    pdf = spark.sql("SELECT * FROM enriched").toPandas()
+    ev_n = load_table(spark, sf_dir, "events").count()
+    assert len(pdf) == ev_n  # left join preserves the stream
+    assert pdf["segment"].notna().any()
 
 
 def test_stateful_threshold_operator(spark, sf_dir):
