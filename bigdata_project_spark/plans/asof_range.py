@@ -1,0 +1,221 @@
+"""As-of join, interval (range) join, and exact percentiles — operators the
+reference never needed (its workload is pure conformance ELT) but any
+time-series/feature-engineering workload does, and which Spark lacks as
+built-ins. Each is built from Spark primitives in its *distributed* form,
+with DuckDB's native implementations (ASOF JOIN, IEJoin, quantile_cont) as
+the oracles — the strongest possible cross-check, since the two engines
+share no code path at all.
+
+Scale notes:
+- As-of: the union+window formulation shuffles each side ONCE on the key
+  and sorts within partition — same cost as a sort-merge join, no
+  per-row probing, no BNLJ. This is the standard distributed as-of
+  (kdb/Flink temporal-join equivalent).
+- Range join: naive theta joins explode into BNLJ; decomposing the
+  intervals into fixed-width buckets turns it into an equi-join on
+  bucket + residual predicate. Bucket width trades replication factor
+  (intervals spanning many buckets) against probe selectivity.
+- Percentiles: exact percentile is a full sort per group — fine for
+  bounded group counts; at unbounded scale switch to approx_percentile
+  (t-digest) and accept the documented error bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
+from bigdata_project_spark.sources.readers import load_table
+
+# ------------------------------------------------------------ as-of join --
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: attach the most recent ``right`` row with
+    ``right.ts <= left.ts`` per key. Union + last_value(ignorenulls) over
+    a (key)-partitioned (ts, side)-ordered window; ties at equal ts see
+    the right row (side 0 sorts first), matching ``ASOF ... ON l.ts >=
+    r.ts`` semantics."""
+    lcols = [c for c in left.columns if c not in (key, ts)]
+    tagged_r = right.select(
+        key,
+        ts,
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+    )
+    tagged_l = left.select(
+        key,
+        ts,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        *lcols,
+    )
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # carry the right row's ts alongside its payload
+    enriched = tagged_r.withColumn("__r_ts", F.col(ts)).unionByName(
+        tagged_l.withColumn("__r_ts", F.lit(None).cast(dict(right.dtypes)[ts]))
+    )
+    filled = enriched.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in right_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__asof_ts"),
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            key,
+            ts,
+            *lcols,
+            *[F.col(f"__asof_{c}").alias(f"right_{c}") for c in right_cols],
+            F.col("__asof_ts").alias("right_ts"),
+        )
+    )
+
+
+def query_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent click at-or-before it
+    (NULLs where no prior click exists)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts="ts", right_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").alias("purchase_value"),
+        F.unix_micros(F.col("right_ts").cast("timestamp")).alias("click_ts_us"),
+        F.col("right_value").alias("click_value"),
+    )
+
+
+ORACLE_ASOF = """
+WITH c AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       p.value AS purchase_value,
+       epoch_us(c.ts) AS click_ts_us,
+       c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+# ------------------------------------------------------------ range join --
+
+_N_BANDS = 20
+_BAND_LO = 30.0  # lo = band_id * 30
+_BAND_W = 50.0  # hi = lo + 50  (overlapping: width > spacing)
+_BUCKET = 10.0
+
+
+def _bands(spark: SparkSession) -> DataFrame:
+    return spark.range(_N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * _BAND_LO).cast("double").alias("lo"),
+        (F.col("id") * _BAND_LO + _BAND_W).cast("double").alias("hi"),
+    )
+
+
+def query_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events.value ∈ [band.lo, band.hi) over overlapping
+    bands, as a bucketed equi-join — each band explodes into the
+    fixed-width buckets it spans, events join on their single bucket,
+    and the residual range predicate filters exact matches. No BNLJ at
+    any scale; the oracle runs DuckDB's native IEJoin formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = _bands(spark)
+    exploded = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BUCKET).cast("long"),
+                F.floor(F.col("hi") / _BUCKET).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    probes = ev.select(
+        "event_id", "event_type", "value", F.floor(F.col("value") / _BUCKET).cast("long").alias("bucket")
+    )
+    joined = probes.join(F.broadcast(exploded), "bucket").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return (
+        joined.groupBy("band_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+WITH bands AS (
+    SELECT i AS band_id,
+           CAST(i * {_BAND_LO} AS DOUBLE) AS lo,
+           CAST(i * {_BAND_LO} + {_BAND_W} AS DOUBLE) AS hi
+    FROM range({_N_BANDS}) t(i)
+)
+SELECT band_id, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band_id, event_type
+"""
+
+# ----------------------------------------------------------- percentiles --
+
+
+def query_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont`` — both linear interpolation over the
+    sorted group)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25_raw"),
+        F.expr("percentile(value, 0.5)").alias("p50_raw"),
+        F.expr("percentile(value, 0.9)").alias("p90_raw"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out.select(
+        "event_type",
+        round_portable(F.col("p25_raw"), 6).alias("p25"),
+        round_portable(F.col("p50_raw"), 6).alias("p50"),
+        round_portable(F.col("p90_raw"), 6).alias("p90"),
+        "n",
+    )
+
+
+ORACLE_PERCENTILES = f"""
+SELECT event_type,
+       {round_portable_sql("quantile_cont(value, 0.25)", 6)} AS p25,
+       {round_portable_sql("quantile_cont(value, 0.5)", 6)} AS p50,
+       {round_portable_sql("quantile_cont(value, 0.9)", 6)} AS p90,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""

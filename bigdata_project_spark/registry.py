@@ -79,7 +79,7 @@ def _load() -> None:
     register("silver_ine_renta", silver_ine.query_ine_renta, silver_ine.ORACLE_INE_RENTA)
     register("bronze_holidays_json", holidays_json.query, holidays_json.ORACLE)
 
-    from bigdata_project_spark.plans import analytics, event_windows
+    from bigdata_project_spark.plans import analytics, asof_range, event_windows
 
     register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
     register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
@@ -93,6 +93,9 @@ def _load() -> None:
     register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
     register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
     register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
+    register("join_asof", asof_range.query_asof_click_before_purchase, asof_range.ORACLE_ASOF)
+    register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
+    register("agg_percentiles", asof_range.query_percentiles_by_type, asof_range.ORACLE_PERCENTILES)
 
     from bigdata_project_spark.multimodal import binary_ops
     from bigdata_project_spark.operators import similarity, text_analysis, text_dedup
