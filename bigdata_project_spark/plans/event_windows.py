@@ -33,6 +33,56 @@ _DEC = "decimal(18,2)"
 _FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def query_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass producing hour,
+    day, and grand-total grains via ROLLUP(day, hour) — the hierarchical
+    time dimension means partial aggregates reuse across grains (Spark
+    expands grouping sets before the single shuffle; no re-scan per
+    grain, which is the point of a rollup vs three separate queries)."""
+    ev = load_table(spark, sf_dir, "events")
+    based = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    agg = based.rollup("day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        F.grouping("day").alias("g_day"),
+        F.grouping("hour").alias("g_hour"),
+    )
+    grain = (
+        F.when(F.col("g_day") == 1, F.lit("total"))
+        .when(F.col("g_hour") == 1, F.lit("day"))
+        .otherwise(F.lit("hour"))
+    )
+    return agg.select(
+        grain.alias("grain"),
+        F.date_format("day", _FMT).alias("day"),
+        F.date_format("hour", _FMT).alias("hour"),
+        "n_events",
+        "total_value",
+    )
+
+
+ORACLE_TIME_ROLLUP = """
+SELECT CASE WHEN GROUPING(day) = 1 THEN 'total'
+            WHEN GROUPING(hour) = 1 THEN 'day'
+            ELSE 'hour' END AS grain,
+       strftime(day, '%Y-%m-%d %H:%M:%S') AS day,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM (
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           value
+    FROM events
+)
+GROUP BY ROLLUP(day, hour)
+"""
+
+
 def query_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (

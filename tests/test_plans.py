@@ -10,6 +10,7 @@ ever plans a cartesian product.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from bigdata_project_spark import registry
 
@@ -63,6 +64,38 @@ def test_parquet_scans_prune_columns(spark, sf_dir):
     schema = scan[0].split("ReadSchema:")[1]
     assert "l_comment" not in schema and "l_shipdate" not in schema
     assert "l_extendedprice" in schema
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Co-located join: both sides bucketed on the join key → the sort-
+    merge join reads buckets directly, no Exchange on either side. This
+    is the 100 TB answer for repeated fact-fact joins (bucket once,
+    join shuffle-free forever)."""
+    from bigdata_project_spark.sources.readers import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).mode("overwrite").saveAsTable("b_orders")
+    load_table(spark, sf_dir, "customer").write.bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).mode("overwrite").saveAsTable("b_customer")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == spark.table("b_orders").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
 def test_predicate_pushdown_reaches_scan(spark, sf_dir):
