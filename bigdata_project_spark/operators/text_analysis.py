@@ -120,7 +120,10 @@ _STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "for", "on", "at")
 def query_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite heuristic quality: length, punctuation density, stopword
     ratio, mean word length — the standard cheap pre-filter for LLM data."""
-    docs = load_table(spark, sf_dir, "documents")
+    return quality_frame(load_table(spark, sf_dir, "documents"))
+
+
+def quality_frame(docs: DataFrame) -> DataFrame:
     toks = tokens(F.col("text"))
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))

@@ -107,6 +107,10 @@ def _load() -> None:
     register("dedup_simhash", text_dedup.query_dedup_simhash, text_dedup.ORACLE_DEDUP_SIMHASH)
     register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
     register("dedup_embedding_cosine", similarity.query_dedup_embedding, similarity.ORACLE_DEDUP_EMBEDDING)
+
+    from bigdata_project_spark.plans import clean_corpus
+
+    register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
     register("sim_cosine_topk", similarity.query_cosine_topk, similarity.ORACLE_COSINE_TOPK)
     register("sim_neardup_pairs", similarity.query_neardup_pairs, similarity.ORACLE_NEARDUP_PAIRS)
     register("sim_ann_lsh_buckets", similarity.query_ann_lsh_buckets, None)
