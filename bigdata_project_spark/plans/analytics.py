@@ -243,6 +243,31 @@ def query_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_big.unionByName(without_any)
 
 
+def query_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION DISTINCT — absent from the reference
+    (§2.7 'not present') but core engine surface. Each set op is a
+    distinct-aggregate-shaped shuffle on the key; tagged union of the
+    three results."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = open_.intersect(done).select("o_custkey", F.lit("both").alias("op"))
+    only_open = open_.subtract(done).select("o_custkey", F.lit("only_open").alias("op"))
+    either = open_.union(done).distinct().select("o_custkey", F.lit("either").alias("op"))
+    return both.unionByName(only_open).unionByName(either)
+
+
+ORACLE_SET_OPS = """
+WITH o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT o_custkey, 'both' AS op FROM (SELECT * FROM o INTERSECT SELECT * FROM f)
+UNION ALL
+SELECT o_custkey, 'only_open' AS op FROM (SELECT * FROM o EXCEPT SELECT * FROM f)
+UNION ALL
+SELECT o_custkey, 'either' AS op FROM (SELECT * FROM o UNION SELECT * FROM f)
+"""
+
+
 ORACLE_SEMI_ANTI_JOIN = """
 SELECT c_custkey, 'has_big_order' AS status
 FROM customer

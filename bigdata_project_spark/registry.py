@@ -90,6 +90,7 @@ def _load() -> None:
     register("agg_distinct_counts", analytics.query_distinct_counts, analytics.ORACLE_DISTINCT_COUNTS)
     register("agg_approx_distinct", analytics.query_approx_distinct, None)
     register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
+    register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
     register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
     register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
     register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
