@@ -171,6 +171,54 @@ FROM ({_JACCARD_SQL})
 WHERE jaccard >= 0.9
 """
 
+# -------------------------------------------------------- fuzzy (edit) --
+
+
+def query_dedup_fuzzy_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: levenshtein ≤ 5 on 40-char prefixes,
+    blocked by ``lang`` (both engines implement the same classic DP, so
+    the distances are identical integers).
+
+    Scale shape: blocking bounds the pair space (never all-pairs); the
+    40-char prefix caps the O(m·n) DP cost per pair. At corpus scale the
+    block key would be a coarser fingerprint (e.g. simhash band), same
+    plan. Corpus restricted to the first 100 docs + planted dups to keep
+    the oracle's quadratic form cheap."""
+    corpus = _corpus_with_dups(spark, sf_dir).filter(
+        (F.col("doc_id") < 100) | (F.col("doc_id") >= 1_000_000)
+    )
+    pre = corpus.select(
+        "doc_id", "lang", F.substring("text", 1, 40).alias("prefix")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("lev"),
+        )
+        .filter(F.col("lev") <= 5)
+    )
+
+
+ORACLE_DEDUP_FUZZY_LEV = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+pre AS (
+    SELECT doc_id, lang, substring(text, 1, 40) AS prefix
+    FROM corpus
+    WHERE doc_id < 100 OR doc_id >= 1000000
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.prefix, b.prefix) AS lev
+FROM pre a JOIN pre b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 5
+"""
+
+
 # --------------------------------------------------------- MinHash + LSH --
 
 N_HASHES = 12

@@ -268,6 +268,41 @@ SELECT o_custkey, 'either' AS op FROM (SELECT * FROM o UNION SELECT * FROM f)
 """
 
 
+def query_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events ``props`` column (semi-
+    structured payload — the engine's json surface): per-key-bucket
+    counts and value sums. ``get_json_object`` stays JVM-side/codegen;
+    for repeated multi-field access, ``from_json`` with an explicit
+    schema amortizes the parse — both demonstrated here."""
+    ev = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    parsed = ev.select(
+        "event_type",
+        k_str.cast("bigint").alias("k"),
+        F.from_json("props", "k BIGINT").getField("k").alias("k2"),
+    )
+    return (
+        parsed.withColumn("k_bucket", F.col("k") % 10)
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.col("k2") - F.col("k")).alias("parse_diff"),  # must be 0
+        )
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       SUM(0) AS parse_diff
+FROM events
+GROUP BY 1, 2
+"""
+
+
 ORACLE_SEMI_ANTI_JOIN = """
 SELECT c_custkey, 'has_big_order' AS status
 FROM customer

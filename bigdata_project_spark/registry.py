@@ -91,6 +91,7 @@ def _load() -> None:
     register("agg_approx_distinct", analytics.query_approx_distinct, None)
     register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
     register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
+    register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
     register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
     register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
     register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
@@ -108,6 +109,7 @@ def _load() -> None:
     register("dedup_simhash", text_dedup.query_dedup_simhash, text_dedup.ORACLE_DEDUP_SIMHASH)
     register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
     register("dedup_embedding_cosine", similarity.query_dedup_embedding, similarity.ORACLE_DEDUP_EMBEDDING)
+    register("dedup_fuzzy_lev", text_dedup.query_dedup_fuzzy_lev, text_dedup.ORACLE_DEDUP_FUZZY_LEV)
 
     from bigdata_project_spark.plans import clean_corpus
 
@@ -115,6 +117,10 @@ def _load() -> None:
     register("sim_cosine_topk", similarity.query_cosine_topk, similarity.ORACLE_COSINE_TOPK)
     register("sim_neardup_pairs", similarity.query_neardup_pairs, similarity.ORACLE_NEARDUP_PAIRS)
     register("sim_ann_lsh_buckets", similarity.query_ann_lsh_buckets, None)
+
+    from bigdata_project_spark.operators import ivf
+
+    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, None)
     register("text_token_stats", text_analysis.query_token_stats, text_analysis.ORACLE_TOKEN_STATS)
     register("text_lang_id", text_analysis.query_lang_id, text_analysis.ORACLE_LANG_ID)
     register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)

@@ -32,6 +32,17 @@ def test_topk_matches_numpy(spark, sf_dir):
         assert abs(g - w) < 1e-6
 
 
+def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
+    """Probing 2/8 learned cells must recover most of the true top-10."""
+    from bigdata_project_spark.operators.ivf import query_ivf_kmeans_topk
+    from bigdata_project_spark.operators.similarity import query_cosine_topk
+
+    truth = {r["vec_id"] for r in query_cosine_topk(spark, sf_dir).collect()}
+    got = {r["vec_id"] for r in query_ivf_kmeans_topk(spark, sf_dir).collect()}
+    assert len(got) == 10
+    assert len(truth & got) >= 6  # ≥60% recall at nprobe=2/8
+
+
 def test_lsh_buckets_subset_of_brute_force(spark, sf_dir):
     brute = {
         (r["vec_a"], r["vec_b"])
