@@ -268,6 +268,35 @@ SELECT o_custkey, 'either' AS op FROM (SELECT * FROM o UNION SELECT * FROM f)
 """
 
 
+def query_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag analytics: per-user inter-event gap and value delta —
+    one shuffle on user_id, streaming within partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_ts = F.lag(ts_us).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        (ts_us - prev_ts).alias("gap_us"),
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+ORACLE_LEAD_LAG = """
+SELECT event_id, user_id,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       epoch_us(CAST(ts AS TIMESTAMP))
+         - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,
+       value - lag(value) OVER w AS value_delta,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+"""
+
+
 def query_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the events ``props`` column (semi-
     structured payload — the engine's json surface): per-key-bucket

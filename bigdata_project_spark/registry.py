@@ -92,6 +92,7 @@ def _load() -> None:
     register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
     register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
     register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
+    register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
     register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
     register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
     register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
