@@ -24,6 +24,56 @@ from bigdata_project_spark.operators.text_dedup import _CORPUS_SQL, _corpus_with
 
 _Q_THRESHOLD = 0.5
 
+# 80/10/10 split thresholds over the 32-bit hash space — integer compares,
+# no float arithmetic anywhere in the assignment.
+_T_TRAIN = int(0.8 * 2**32)
+_T_VAL = int(0.9 * 2**32)
+
+
+def query_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, reproducible train/val/test assignment: each doc's
+    split is a pure function of its id (md5 → 32-bit int → integer
+    thresholds), so re-runs, engine changes, and repartitions can never
+    reshuffle the split — the property a training pipeline actually needs
+    from 'random' sampling. Stratification falls out per key for free
+    (hash uniformity holds within every stratum)."""
+    from bigdata_project_spark.functions.text import hex32_to_int
+    from bigdata_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = hex32_to_int(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")))
+    split = (
+        F.when(v < _T_TRAIN, F.lit("train"))
+        .when(v < _T_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+from bigdata_project_spark.functions.text import HEX32_TO_INT_SQL  # noqa: E402
+
+ORACLE_TRAIN_VAL_SPLIT = f"""
+SELECT CASE WHEN v < {_T_TRAIN} THEN 'train'
+            WHEN v < {_T_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM (
+    SELECT lang, n_chars,
+           {HEX32_TO_INT_SQL.format(h="md5(CAST(doc_id AS VARCHAR))")} AS v
+    FROM documents
+)
+GROUP BY 1, 2
+"""
+
 
 def query_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_dups(spark, sf_dir)

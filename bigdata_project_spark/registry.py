@@ -115,6 +115,7 @@ def _load() -> None:
     from bigdata_project_spark.plans import clean_corpus
 
     register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
+    register("pipeline_train_val_split", clean_corpus.query_train_val_split, clean_corpus.ORACLE_TRAIN_VAL_SPLIT)
     register("sim_cosine_topk", similarity.query_cosine_topk, similarity.ORACLE_COSINE_TOPK)
     register("sim_neardup_pairs", similarity.query_neardup_pairs, similarity.ORACLE_NEARDUP_PAIRS)
     register("sim_ann_lsh_buckets", similarity.query_ann_lsh_buckets, None)
