@@ -73,6 +73,32 @@ def test_register_temp_queryable(spark):
     spark.catalog.dropTempView("tmp_zonificacion")
 
 
+def test_partitioned_write_prunes_on_read(spark, sf_dir):
+    """S7 with partitionBy + the 100 TB read pattern: a filter on the
+    partition column must become a PartitionFilter (pruned directories),
+    not a data filter — and file count per partition stays controlled."""
+    from bigdata_project_spark.sources.readers import load_table
+    from bigdata_project_spark.sources.sinks import drop_table, replace_table
+    from pyspark.sql import functions as F
+
+    t = "test_part_tbl"
+    drop_table(spark, t)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    replace_table(ev.repartition("day"), t, partition_by=["day"])
+    try:
+        days = [r["day"] for r in spark.table(t).select("day").distinct().collect()]
+        pick = sorted(days)[0]
+        q = spark.table(t).filter(F.col("day") == pick)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert f"PartitionFilters: [isnotnull(day" in plan, plan[:1500]
+        # the non-matching partitions are never scanned
+        assert q.count() == ev.filter(F.col("day") == pick).count()
+    finally:
+        drop_table(spark, t)
+
+
 def test_sink_family_and_catalog(spark):
     """S6 schema-only create → S8 append → S7 replace → S11 introspection
     → S10 drop, against the session warehouse."""
