@@ -197,6 +197,34 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def query_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^n grouping combinations (rollup's lattice superset)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+ORACLE_CUBE_SUMMARY = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def query_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregates (the approx variant is rows-only, below)."""
     li = load_table(spark, sf_dir, "lineitem")

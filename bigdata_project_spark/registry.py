@@ -87,6 +87,7 @@ def _load() -> None:
     register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
     register("agg_pivot_status", analytics.query_pivot_status, analytics.ORACLE_PIVOT_STATUS)
     register("agg_rollup_summary", analytics.query_rollup_summary, analytics.ORACLE_ROLLUP_SUMMARY)
+    register("agg_cube_summary", analytics.query_cube_summary, analytics.ORACLE_CUBE_SUMMARY)
     register("agg_distinct_counts", analytics.query_distinct_counts, analytics.ORACLE_DISTINCT_COUNTS)
     register("agg_approx_distinct", analytics.query_approx_distinct, None)
     register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
