@@ -112,6 +112,36 @@ SELECT doc_id, lang AS labeled_lang, s_en, s_es, s_de,
 FROM scores
 """
 
+def query_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency with doc frequency —
+    the tokenizer-training precursor (BPE merges start from exactly this
+    table). One explode + one hash aggregate; top-k via
+    TakeOrderedAndProject, deterministic tiebreak on the token."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    return (
+        words.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("w").asc())
+        .limit(100)
+    )
+
+
+ORACLE_VOCAB_TOPK = """
+SELECT w, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+)
+GROUP BY w
+ORDER BY tf DESC, w ASC
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------- quality score --
 
 _STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "for", "on", "at")

@@ -128,6 +128,7 @@ def _load() -> None:
     register("text_lang_id", text_analysis.query_lang_id, text_analysis.ORACLE_LANG_ID)
     register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
     register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
+    register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
     register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
     register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
     register("multimodal_features", binary_ops.query_features, None)

@@ -89,6 +89,35 @@ def enrich_stream_static(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def upsert_sink(stream_df: DataFrame, table: str, keys: list[str], checkpoint: str):
+    """Streaming upsert: foreachBatch MERGE into a catalog table — the
+    streaming form of the reference's idempotent bronze MERGE re-ingest
+    (bronze/utils.py:348-366). Each micro-batch is merged keyed, so
+    replayed batches (at-least-once sources, restarts from the
+    checkpoint) converge to exactly-once table contents.
+
+    Returns the started StreamingQuery; caller manages lifecycle."""
+    from bigdata_project_spark.operators.merge import merge_keyed
+    from bigdata_project_spark.sources.sinks import replace_table
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(table):
+            # read current state BEFORE overwriting; cache to break lineage
+            old = spark.table(table).localCheckpoint(eager=True)
+            merged = merge_keyed(old, batch_df, keys)
+        else:
+            merged = batch_df.dropDuplicates(keys)
+        replace_table(merged, table)
+
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(merge_batch)
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drain all available input synchronously into a memory sink table."""
     q = (

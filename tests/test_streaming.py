@@ -67,6 +67,32 @@ def test_stream_static_join_enriches(spark, sf_dir):
     assert pdf["segment"].notna().any()
 
 
+def test_stream_upsert_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Duplicated input stream + keyed foreachBatch MERGE → exactly-once
+    table contents."""
+    from bigdata_project_spark.sources.readers import load_table
+    from bigdata_project_spark.sources.sinks import drop_table
+    from bigdata_project_spark.streaming.windows import upsert_sink
+
+    table = "t_stream_upsert"
+    drop_table(spark, table)
+    # duplicate the source: every event arrives twice
+    stream = read_event_stream(spark, sf_dir)
+    doubled = stream.unionByName(stream)
+    q = upsert_sink(doubled, table, keys=["event_id"], checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        n_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+        got = spark.table(table)
+        assert got.count() == n_distinct
+        assert got.select("event_id").distinct().count() == n_distinct
+    finally:
+        drop_table(spark, table)
+
+
 def test_stateful_threshold_operator(spark, sf_dir):
     stream = events_after_threshold(read_event_stream(spark, sf_dir), threshold=3)
     q = stream.writeStream.outputMode("append").format("memory").queryName("after3").start()
