@@ -142,6 +142,68 @@ LIMIT 100
 """
 
 
+def query_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights over the top-50 vocabulary for the first 20 docs —
+    the classic sparse doc-vector builder. The vocab is broadcast (it is
+    always tiny relative to the corpus); term counting is one explode +
+    hash aggregate; N and the join are the only other moving parts.
+
+    ln() is not IEEE-correctly-rounded and may differ between libms in
+    the last ulp — the 1e-6 rounding absorbs ~1e-15 relative error, the
+    same contract the cosine/sqrt operators rely on."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, driver-side by design (it's one number)
+    words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tf_corpus"), F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.col("tf_corpus").desc(), F.col("w").asc())
+        .limit(50)
+        .select("w", "df")
+    )
+    tf = (
+        words.filter(F.col("doc_id") < 20)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.join(F.broadcast(vocab), "w").select(
+        "doc_id",
+        "w",
+        "tf",
+        "df",
+        round_portable(
+            F.col("tf").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH words AS (
+    SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+),
+vocab AS (
+    SELECT w, COUNT(DISTINCT doc_id) AS df
+    FROM words
+    GROUP BY w
+    ORDER BY COUNT(*) DESC, w ASC
+    LIMIT 50
+),
+tf AS (
+    SELECT doc_id, w, COUNT(*) AS tf
+    FROM words WHERE doc_id < 20
+    GROUP BY doc_id, w
+)
+SELECT doc_id, tf.w AS w, tf, df,
+       {round_portable_sql(
+           "CAST(tf AS DOUBLE) * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / CAST(df AS DOUBLE))",
+           6,
+       )} AS tfidf
+FROM tf JOIN vocab ON tf.w = vocab.w
+"""
+
+
 # ---------------------------------------------------------- quality score --
 
 _STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "for", "on", "at")

@@ -296,6 +296,62 @@ SELECT o_custkey, 'either' AS op FROM (SELECT * FROM o UNION SELECT * FROM f)
 """
 
 
+def query_cogroup_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided grouped-pandas operator: events and orders co-grouped on
+    the shared key, each pair of per-key frames processed together in one
+    Arrow batch (``cogroup().applyInPandas`` — the API for custom logic
+    that needs BOTH sides of a key at once, e.g. feature joins that are
+    not expressible as a SQL join). One shuffle per side, no driver
+    involvement. Money sums are integer cents so the Python-side
+    summation is exact and order-independent."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "value"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+
+    def stats(key, ev_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cents = (
+            int(np.floor(ev_pdf["value"].to_numpy() * 100.0).astype("int64").sum())
+            if len(ev_pdf)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "k": [key[0]],
+                "n_events": [len(ev_pdf)],
+                "n_orders": [len(ord_pdf)],
+                "sum_value_cents": [cents],
+            }
+        )
+
+    return ev.groupBy("k").cogroup(orders.groupBy("k")).applyInPandas(
+        stats, schema="k long, n_events long, n_orders long, sum_value_cents long"
+    )
+
+
+ORACLE_COGROUP_ACTIVITY = """
+WITH e AS (
+    SELECT user_id AS k, COUNT(*) AS n_events,
+           SUM(CAST(floor(value * 100.0) AS BIGINT)) AS sum_value_cents
+    FROM events GROUP BY 1
+),
+o AS (
+    SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1
+)
+SELECT COALESCE(e.k, o.k) AS k,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(sum_value_cents, 0) AS sum_value_cents
+FROM e FULL OUTER JOIN o ON e.k = o.k
+"""
+
+
 def query_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag analytics: per-user inter-event gap and value delta —
     one shuffle on user_id, streaming within partition."""

@@ -94,6 +94,7 @@ def _load() -> None:
     register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
     register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
     register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
+    register("cogroup_activity", analytics.query_cogroup_activity, analytics.ORACLE_COGROUP_ACTIVITY)
     register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
     register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
     register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
@@ -129,6 +130,7 @@ def _load() -> None:
     register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
     register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
     register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
+    register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
     register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
     register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
     register("multimodal_features", binary_ops.query_features, None)
