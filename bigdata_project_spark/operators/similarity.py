@@ -6,7 +6,7 @@
 - **Threshold pair search (IVF-style)** — all near pairs *within a coarse
   partition* (``label`` plays the IVF cell id): the scale path, because the
   join key prunes the O(n²) pair space to per-cell blocks.
-- **Random-hyperplane LSH bucketing** — rows-only scale variant: 16-bit
+- **Random-hyperplane LSH bucketing** — rows-only scale variant: 32-bit
   sign signatures from deterministic md5-derived hyperplanes; candidate
   pairs share a signature band. Recall vs the exact baseline is asserted
   in tests/test_similarity.py.
@@ -241,7 +241,7 @@ def _plane_signs(plane: int, dim: int = _EMB_DIM) -> list[float]:
 
 
 def lsh_signatures(emb: DataFrame) -> DataFrame:
-    """16-bit sign signature per vector: sig bit p = (v · plane_p) > 0.
+    """32-bit sign signature per vector: sig bit p = (v · plane_p) > 0.
 
     Hyperplane components are ±1 derived from md5 — reproducible on any
     engine/cluster with no stored model."""
@@ -259,8 +259,8 @@ def lsh_signatures(emb: DataFrame) -> DataFrame:
 
 
 def lsh_signatures_np(emb: DataFrame) -> DataFrame:
-    """Arrow-batched signature computation: one 64×16 sign-matrix matmul
-    per batch instead of 16 interpreted folds per row. Same md5-derived
+    """Arrow-batched signature computation: one 64×32 sign-matrix matmul
+    per batch instead of 32 interpreted folds per row. Same md5-derived
     planes, same signatures."""
     import pandas as pd
 

@@ -8,16 +8,17 @@ Four families, each a registered query with a DuckDB oracle:
 - **MinHash+LSH**  : word-3-gram shingles → k=12 portable min-hashes →
                      4 bands × 3 rows → band-bucket self-join for candidate
                      pairs → verified Jaccard filter.
-- **SimHash**      : 16-bit simhash over token hashes; near-pairs found by
-                     4-bit band blocking + Hamming ≤ 3 verification.
+- **SimHash**      : 32-bit simhash over token hashes; near-pairs found
+                     by 8-bit band blocking + Hamming ≤ 3 verification.
 - **n-gram Jaccard**: exact all-pairs Jaccard over shingles (the quality
                      baseline the approximate methods are judged against
                      in tests/test_dedup.py).
 
-Portability: hashes are md5 hex strings (identical in both engines);
-"min-hash" is the lexicographic min of salted md5s; simhash bits come from
-md5 hex chars via instr arithmetic (functions/text.py). No engine-specific
-hash function is ever compared across engines.
+Portability: hashes derive from md5 hex strings (identical in both
+engines); min-hashes are a universal-hash family (a·v+b mod P) over the
+md5-derived 32-bit shingle value; simhash bits come from md5 hex chars via
+instr arithmetic (functions/text.py). No engine-specific hash function is
+ever compared across engines.
 
 Scale notes (the whole point of these designs):
 - Shingling explodes ~L rows per doc — embarrassingly parallel, no shuffle.
