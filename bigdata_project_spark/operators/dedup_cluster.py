@@ -1,0 +1,176 @@
+"""Connected-components dedup clustering — the completion step of
+near-dup detection for a training corpus.
+
+Pairwise near-dup detection (MinHash-LSH, operators/text_dedup.py) yields
+*edges*; an actual dedup decision needs *clusters*: near-duplication is
+not transitive pairwise, but the keep/drop policy must be ("keep one doc
+per connected component of the near-dup graph" — the standard corpus-
+dedup formulation, e.g. the C4/Gopher/RefinedWeb pipelines). Absent from
+the reference (its only dedup is row-level MERGE, bronze/utils.py:348-366);
+this is BASELINE.json north-star surface.
+
+Algorithm (Spark side): iterative **min-label propagation** over the
+symmetrized edge list. label₀(v) = v; labelᵢ₊₁(v) = min(labelᵢ(v),
+min over neighbors' labelᵢ) — after d rounds every node holds the minimum
+doc_id within distance d, so the loop converges in graph-diameter rounds
+to the component minimum. The loop stops on an actual fixpoint check
+(no label changed), not a guessed round count.
+
+Scale notes:
+- Near-dup components are near-cliques (every member pairwise-similar to
+  the canonical), so diameter ≈ 1-3 and the loop runs 2-4 rounds even at
+  corpus scale. Each round is one shuffle join (edges ⋈ labels, both
+  hash-partitioned on the same key after round 1 → AQE reuses the
+  exchange) plus one combiner-friendly min-aggregate.
+- Lineage is truncated per round with ``localCheckpoint`` — without it
+  the plan doubles every iteration and the driver re-optimizes an
+  exponentially growing tree.
+- The edge list is orders of magnitude smaller than the corpus (only
+  near-dup docs appear), so even at 100 TB of text the graph fits the
+  cluster comfortably; the propagation shuffles only (node, label) pairs.
+- For adversarial chain-shaped graphs (diameter O(n)) the published
+  O(log² n) alternation of large-star/small-star rounds (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14) is the
+  drop-in upgrade; near-dup graphs never need it.
+
+Oracle: DuckDB ``WITH RECURSIVE`` transitive closure — min reachable
+label per node is the component representative by definition, so both
+engines must produce identical clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.operators.text_dedup import (
+    lsh_verified_pairs,
+    lsh_verified_pairs_sql,
+)
+from bigdata_project_spark.sources.readers import load_table
+
+MAX_ITERATIONS = 25  # backstop only; the fixpoint check exits far earlier
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = MAX_ITERATIONS,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``pairs``, where
+    cluster_id = min node id of the node's connected component."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("v"), "label"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("u").alias("node"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("old_label")), "node"
+            )
+            .filter(F.col("label") != F.col("old_label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+# Corpus with planted duplicate *clusters*: a triangle {d, d+1M, d+2M}
+# for d < 30 and a pair {d, d+1M} for 30 ≤ d < 60 — so the components
+# have size > 2 and the propagation genuinely iterates.
+def _cc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dup1 = docs.filter(F.col("doc_id") < 60).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    dup2 = docs.filter(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    return docs.unionByName(dup1).unionByName(dup2)
+
+
+_CC_CORPUS_SQL = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id < 60
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id < 30
+"""
+
+
+def query_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup-clustering pipeline: LSH near-dup pairs → connected
+    components → per-doc (cluster_id, cluster_size, is_canonical).
+    ``is_canonical`` marks the one doc per cluster a dedup pass keeps
+    (min doc_id — deterministic). Docs with no near-dups never enter the
+    graph; the caller's keep-list is ``all_docs LEFT ANTI JOIN (output
+    WHERE NOT is_canonical)``."""
+    pairs = lsh_verified_pairs(_cc_corpus(spark, sf_dir))
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+ORACLE_DEDUP_CLUSTER_CC = f"""
+WITH RECURSIVE corpus AS ({_CC_CORPUS_SQL}),
+pairs AS ({lsh_verified_pairs_sql("corpus")}),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+    SELECT DISTINCT u AS node, u AS label FROM edges
+    UNION
+    SELECT e.v AS node, r.label
+    FROM reach r JOIN edges e ON e.u = r.node
+),
+labels AS (
+    SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT l.node AS doc_id, l.cluster_id, s.cluster_size,
+       l.node = l.cluster_id AS is_canonical
+FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+"""

@@ -288,15 +288,15 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def query_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates verified by true Jaccard ≥ 0.9.
+def lsh_verified_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs: LSH candidates verified by
+    true Jaccard ≥ ``threshold``.
 
     Verification joins the per-doc shingle *sets* onto the (few) candidate
     pairs and intersects them there — never the all-pairs shingle join the
     exact baseline does. That asymmetry is the entire point of LSH: the
     oracle uses the naive all-pairs form and must agree, since
     |A∩B|/|A∪B| is the same number either way."""
-    docs = load_table(spark, sf_dir, "documents")
     # MinHash and collect_set are multiset-invariant, so the raw
     # (duplicate-keeping) shingle form is also correct here. MEASURED at
     # sf0.1: distinct-first wins by ~12% (early dedup shrinks the k min
@@ -317,7 +317,15 @@ def query_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
         )
     )
-    return verified.filter(F.col("jaccard") >= 0.9).select(
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def query_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(docs)
+    return pairs.select(
         "doc_a",
         "doc_b",
         round_portable(F.col("jaccard"), 6).alias("jaccard"),
@@ -335,29 +343,52 @@ _band_rows = ", ".join(
     for b in range(N_BANDS)
 )
 
+def lsh_verified_pairs_sql(src: str, threshold: str = "0.9") -> str:
+    """DuckDB twin of :func:`lsh_verified_pairs` for an arbitrary relation
+    ``src`` with (doc_id, text): yields (doc_a, doc_b, jaccard) pairs.
+    Embeddable as a CTE body (DuckDB allows nested WITH in subqueries)."""
+    jaccard_sql = f"""
+    WITH sh AS ({_SHINGLES_SQL.format(src=src)}),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT doc_a, doc_b, n_common,
+               n_common * 1.0 / (ca.c + cb.c - n_common) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+    ),
+    shv AS (
+        SELECT doc_id, {HEX32_TO_INT_SQL.format(h="md5(shingle)")} AS v FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {_mh_cols}
+        FROM shv GROUP BY doc_id
+    ),
+    melted AS (
+        SELECT doc_id, bs.band AS band, bs.sig AS sig
+        FROM sigs, UNNEST([{_band_rows}]) AS t(bs)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM melted a JOIN melted b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT cands.doc_a, cands.doc_b, jaccard
+    FROM cands JOIN jac ON cands.doc_a = jac.doc_a AND cands.doc_b = jac.doc_b
+    WHERE jaccard >= {threshold}
+    """
+    return jaccard_sql
+
+
 ORACLE_DEDUP_MINHASH_LSH = f"""
-WITH sh AS ({_SHINGLES_SQL.format(src="documents")}),
-shv AS (
-    SELECT doc_id, {HEX32_TO_INT_SQL.format(h="md5(shingle)")} AS v FROM sh
-),
-sigs AS (
-    SELECT doc_id,
-           {_mh_cols}
-    FROM shv GROUP BY doc_id
-),
-melted AS (
-    SELECT doc_id, bs.band AS band, bs.sig AS sig
-    FROM sigs, UNNEST([{_band_rows}]) AS t(bs)
-),
-cands AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM melted a JOIN melted b
-      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-jac AS ({_JACCARD_SQL})
-SELECT cands.doc_a, cands.doc_b, {round_portable_sql("jaccard", 6)} AS jaccard
-FROM cands JOIN jac ON cands.doc_a = jac.doc_a AND cands.doc_b = jac.doc_b
-WHERE jaccard >= 0.9
+SELECT doc_a, doc_b, {round_portable_sql("jaccard", 6)} AS jaccard
+FROM ({lsh_verified_pairs_sql("documents")})
 """
 
 # --------------------------------------------------------------- SimHash --

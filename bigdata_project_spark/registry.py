@@ -114,6 +114,14 @@ def _load() -> None:
     register("dedup_embedding_cosine", similarity.query_dedup_embedding, similarity.ORACLE_DEDUP_EMBEDDING)
     register("dedup_fuzzy_lev", text_dedup.query_dedup_fuzzy_lev, text_dedup.ORACLE_DEDUP_FUZZY_LEV)
 
+    from bigdata_project_spark.operators import dedup_cluster
+
+    register(
+        "dedup_cluster_cc",
+        dedup_cluster.query_dedup_cluster_cc,
+        dedup_cluster.ORACLE_DEDUP_CLUSTER_CC,
+    )
+
     from bigdata_project_spark.plans import clean_corpus
 
     register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)

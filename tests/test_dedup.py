@@ -54,3 +54,33 @@ def test_simhash_is_32_bit(spark, sf_dir):
         F.min("simhash").alias("lo"), F.max("simhash").alias("hi")
     ).first()
     assert 0 <= out["lo"] and out["hi"] < 2**32
+
+
+def test_connected_components_chain_and_fixpoint(spark):
+    """A 4-node chain (diameter 3) plus an isolated pair: propagation must
+    iterate past round 1 and still land every node on the component min."""
+    from bigdata_project_spark.operators.dedup_cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200)], ["doc_a", "doc_b"]
+    )
+    out = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+
+
+def test_dedup_cluster_planted_triangles(spark, sf_dir):
+    """Planted {d, d+1M, d+2M} triangles must collapse into one cluster
+    with the original doc canonical."""
+    from bigdata_project_spark.operators.dedup_cluster import query_dedup_cluster_cc
+
+    out = query_dedup_cluster_cc(spark, sf_dir).toPandas()
+    by_doc = out.set_index("doc_id")
+    for d in (0, 7, 29):
+        assert by_doc.loc[d + 1_000_000, "cluster_id"] == by_doc.loc[d, "cluster_id"]
+        assert by_doc.loc[d + 2_000_000, "cluster_id"] == by_doc.loc[d, "cluster_id"]
+        assert by_doc.loc[d + 1_000_000, "cluster_size"] >= 3
+    # exactly one canonical per cluster, and it is the cluster min
+    canon = out[out["is_canonical"]]
+    assert canon["cluster_id"].is_unique
+    assert (canon["doc_id"] == canon["cluster_id"]).all()
+    assert set(out["cluster_id"]) == set(canon["cluster_id"])
