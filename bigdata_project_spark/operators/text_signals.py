@@ -1,0 +1,245 @@
+"""Corpus-curation signal operators: repetition ratios (the Gopher-rule
+family), PII redaction, and deterministic stratified sampling.
+
+Beyond-reference training-data surface (the reference's text handling
+stops at regex conformance of Spanish municipality names,
+silver/ine/ine_renta.py:24-29). All three queries are pure built-in
+expression/aggregate plans — zero Python in the row path — and each is
+oracle-checked against DuckDB.
+
+Scale notes:
+- Repetition signals: two explodes (bigram/trigram) each feeding a
+  combiner-friendly hash aggregate keyed on doc_id (+gram for the top-
+  gram pass) — the same shape as the MinHash shingle pipeline, linear in
+  corpus size, no joins wider than doc_id.
+- PII redaction is map-only (regexp_replace/regexp_count chains inside
+  WholeStageCodegen) — at 100 TB it pipelines with the scan.
+- Stratified sampling must NOT use rand(): a resample on retry/speculative
+  re-execution would silently change the corpus. The hash-threshold form
+  is a pure function of (doc_id, lang) — idempotent, repartition-proof,
+  and exactly reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
+from bigdata_project_spark.functions.text import HEX32_TO_INT_SQL, hex32_to_int
+from bigdata_project_spark.operators.text_dedup import shingle_rows_raw
+from bigdata_project_spark.sources.readers import load_table
+
+# ------------------------------------------------------ repetition signals --
+
+
+def query_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition ratios (Gopher-style quality rules): duplicate
+    trigram fraction, most-frequent-bigram share, most-frequent-word
+    share. High values flag boilerplate/spam docs that length or stopword
+    heuristics miss. Docs with < 3 tokens have no trigram and drop out."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = shingle_rows_raw(docs, 3)
+    tri_stats = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.count_distinct("shingle").alias("n_distinct_trigrams"),
+    )
+    bi = shingle_rows_raw(docs, 2)
+    bi_top = (
+        bi.groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    words = shingle_rows_raw(docs, 1)
+    w_top = (
+        words.groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"), F.sum("c").alias("n_words"))
+    )
+    return (
+        tri_stats.join(bi_top, "doc_id")
+        .join(w_top, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            round_portable(
+                1.0 - F.col("n_distinct_trigrams") / F.col("n_trigrams"), 6
+            ).alias("frac_dup_trigrams"),
+            round_portable(
+                F.col("top_bigram_count") / F.col("n_bigrams"), 6
+            ).alias("top_bigram_frac"),
+            round_portable(
+                F.col("top_word_count") / F.col("n_words"), 6
+            ).alias("top_word_frac"),
+        )
+    )
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB twin of shingle_rows_raw(docs, n) (duplicates kept)."""
+    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(n)).replace("t[i+0]", "t[i]")
+    return f"""
+    SELECT doc_id, {gram} AS shingle
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents)
+         , UNNEST(range(1, len(t) - {n - 2})) AS r(i)
+    WHERE len(t) >= {n}
+    """
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH tri AS ({_grams_sql(3)}),
+tri_stats AS (
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+           COUNT(DISTINCT shingle) AS n_distinct_trigrams
+    FROM tri GROUP BY doc_id
+),
+bi AS ({_grams_sql(2)}),
+bi_top AS (
+    SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams
+    FROM (SELECT doc_id, shingle, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+    GROUP BY doc_id
+),
+w AS ({_grams_sql(1)}),
+w_top AS (
+    SELECT doc_id, MAX(c) AS top_word_count, SUM(c) AS n_words
+    FROM (SELECT doc_id, shingle, COUNT(*) AS c FROM w GROUP BY 1, 2)
+    GROUP BY doc_id
+)
+SELECT t.doc_id, n_words,
+       {round_portable_sql("1.0 - n_distinct_trigrams * 1.0 / n_trigrams", 6)} AS frac_dup_trigrams,
+       {round_portable_sql("top_bigram_count * 1.0 / n_bigrams", 6)} AS top_bigram_frac,
+       {round_portable_sql("top_word_count * 1.0 / n_words", 6)} AS top_word_frac
+FROM tri_stats t
+JOIN bi_top b ON t.doc_id = b.doc_id
+JOIN w_top w2 ON t.doc_id = w2.doc_id
+"""
+
+# ----------------------------------------------------------- PII redaction --
+
+# Patterns restricted to syntax Java regex and RE2 interpret identically
+# (no backrefs, no lookaround, no \d shorthand-class edge cases).
+_RE_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_RE_URL = "https?://[^ \\t\\n]+"
+_RE_LONGNUM = "[0-9]{7,}"
+
+
+def query_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails / URLs / long digit runs (phone-ish) into typed
+    placeholder tokens, counting each. The fixture corpus is synthetic
+    word soup, so PII is planted deterministically per doc_id first —
+    what's verified is the redaction chain, counts included.
+
+    Order matters and is fixed: URLs before emails (a URL may embed an
+    '@' userinfo), numbers last (so digits inside already-redacted spans
+    are gone)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" see https://site"), F.col("doc_id").cast("string"), F.lit(".example/path")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" call 55512"), (F.col("doc_id") % 100000 + 100000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    with_pii = docs.select("doc_id", planted.alias("t"))
+    step1 = F.regexp_replace(F.col("t"), _RE_URL, "[URL]")
+    step2 = F.regexp_replace(step1, _RE_EMAIL, "[EMAIL]")
+    step3 = F.regexp_replace(step2, _RE_LONGNUM, "[NUM]")
+    return with_pii.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_RE_URL)).alias("n_urls"),
+        F.regexp_count(step1, F.lit(_RE_EMAIL)).alias("n_emails"),
+        F.regexp_count(step2, F.lit(_RE_LONGNUM)).alias("n_longnums"),
+        F.length(step3).alias("redacted_len"),
+        F.substring(step3, 1, 60).alias("redacted_prefix"),
+    )
+
+
+ORACLE_TEXT_PII_REDACT = f"""
+WITH with_pii AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' see https://site' || CAST(doc_id AS VARCHAR) || '.example/path'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' call 55512' || CAST(doc_id % 100000 + 100000 AS VARCHAR)
+                   ELSE '' END AS t
+    FROM documents
+),
+steps AS (
+    SELECT doc_id, t,
+           regexp_replace(t, '{_RE_URL}', '[URL]', 'g') AS s1
+    FROM with_pii
+),
+steps2 AS (
+    SELECT doc_id, t, s1,
+           regexp_replace(s1, '{_RE_EMAIL}', '[EMAIL]', 'g') AS s2
+    FROM steps
+),
+steps3 AS (
+    SELECT doc_id, t, s1, s2,
+           regexp_replace(s2, '{_RE_LONGNUM}', '[NUM]', 'g') AS s3
+    FROM steps2
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_RE_URL}')) AS n_urls,
+       len(regexp_extract_all(s1, '{_RE_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(s2, '{_RE_LONGNUM}')) AS n_longnums,
+       length(s3) AS redacted_len,
+       substring(s3, 1, 60) AS redacted_prefix
+FROM steps3
+"""
+
+# ---------------------------------------------------- stratified sampling --
+
+# Per-language keep rates expressed as integer thresholds over the 32-bit
+# hash space — integer compares only, no float arithmetic in the decision.
+_RATES = {"en": 0.5, "es": 0.25, "de": 0.25}
+_DEFAULT_RATE = 0.1
+_THRESHOLDS = {lang: int(r * 2**32) for lang, r in _RATES.items()}
+_DEFAULT_THRESHOLD = int(_DEFAULT_RATE * 2**32)
+
+
+def query_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic stratified sample: per-language keep rates via
+    integer thresholds on md5(doc_id) — the reproducible replacement for
+    ``df.sampleBy`` (whose seed-based sample shifts under repartition and
+    can't be replayed across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = hex32_to_int(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")))
+    threshold = F.lit(_DEFAULT_THRESHOLD)
+    for lang, t in _THRESHOLDS.items():
+        threshold = F.when(F.col("lang") == lang, F.lit(t)).otherwise(threshold)
+    return (
+        docs.withColumn("v", v)
+        .filter(F.col("v") < threshold)
+        .select("doc_id", "lang", "source")
+    )
+
+
+_threshold_case = " ".join(
+    f"WHEN lang = '{lang}' THEN {t}" for lang, t in _THRESHOLDS.items()
+)
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source
+FROM (
+    SELECT doc_id, lang, source,
+           {HEX32_TO_INT_SQL.format(h="md5(CAST(doc_id AS VARCHAR))")} AS v
+    FROM documents
+)
+WHERE v < CASE {_threshold_case} ELSE {_DEFAULT_THRESHOLD} END
+"""

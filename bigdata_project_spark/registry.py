@@ -139,6 +139,15 @@ def _load() -> None:
     register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
     register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
     register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
+    from bigdata_project_spark.operators import text_signals
+
+    register("text_repetition", text_signals.query_text_repetition, text_signals.ORACLE_TEXT_REPETITION)
+    register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)
+    register(
+        "pipeline_sample_stratified",
+        text_signals.query_sample_stratified,
+        text_signals.ORACLE_SAMPLE_STRATIFIED,
+    )
     register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
     register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
     register("multimodal_features", binary_ops.query_features, None)
