@@ -1,0 +1,152 @@
+"""Data-quality operators: single-pass column profiling and SCD2-style
+change-interval extraction.
+
+Beyond-reference surface (the reference's only QA is COUNT(*) + LIMIT-10
+eyeballing, queries.ipynb cells 7-26; SURVEY §5): a 100 TB ingest needs a
+machine-readable profile per load and change-history tracking for
+dimension tables. Both are pure built-in plans, oracle-checked.
+
+Scale notes:
+- The profile computes every per-column measure in ONE aggregate over ONE
+  scan (count/nulls/distinct/min/max as parallel aggregate expressions);
+  only a single profile row crosses the wire, then explodes into the
+  per-column output. Multiple COUNT(DISTINCT)s plan as one Expand +
+  aggregate — k× row inflation map-side, still one shuffle, no rescans.
+  At wider schemas swap exact distinct for approx_count_distinct (HLL)
+  and the Expand collapses to plain partial aggregates.
+- SCD2 intervals: two window passes over the SAME (partition, order) —
+  Catalyst reuses the single sort+exchange; the run-collapse filter
+  (keep rows where the value changed) happens between them, so the
+  second pass sees only change points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.sources.readers import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+# (column, kind) — kind drives which min/max slot is populated.
+_PROFILE_COLS = [
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_shipdate", "ts"),
+]
+
+
+def query_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``lineitem``: nulls, exact distinct count,
+    min/max (numeric columns in ``min_num``/``max_num``; strings and
+    formatted timestamps in ``min_str``/``max_str``). min/max carry no
+    arithmetic, so the stored values round-trip bit-exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"c_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"d_{c}"))
+        if kind == "num":
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        elif kind == "ts":
+            aggs.append(F.date_format(F.min(c), _TS_FMT).alias(f"min_{c}"))
+            aggs.append(F.date_format(F.max(c), _TS_FMT).alias(f"max_{c}"))
+        else:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+    one = li.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            (F.col("n") - F.col(f"c_{c}")).alias("n_nulls"),
+            F.col(f"d_{c}").alias("n_distinct"),
+            (F.col(f"min_{c}") if kind == "num" else null_d).alias("min_num"),
+            (F.col(f"max_{c}") if kind == "num" else null_d).alias("max_num"),
+            (F.col(f"min_{c}").cast("string") if kind != "num" else null_s).alias("min_str"),
+            (F.col(f"max_{c}").cast("string") if kind != "num" else null_s).alias("max_str"),
+        )
+        for c, kind in _PROFILE_COLS
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def _profile_select(c: str, kind: str) -> str:
+    if kind == "num":
+        return (
+            f"SELECT '{c}' AS col_name, n - c_{c} AS n_nulls, d_{c} AS n_distinct,"
+            f" min_{c} AS min_num, max_{c} AS max_num,"
+            f" CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a"
+        )
+    return (
+        f"SELECT '{c}' AS col_name, n - c_{c} AS n_nulls, d_{c} AS n_distinct,"
+        f" CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,"
+        f" min_{c} AS min_str, max_{c} AS max_str FROM a"
+    )
+
+
+def _profile_agg(c: str, kind: str) -> str:
+    base = f"COUNT({c}) AS c_{c}, COUNT(DISTINCT {c}) AS d_{c}"
+    if kind == "ts":
+        return (
+            f"{base}, strftime(MIN({c}), '%Y-%m-%d %H:%M:%S') AS min_{c},"
+            f" strftime(MAX({c}), '%Y-%m-%d %H:%M:%S') AS max_{c}"
+        )
+    return f"{base}, MIN({c}) AS min_{c}, MAX({c}) AS max_{c}"
+
+
+ORACLE_PROFILE_COLUMNS = (
+    "WITH a AS (SELECT COUNT(*) AS n, "
+    + ", ".join(_profile_agg(c, k) for c, k in _PROFILE_COLS)
+    + " FROM lineitem)\n"
+    + "\nUNION ALL\n".join(_profile_select(c, k) for c, k in _PROFILE_COLS)
+)
+
+
+# ------------------------------------------------------------------ SCD2 --
+
+
+def query_scd2_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals from an event log: collapse each
+    user's consecutive runs of the same ``event_type`` into one row with
+    [valid_from, valid_to) bounds (valid_to NULL on the open current row)
+    — the standard dimension-history build. Deterministic order via the
+    (ts, event_id) tiebreak."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), _TS_FMT).alias("valid_to"),
+    )
+
+
+ORACLE_SCD2_EVENT_TYPE = """
+WITH ev AS (SELECT * FROM events WHERE user_id < 200),
+flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM ev
+),
+changes AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM flagged
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM changes
+"""

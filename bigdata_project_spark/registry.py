@@ -139,6 +139,19 @@ def _load() -> None:
     register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
     register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
     register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
+    from bigdata_project_spark.operators import profiling
+
+    register(
+        "profile_columns",
+        profiling.query_profile_columns,
+        profiling.ORACLE_PROFILE_COLUMNS,
+    )
+    register(
+        "scd2_event_type",
+        profiling.query_scd2_event_type,
+        profiling.ORACLE_SCD2_EVENT_TYPE,
+    )
+
     from bigdata_project_spark.operators import text_signals
 
     register("text_repetition", text_signals.query_text_repetition, text_signals.ORACLE_TEXT_REPETITION)
