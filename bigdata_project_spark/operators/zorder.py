@@ -1,0 +1,155 @@
+"""Z-order (Morton-curve) multi-dimensional clustering.
+
+Range-partitioning on ONE key gives perfect file-level min/max pruning on
+that key and none on any other. Interleaving the bits of two keys into a
+Morton z-value and range-partitioning on THAT bounds every file's extent
+in BOTH dimensions — the published layout trick (Morton 1966; used by
+Delta/Iceberg OPTIMIZE ZORDER) that turns parquet footer min/max stats
+into 2-D data skipping. Beyond-reference surface: the reference never
+controls physical layout (DuckLake writes whatever order arrives,
+SURVEY §4).
+
+Spark-first mechanics:
+- the z-value is a pure codegen integer expression (no UDF);
+- ``write_zordered`` = repartitionByRange(z) + sortWithinPartitions(z) →
+  parquet: each output file covers one contiguous z-range, so its
+  min/max footer stats are tight in both source dims;
+- at 100 TB this is one range-exchange (sampled boundaries, skew-proof)
+  + local sort — the same cost as any clustered write, no extra pass.
+
+The registered query computes per-z-range-bucket extents of both dims —
+the measurable clustering quality a reader's pruning would see — and is
+oracle-checked (ntile over a unique total order is deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.sources.readers import load_table
+
+Z_BITS = 16  # per dimension → 32-bit z-value; exact in BIGINT arithmetic
+N_BUCKETS = 32
+
+
+def zvalue(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative ints:
+    z = Σⱼ bitⱼ(x)·4ʲ + 2·bitⱼ(y)·4ʲ. floor-div/mod arithmetic (not
+    engine bit-ops) so the DuckDB twin is textually identical."""
+    z: Column | None = None
+    for j in range(bits):
+        bx = F.floor(x / (2**j)) % 2
+        by = F.floor(y / (2**j)) % 2
+        term = (bx * (2 ** (2 * j)) + by * (2 ** (2 * j + 1))).cast("bigint")
+        z = term if z is None else z + term
+    return z
+
+
+def _zvalue_sql(x: str, y: str, bits: int = Z_BITS) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(
+            f"(CAST(floor({x} / {2**j}) AS BIGINT) % 2) * {2 ** (2 * j)}"
+            f" + (CAST(floor({y} / {2**j}) AS BIGINT) % 2) * {2 ** (2 * j + 1)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def scaled(col: Column, lo: int, hi: int, bits: int = Z_BITS) -> Column:
+    """Min/max-scale an integer column onto [0, 2^bits): raw-bit
+    interleave degenerates when one dim's domain is much narrower than
+    the other's (its high bits are constant zero and stop participating
+    in the ordering), so — like Delta's OPTIMIZE ZORDER, which
+    interleaves range-partition ids — we interleave *scaled* positions.
+    (v-lo)*65535 stays ≤ ~2^53, so the double division is exact-rounded
+    identically on both engines."""
+    span = max(hi - lo, 1)
+    return F.floor((col - F.lit(lo)) * ((2**bits) - 1) / F.lit(span)).cast("bigint")
+
+
+def _scaled_sql(col: str, lo: str, hi: str, bits: int = Z_BITS) -> str:
+    return (
+        f"CAST(floor(({col} - {lo}) * {(2**bits) - 1} * 1.0"
+        f" / greatest({hi} - {lo}, 1)) AS BIGINT)"
+    )
+
+
+def write_zordered(
+    df: DataFrame, xcol: str, ycol: str, path: str, n_files: int = N_BUCKETS
+) -> None:
+    """Clustered parquet write: files cover contiguous z-ranges, tight in
+    both ``xcol`` and ``ycol`` — parquet min/max footers then skip files
+    for selective predicates on either column. One extra tiny aggregate
+    computes the per-column ranges for scaling (at 100 TB: a footer-stats
+    read or a sample, not a full scan)."""
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
+    ).first()
+    z = zvalue(
+        scaled(F.col(xcol), lo_x, hi_x), scaled(F.col(ycol), lo_y, hi_y)
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def query_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering quality of the z-order layout: bucket lineitem into
+    N_BUCKETS contiguous z-ranges (what repartitionByRange produces) and
+    report each bucket's row count and min/max extent in BOTH dims.
+    Tight extents in both columns = 2-D pruning works.
+
+    The global ntile window is a deliberately serial *diagnostic* (it
+    mirrors what the oracle can express); at 100 TB you run it over a
+    sample, while the production path — ``write_zordered`` — uses
+    repartitionByRange, which samples boundaries and never funnels rows
+    through one task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo_x, hi_x, lo_y, hi_y = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).first()
+    x = scaled(F.col("l_partkey"), lo_x, hi_x)
+    y = scaled(F.col("l_suppkey"), lo_y, hi_y)
+    w = Window.orderBy("z", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .withColumn("z", zvalue(x, y))
+        .withColumn("bucket", F.ntile(N_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_partkey"),
+            F.max("l_partkey").alias("max_partkey"),
+            F.min("l_suppkey").alias("min_suppkey"),
+            F.max("l_suppkey").alias("max_suppkey"),
+        )
+    )
+
+
+ORACLE_ZORDER_EXTENTS = f"""
+WITH r AS (
+    SELECT MIN(l_partkey) AS lo_x, MAX(l_partkey) AS hi_x,
+           MIN(l_suppkey) AS lo_y, MAX(l_suppkey) AS hi_y
+    FROM lineitem
+),
+z AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           {_zvalue_sql(_scaled_sql("l_partkey", "lo_x", "hi_x"), _scaled_sql("l_suppkey", "lo_y", "hi_y"))} AS z
+    FROM lineitem, r
+),
+b AS (
+    SELECT *, ntile({N_BUCKETS}) OVER (ORDER BY z, l_orderkey, l_linenumber) AS bucket
+    FROM z
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
+       MIN(l_suppkey) AS min_suppkey, MAX(l_suppkey) AS max_suppkey
+FROM b
+GROUP BY bucket
+"""

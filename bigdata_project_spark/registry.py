@@ -139,7 +139,13 @@ def _load() -> None:
     register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
     register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
     register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
-    from bigdata_project_spark.operators import profiling
+    from bigdata_project_spark.operators import profiling, zorder
+
+    register(
+        "layout_zorder_extents",
+        zorder.query_zorder_extents,
+        zorder.ORACLE_ZORDER_EXTENTS,
+    )
 
     register(
         "profile_columns",

@@ -1,0 +1,65 @@
+"""Z-order layout: interleave correctness and real file-extent clustering."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bigdata_project_spark.operators.zorder import (
+    Z_BITS,
+    query_zorder_extents,
+    write_zordered,
+    zvalue,
+)
+from bigdata_project_spark.sources.readers import load_table
+
+
+def _py_zvalue(x: int, y: int, bits: int = Z_BITS) -> int:
+    z = 0
+    for j in range(bits):
+        z += ((x >> j) & 1) << (2 * j)
+        z += ((y >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def test_zvalue_matches_python_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 1024)]
+    df = spark.createDataFrame(rows, ["x", "y"]).withColumn(
+        "z", zvalue(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r["z"] == _py_zvalue(r["x"], r["y"])
+
+
+def test_zorder_buckets_tight_in_both_dims(spark, sf_dir):
+    out = query_zorder_extents(spark, sf_dir).toPandas()
+    glob_pk = out["max_partkey"].max() - out["min_partkey"].min()
+    glob_sk = out["max_suppkey"].max() - out["min_suppkey"].min()
+    mean_pk = (out["max_partkey"] - out["min_partkey"]).mean()
+    mean_sk = (out["max_suppkey"] - out["min_suppkey"]).mean()
+    # each z-bucket must cover far less than the full domain in BOTH dims
+    assert mean_pk < glob_pk * 0.6
+    assert mean_sk < glob_sk * 0.6
+
+
+def test_write_zordered_file_extents_prunable(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "zordered")
+    write_zordered(li, "l_partkey", "l_suppkey", path, n_files=8)
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("l_partkey").alias("mn_pk"),
+            F.max("l_partkey").alias("mx_pk"),
+            F.min("l_suppkey").alias("mn_sk"),
+            F.max("l_suppkey").alias("mx_sk"),
+        )
+        .toPandas()
+    )
+    assert len(per_file) >= 4
+    glob_pk = per_file["mx_pk"].max() - per_file["mn_pk"].min()
+    glob_sk = per_file["mx_sk"].max() - per_file["mn_sk"].min()
+    mean_pk = (per_file["mx_pk"] - per_file["mn_pk"]).mean()
+    mean_sk = (per_file["mx_sk"] - per_file["mn_sk"]).mean()
+    assert mean_pk < glob_pk * 0.7
+    assert mean_sk < glob_sk * 0.7
