@@ -203,6 +203,58 @@ SELECT doc_id,
 FROM steps3
 """
 
+# ------------------------------------------------------- bigram LM counts --
+
+
+def query_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model counts: top-200 bigrams with their
+    conditional probability P(w2|w1) = c(w1 w2)/c(w1) — the n-gram-LM /
+    tokenizer-merge precursor table. Two hash aggregates (bigram counts,
+    unigram counts) + one broadcast join on the first word; top-k via
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi = (
+        shingle_rows_raw(docs, 2)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c_bigram"))
+        .withColumn("w1", F.split(F.col("shingle"), " ").getItem(0))
+    )
+    uni = (
+        shingle_rows_raw(docs, 1)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c_w1"))
+        .withColumnRenamed("shingle", "w1")
+    )
+    return (
+        bi.join(F.broadcast(uni), "w1")
+        .select(
+            F.col("shingle").alias("bigram"),
+            "c_bigram",
+            "c_w1",
+            round_portable(F.col("c_bigram") / F.col("c_w1"), 6).alias("p_cond"),
+        )
+        .orderBy(F.col("c_bigram").desc(), F.col("bigram").asc())
+        .limit(200)
+    )
+
+
+ORACLE_TEXT_BIGRAM_LM = f"""
+WITH bi AS (
+    SELECT shingle, COUNT(*) AS c_bigram
+    FROM ({_grams_sql(2)}) GROUP BY shingle
+),
+uni AS (
+    SELECT shingle AS w1, COUNT(*) AS c_w1
+    FROM ({_grams_sql(1)}) GROUP BY shingle
+)
+SELECT bi.shingle AS bigram, c_bigram, c_w1,
+       {round_portable_sql("c_bigram * 1.0 / c_w1", 6)} AS p_cond
+FROM bi JOIN uni ON string_split(bi.shingle, ' ')[1] = uni.w1
+ORDER BY c_bigram DESC, bigram ASC
+LIMIT 200
+"""
+
+
 # ---------------------------------------------------- stratified sampling --
 
 # Per-language keep rates expressed as integer thresholds over the 32-bit

@@ -225,6 +225,46 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def query_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the chosen-lattice generalization of
+    ROLLUP/CUBE, via the Spark 4 DataFrame ``groupingSets`` API. Same
+    single Expand+aggregate pass; only the requested sets materialize
+    (here the two 1-D marginals plus the 2-D cells, NOT the grand
+    total — exactly what CUBE can't express without a filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [
+                ["l_returnflag", "l_linestatus"],
+                ["l_returnflag"],
+                ["l_linestatus"],
+            ],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+"""
+
+
 def query_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregates (the approx variant is rows-only, below)."""
     li = load_table(spark, sf_dir, "lineitem")
