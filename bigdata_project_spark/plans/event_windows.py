@@ -33,6 +33,39 @@ _DEC = "decimal(18,2)"
 _FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def query_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.windows.join_clicks_purchases (the
+    watermarked stream-stream interval join): purchases matched to same-
+    user clicks in the preceding 30 minutes. The equi-key (user_id) makes
+    it a hash join with the interval as residual — never a cartesian."""
+    from bigdata_project_spark.sources.readers import load_table
+    from bigdata_project_spark.streaming.windows import join_clicks_purchases
+
+    out = join_clicks_purchases(load_table(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.date_format("purchase_ts", _FMT).alias("purchase_ts"),
+        F.date_format("click_ts", _FMT).alias("click_ts"),
+    )
+
+
+ORACLE_INTERVAL_JOIN_CLICKS = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+"""
+
+
 def query_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: one pass producing hour,
     day, and grand-total grains via ROLLUP(day, hour) — the hierarchical

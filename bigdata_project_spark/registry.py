@@ -100,6 +100,11 @@ def _load() -> None:
     register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
     register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
     register("events_time_rollup", event_windows.query_time_rollup, event_windows.ORACLE_TIME_ROLLUP)
+    register(
+        "join_interval_clicks",
+        event_windows.query_interval_join_clicks,
+        event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
+    )
     register("join_asof", asof_range.query_asof_click_before_purchase, asof_range.ORACLE_ASOF)
     register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
     register("agg_percentiles", asof_range.query_percentiles_by_type, asof_range.ORACLE_PERCENTILES)

@@ -89,6 +89,56 @@ def enrich_stream_static(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def join_clicks_purchases(events: DataFrame, horizon: str = "30 minutes") -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase matched to
+    the same user's clicks within the preceding ``horizon``.
+
+    The time-bound condition + watermarks on BOTH sides is what makes
+    this run with bounded state at scale: Spark keeps only clicks newer
+    than (watermark - horizon) in the join state store and evicts the
+    rest — without the interval bound, stream-stream inner join state
+    grows forever. Batch twin: the same join on the static frame
+    (asserted equal in tests/test_streaming.py)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+def use_rocksdb_state_store(spark: SparkSession) -> None:
+    """Swap the in-memory (HDFS-backed) state store for RocksDB — the
+    production setting for large streaming state (dedup sets, join
+    buffers, session windows): state lives on executor-local disk with
+    changelog checkpointing instead of in JVM heap, so state size is
+    bounded by disk, not memory. Bundled with Spark since 3.2 — a pure
+    config flip, no extra jars."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
 def upsert_sink(stream_df: DataFrame, table: str, keys: list[str], checkpoint: str):
     """Streaming upsert: foreachBatch MERGE into a catalog table — the
     streaming form of the reference's idempotent bronze MERGE re-ingest

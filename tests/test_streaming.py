@@ -105,3 +105,52 @@ def test_stateful_threshold_operator(spark, sf_dir):
     expected_rows = int((ev["count"] - 3).clip(lower=0).sum())
     assert len(out) == expected_rows
     assert (out["seen_so_far"] > 3).all()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    from bigdata_project_spark.sources.readers import load_table
+    from bigdata_project_spark.streaming.windows import join_clicks_purchases
+
+    stream = join_clicks_purchases(read_event_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    batch = join_clicks_purchases(load_table(spark, sf_dir, "events"))
+    want = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert got == want
+    assert want  # fixture must actually produce matches
+
+
+def test_rocksdb_state_store_provider_runs(spark, sf_dir):
+    from bigdata_project_spark.streaming.windows import use_rocksdb_state_store
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state_store(spark)
+    try:
+        stream = dedup_within_watermark(read_event_stream(spark, sf_dir))
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_rocks")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        from bigdata_project_spark.sources.readers import load_table
+
+        n = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+        assert spark.sql("SELECT * FROM dedup_rocks").count() == n
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
