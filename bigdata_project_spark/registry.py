@@ -145,7 +145,13 @@ def _load() -> None:
     register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
     register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
     register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
-    from bigdata_project_spark.operators import profiling, zorder
+    from bigdata_project_spark.operators import profiling, spatial_join, zorder
+
+    register(
+        "spatial_point_in_zone",
+        spatial_join.query_point_in_zone,
+        spatial_join.ORACLE_POINT_IN_ZONE,
+    )
 
     register(
         "layout_zorder_extents",

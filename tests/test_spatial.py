@@ -74,3 +74,22 @@ def test_haversine_known_distance(spark):
         0.0,
         abs_tol=1e-9,
     )
+
+
+def test_point_in_zone_matches_python_reference(spark, sf_dir):
+    """Every (point, zone) match agrees with a driver-side barycentric check."""
+    from bigdata_project_spark.operators.spatial_join import query_point_in_zone
+
+    out = query_point_in_zone(spark, sf_dir).collect()
+    assert out
+
+    def inside(px, py, k):
+        return (
+            2.0 * py >= 0
+            and -py - 3.0 * (px - k - 2.0) >= 0
+            and 3.0 * (px - k) - py >= 0
+        )
+
+    for r in out:
+        assert inside(r["px"], r["py"], float(r["zone_key"])), r
+        assert r["zone_key"] <= r["px"] <= r["zone_key"] + 2  # bbox sanity
