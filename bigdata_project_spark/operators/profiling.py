@@ -122,6 +122,50 @@ ORACLE_PROFILE_COLUMNS = (
 )
 
 
+# --------------------------------------------------------- feature binning --
+
+N_BINS = 20
+
+
+def query_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of ``l_extendedprice`` (the ML-prep binning /
+    distribution-profile op): 20 bins over the observed range with
+    per-bin count and exact value extent. One tiny range aggregate + one
+    combiner-friendly hash aggregate on a dense integer key — map-side
+    partials collapse to ≤ N_BINS rows per partition, so shuffle volume
+    is constant regardless of table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    v = F.col("l_extendedprice")
+    bin_ = F.least(
+        F.floor((v - F.lit(lo)) * N_BINS / F.lit(hi - lo)), F.lit(N_BINS - 1)
+    ).cast("bigint")
+    return (
+        li.select(v.alias("v"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("min_val"),
+            F.max("v").alias("max_val"),
+        )
+    )
+
+
+ORACLE_FEATURE_BINNING = f"""
+WITH r AS (
+    SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
+),
+b AS (
+    SELECT l_extendedprice AS v,
+           CAST(least(floor((l_extendedprice - lo) * {N_BINS} / (hi - lo)),
+                      {N_BINS - 1}) AS BIGINT) AS bin
+    FROM lineitem, r
+)
+SELECT bin, COUNT(*) AS n_rows, MIN(v) AS min_val, MAX(v) AS max_val
+FROM b GROUP BY bin
+"""
+
+
 # ------------------------------------------------------------------ SCD2 --
 
 

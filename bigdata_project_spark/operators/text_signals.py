@@ -203,6 +203,63 @@ SELECT doc_id,
 FROM steps3
 """
 
+# -------------------------------------------------------- decontamination --
+
+
+def query_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any distinct
+    word-5-gram with the held-out eval set (docs 0-19 stand in for the
+    benchmark) — the standard n-gram-overlap scrub run before every LLM
+    training job (13-grams in the published recipes; 5 here because the
+    fixture docs are short).
+
+    Scale shape: the benchmark side is always tiny → its distinct shingle
+    set broadcasts; the corpus side is one map-side explode feeding a
+    broadcast hash semi-join, then one hash aggregate on doc_id. No
+    shuffle ever carries more than the flagged rows."""
+    from bigdata_project_spark.operators.text_dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench_sh = shingle_rows(bench, 5).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    corpus_sh = shingle_rows(corpus, 5)
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_grams"),
+            F.count_distinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+def _distinct_grams_sql(n: int, pred: str) -> str:
+    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(n)).replace("t[i+0]", "t[i]")
+    return f"""
+    SELECT DISTINCT doc_id, {gram} AS shingle
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents WHERE {pred})
+         , UNNEST(range(1, len(t) - {n - 2})) AS r(i)
+    WHERE len(t) >= {n}
+    """
+
+
+ORACLE_TEXT_DECONTAMINATE = f"""
+WITH bench AS (
+    SELECT doc_id AS bench_doc, shingle FROM ({_distinct_grams_sql(5, "doc_id < 20")})
+),
+corpus AS ({_distinct_grams_sql(5, "doc_id >= 20")})
+SELECT corpus.doc_id,
+       COUNT(DISTINCT corpus.shingle) AS n_shared_grams,
+       COUNT(DISTINCT bench.bench_doc) AS n_bench_docs
+FROM corpus JOIN bench ON corpus.shingle = bench.shingle
+GROUP BY corpus.doc_id
+"""
+
+
 # ------------------------------------------------------- bigram LM counts --
 
 

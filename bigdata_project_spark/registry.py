@@ -169,12 +169,22 @@ def _load() -> None:
         profiling.query_scd2_event_type,
         profiling.ORACLE_SCD2_EVENT_TYPE,
     )
+    register(
+        "feature_binning",
+        profiling.query_feature_binning,
+        profiling.ORACLE_FEATURE_BINNING,
+    )
 
     from bigdata_project_spark.operators import text_signals
 
     register("text_repetition", text_signals.query_text_repetition, text_signals.ORACLE_TEXT_REPETITION)
     register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)
     register("text_bigram_lm", text_signals.query_text_bigram_lm, text_signals.ORACLE_TEXT_BIGRAM_LM)
+    register(
+        "text_decontaminate",
+        text_signals.query_text_decontaminate,
+        text_signals.ORACLE_TEXT_DECONTAMINATE,
+    )
 
     from bigdata_project_spark.operators import embedding_stats
 

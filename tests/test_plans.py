@@ -105,3 +105,29 @@ def test_predicate_pushdown_reaches_scan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]" in plan or (
         "PushedFilters" in plan and "LessThan(doc_id,50)" in plan
     ), plan[:2000]
+
+
+def test_runtime_bloom_filter_injects(spark, sf_dir):
+    """With runtime bloom filters enabled, a selective-dimension shuffle
+    join pushes a bloom semi-join filter into the fact-side scan."""
+    from bigdata_project_spark.session import enable_runtime_bloom_filters
+    from bigdata_project_spark.sources.readers import load_table
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enable_runtime_bloom_filters(spark)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
