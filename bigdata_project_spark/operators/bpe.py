@@ -1,0 +1,87 @@
+"""BPE merge training — the tokenizer-training loop over a corpus.
+
+Published algorithm (Sennrich et al. 2016, "Neural Machine Translation of
+Rare Words with Subword Units"): count words, represent each as a symbol
+sequence, repeatedly merge the globally most frequent adjacent symbol
+pair. The scale split every production trainer (SentencePiece, HF
+tokenizers) uses:
+
+- **word counting is the corpus-sized part** → distributed: one explode +
+  combiner-friendly hash aggregate (the same plan as text_vocab_topk);
+- **the merge loop runs on the counted vocabulary**, which is Heaps'-law
+  small (≲10⁶ rows even at 100 TB of text) → driver-side, exact, and
+  deterministic (ties broken lexicographically).
+
+Deliberately engine-internal (an N-round iterative fixpoint has no SQL
+twin) → registered rows-only; the algorithm itself is pinned by a
+hand-computed example in tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.functions.text import tokens
+from bigdata_project_spark.sources.readers import load_table
+
+N_MERGES = 10
+END_OF_WORD = "</w>"
+
+
+def count_words(docs: DataFrame) -> DataFrame:
+    """Distributed word counting — the only corpus-sized stage."""
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_merges(
+    word_counts: list[tuple[str, int]], n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side BPE loop on the counted vocab: returns
+    (rank, left_symbol, right_symbol, pair_count) per merge."""
+    vocab = {
+        tuple(list(w) + [END_OF_WORD]): c for w, c in word_counts
+    }
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        cnt = max(pairs.values())
+        left, right = min(p for p, c in pairs.items() if c == cnt)
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def query_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N_MERGES BPE merge table learned from the documents corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = [(r["w"], r["cnt"]) for r in count_words(docs).collect()]
+    counted.sort()  # deterministic input order for the driver loop
+    merges = train_merges(counted)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
 from bigdata_project_spark.sources.readers import load_table
 
 _DEC = "decimal(18,2)"
@@ -222,6 +223,41 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def query_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in ONE window pass (rank,
+    dense_rank, percent_rank, cume_dist, ntile) — customers ranked by
+    account balance within market segment. One sort+exchange serves all
+    five functions; the (c_acctbal, c_custkey) order is total, so every
+    output is deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    )
+    return cust.filter(F.col("c_custkey") < 500).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        round_portable(F.percent_rank().over(w), 6).alias("prnk"),
+        round_portable(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORACLE_RANK_FAMILY = f"""
+SELECT c_custkey, c_mktsegment,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       {round_portable_sql("PERCENT_RANK() OVER w", 6)} AS prnk,
+       {round_portable_sql("CUME_DIST() OVER w", 6)} AS cdist,
+       NTILE(4) OVER w AS quartile
+FROM customer
+WHERE c_custkey < 500
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
 """
 
 

@@ -89,6 +89,7 @@ def _load() -> None:
     register("agg_rollup_summary", analytics.query_rollup_summary, analytics.ORACLE_ROLLUP_SUMMARY)
     register("agg_cube_summary", analytics.query_cube_summary, analytics.ORACLE_CUBE_SUMMARY)
     register("agg_grouping_sets", analytics.query_grouping_sets, analytics.ORACLE_GROUPING_SETS)
+    register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
     register("agg_distinct_counts", analytics.query_distinct_counts, analytics.ORACLE_DISTINCT_COUNTS)
     register("agg_approx_distinct", analytics.query_approx_distinct, None)
     register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
@@ -180,6 +181,9 @@ def _load() -> None:
     register("text_repetition", text_signals.query_text_repetition, text_signals.ORACLE_TEXT_REPETITION)
     register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)
     register("text_bigram_lm", text_signals.query_text_bigram_lm, text_signals.ORACLE_TEXT_BIGRAM_LM)
+    from bigdata_project_spark.operators import bpe
+
+    register("text_bpe_merges", bpe.query_bpe_merges, None)
     register(
         "text_decontaminate",
         text_signals.query_text_decontaminate,

@@ -125,3 +125,25 @@ def test_sink_family_and_catalog(spark):
 
     drop_table(spark, t)
     assert t not in [x.name for x in spark.catalog.listTables()]
+
+
+def test_schema_evolution_merge_schema(spark, sf_dir, tmp_path):
+    """Lakehouse schema evolution: a later load adds a column; reading the
+    directory with mergeSchema unions the schemas, old files NULL-fill.
+    (The reference freezes schema on first file — SURVEY §1.3; mergeSchema
+    is the Spark-native upgrade path.)"""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id").alias("k"), F.lit("a").alias("v")).write.parquet(
+        base + "/load=1"
+    )
+    spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("b").alias("v"), F.lit(1.5).alias("extra")
+    ).write.parquet(base + "/load=2")
+    df = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(base)
+    assert set(df.columns) == {"k", "v", "extra"}
+    assert df.count() == 8
+    assert df.filter(F.col("extra").isNull()).count() == 5
