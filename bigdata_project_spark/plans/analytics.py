@@ -470,6 +470,40 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id A
 """
 
 
+def query_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json`` once
+    into the binary variant encoding, then typed ``variant_get`` path
+    extraction. Versus per-field ``get_json_object`` (which re-parses the
+    string per access), variant parses once and stores a shredded binary
+    — the modern engine answer to open-schema JSON columns at scale.
+    Values must agree exactly with DuckDB's JSON extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    parsed = ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+    )
+    return (
+        parsed.withColumn("k_bucket", F.col("k") % 7)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_event"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_bucket,
+       COUNT(*) AS n,
+       MIN(event_id) AS min_event,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
 def query_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the events ``props`` column (semi-
     structured payload — the engine's json surface): per-key-bucket

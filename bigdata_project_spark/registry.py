@@ -95,6 +95,7 @@ def _load() -> None:
     register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
     register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
     register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
+    register("events_variant_props", analytics.query_variant_props, analytics.ORACLE_VARIANT_PROPS)
     register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
     register("cogroup_activity", analytics.query_cogroup_activity, analytics.ORACLE_COGROUP_ACTIVITY)
     register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)

@@ -147,3 +147,22 @@ def test_schema_evolution_merge_schema(spark, sf_dir, tmp_path):
     assert set(df.columns) == {"k", "v", "extra"}
     assert df.count() == 8
     assert df.filter(F.col("extra").isNull()).count() == 5
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """JSON-lines sink + scan (the ndjson interchange format): schema and
+    values round-trip; nested structs survive."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "docs_jsonl")
+    from bigdata_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.struct("n_chars", "source").alias("meta")
+    )
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    assert back.count() == docs.count()
+    a = {(r["doc_id"], r["lang"], r["meta"]["n_chars"]) for r in docs.collect()}
+    b = {(r["doc_id"], r["lang"], r["meta"]["n_chars"]) for r in back.collect()}
+    assert a == b
