@@ -41,9 +41,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 4)
+        timings[name] = round(samples[len(samples) // 2], 3)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 3)
+    # Compact separators keep the line short: the driver captures only the
+    # tail of stdout (~3 KB) and must find the whole JSON object inside it.
     print(
         json.dumps(
             {
@@ -52,7 +54,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -27,6 +27,7 @@ Scale notes
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def merge_all_columns(old: DataFrame, new: DataFrame) -> DataFrame:
@@ -42,5 +43,16 @@ def merge_keyed(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     (``WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *``,
     bronze/utils.py:442-454)."""
     cols = old.columns
-    untouched = old.join(new.select(*keys), on=keys, how="left_anti")
-    return new.select(*cols).unionByName(untouched)
+    # An at-least-once upstream can repeat a key WITHIN one incoming batch;
+    # without this dedup both copies would be inserted (the anti-join only
+    # guards against rows already in `old`), breaking the unique-key
+    # invariant. Deterministic pick: first row under the ordering of all
+    # non-key columns (SQL MERGE would raise on multi-match; we resolve it
+    # reproducibly instead).
+    from bigdata_project_spark.operators.distinct_on import distinct_on
+
+    # maps are not orderable in Spark; every other fixture type is
+    residual = [c for c, t in new.dtypes if c not in keys and not t.startswith("map")]
+    deduped = distinct_on(new, keys, [F.col(c).asc_nulls_last() for c in residual] or [F.lit(1)])
+    untouched = old.join(deduped.select(*keys), on=keys, how="left_anti")
+    return deduped.select(*cols).unionByName(untouched)

@@ -116,7 +116,11 @@ def query_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-        gram = (m @ m.T) / np.outer(norms, norms)
+        # round to 1e-6 BEFORE thresholding: BLAS and the oracle's
+        # sequential fold differ by ~1 ulp, so a pair sitting exactly on
+        # the threshold must be judged on the rounded value both engines
+        # agree on
+        gram = np.floor((m @ m.T) / np.outer(norms, norms) * 1e6 + 0.5) / 1e6
         ia, ib = np.triu_indices(len(pdf), k=1)
         keep = gram[ia, ib] >= 0.35
         ia, ib = ia[keep], ib[keep]
@@ -126,7 +130,7 @@ def query_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_a": pdf["vec_id"].to_numpy()[ia],
                 "vec_b": pdf["vec_id"].to_numpy()[ib],
                 "label": pdf["label"].to_numpy()[ia],
-                "cos_sim": np.floor(cos * 1e6 + 0.5) / 1e6,
+                "cos_sim": cos,
             }
         )
 
@@ -142,9 +146,12 @@ WITH pairs AS (
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, label, {round_portable_sql("raw_cos", 6)} AS cos_sim
-FROM pairs
-WHERE raw_cos >= 0.35
+SELECT vec_a, vec_b, label, cos_sim
+FROM (
+    SELECT vec_a, vec_b, label, {round_portable_sql("raw_cos", 6)} AS cos_sim
+    FROM pairs
+)
+WHERE cos_sim >= 0.35
 """
 
 def query_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,7 +183,8 @@ def query_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-        gram = (m @ m.T) / np.outer(norms, norms)
+        # threshold on the 1e-6-rounded value (see query_neardup_pairs)
+        gram = np.floor((m @ m.T) / np.outer(norms, norms) * 1e6 + 0.5) / 1e6
         ia, ib = np.triu_indices(len(pdf), k=1)
         keep = gram[ia, ib] >= 0.99
         ia, ib = ia[keep], ib[keep]
@@ -186,7 +194,7 @@ def query_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "keep_doc": ids[ia],
                 "dup_doc": ids[ib],
-                "cos_sim": np.floor(cos * 1e6 + 0.5) / 1e6,
+                "cos_sim": cos,
             }
         )
 
@@ -211,11 +219,13 @@ pairs AS (
     FROM corpus a JOIN corpus b
       ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT keep_doc, dup_doc, {round_portable_sql("raw_cos", 6)} AS cos_sim,
-       d.source, d.n_chars
-FROM pairs
-JOIN documents d ON d.doc_id = keep_doc
-WHERE raw_cos >= 0.99
+SELECT keep_doc, dup_doc, cos_sim, d.source, d.n_chars
+FROM (
+    SELECT keep_doc, dup_doc, {round_portable_sql("raw_cos", 6)} AS cos_sim
+    FROM pairs
+) p
+JOIN documents d ON d.doc_id = p.keep_doc
+WHERE cos_sim >= 0.99
 """
 
 

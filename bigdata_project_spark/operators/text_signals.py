@@ -103,7 +103,8 @@ bi_top AS (
 ),
 w AS ({_grams_sql(1)}),
 w_top AS (
-    SELECT doc_id, MAX(c) AS top_word_count, SUM(c) AS n_words
+    -- CAST: SUM(BIGINT) is HUGEINT in DuckDB, int64 in Spark
+    SELECT doc_id, MAX(c) AS top_word_count, CAST(SUM(c) AS BIGINT) AS n_words
     FROM (SELECT doc_id, shingle, COUNT(*) AS c FROM w GROUP BY 1, 2)
     GROUP BY doc_id
 )

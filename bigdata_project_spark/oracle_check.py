@@ -36,6 +36,46 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse type class for cross-engine comparison. DuckDB's fetchdf
+    promotes HUGEINT/DECIMAL to float64 — the driver's value hash sees that
+    as a mismatch against Spark's int64, so int-vs-float IS a failure here
+    even though the stringified values agree (1 vs 1.0)."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "temporal"
+    if k == "O":
+        import datetime
+        import decimal
+
+        nn = s.dropna()
+        if not len(nn):
+            return "any"
+        v = nn.iloc[0]
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return "temporal"
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "array"
+        if isinstance(v, str):
+            return "str"
+        return "other"
+    return "other"
+
+
 def _canon_value(v: object) -> str:
     if v is None or v != v:  # NaN/None
         return "<null>"
@@ -60,6 +100,11 @@ def compare_one(spark, con, name: str, fn, sql: str, sf_dir: str) -> list[str]:
         problems.append(
             f"columns spark={sorted(spark_pdf.columns)} duckdb={sorted(duck_pdf.columns)}"
         )
+    if not problems:
+        for c in sorted(spark_pdf.columns):
+            sc, dc = _dtype_class(spark_pdf[c]), _dtype_class(duck_pdf[c])
+            if "any" not in (sc, dc) and sc != dc:
+                problems.append(f"dtype class of {c!r}: spark={sc} duckdb={dc}")
     if not problems:
         a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
         if not a.equals(b):

@@ -427,7 +427,7 @@ def query_cogroup_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_COGROUP_ACTIVITY = """
 WITH e AS (
     SELECT user_id AS k, COUNT(*) AS n_events,
-           SUM(CAST(floor(value * 100.0) AS BIGINT)) AS sum_value_cents
+           CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events GROUP BY 1
 ),
 o AS (
@@ -523,7 +523,11 @@ def query_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("sum_k"),
-            F.sum(F.col("k2") - F.col("k")).alias("parse_diff"),  # must be 0
+            # coalesce: an all-NULL-k group must yield 0 like the oracle's
+            # SUM(0), not NULL
+            F.coalesce(F.sum(F.col("k2") - F.col("k")), F.lit(0).cast("bigint")).alias(
+                "parse_diff"
+            ),
         )
     )
 
@@ -532,8 +536,8 @@ ORACLE_JSON_PROPS = """
 SELECT event_type,
        CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       SUM(0) AS parse_diff
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(0) AS BIGINT) AS parse_diff
 FROM events
 GROUP BY 1, 2
 """

@@ -37,30 +37,41 @@ def asof_join(
     key: str,
     ts: str,
     right_cols: list[str],
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Left as-of join: attach the most recent ``right`` row with
     ``right.ts <= left.ts`` per key. Union + last_value(ignorenulls) over
     a (key)-partitioned (ts, side)-ordered window; ties at equal ts see
     the right row (side 0 sorts first), matching ``ASOF ... ON l.ts >=
-    r.ts`` semantics."""
+    r.ts`` semantics.
+
+    ``tiebreak`` names a right-side column that uniquely orders right rows
+    within (key, ts); among equal-ts right rows the LARGEST tiebreak value
+    wins. Without it, equal-ts right rows are picked partition-layout-
+    dependently (DuckDB ASOF is likewise arbitrary there) — pass a unique
+    id whenever ties are possible so results are reproducible."""
     lcols = [c for c in left.columns if c not in (key, ts)]
+    tb_r = F.col(tiebreak) if tiebreak else F.lit(0)
     tagged_r = right.select(
         key,
         ts,
         F.lit(0).alias("__side"),
+        tb_r.alias("__tb"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
     )
+    tb_type = dict(right.dtypes)[tiebreak] if tiebreak else "int"
     tagged_l = left.select(
         key,
         ts,
         F.lit(1).alias("__side"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
         *lcols,
     )
     w = (
         W.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_last())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     # carry the right row's ts alongside its payload
@@ -91,11 +102,17 @@ def query_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
     """For every purchase, the user's most recent click at-or-before it
     (NULLs where no prior click exists)."""
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
     )
-    out = asof_join(purchases, clicks, key="user_id", ts="ts", right_cols=["value"])
+    # tiebreak=event_id: equal-(user_id, ts) clicks resolve to the max
+    # event_id — the oracle encodes the same rule via arg_max
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts", right_cols=["value"], tiebreak="event_id"
+    )
     return out.select(
         "event_id",
         "user_id",
@@ -108,8 +125,12 @@ def query_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
 
 ORACLE_ASOF = """
 WITH c AS (
-    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    -- one click per (user_id, ts): max-event_id wins, mirroring the
+    -- engine's tiebreak — DuckDB ASOF alone picks ties arbitrarily
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           arg_max(value, event_id) AS value
     FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
 ),
 p AS (
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value

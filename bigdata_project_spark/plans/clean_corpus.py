@@ -65,7 +65,7 @@ SELECT CASE WHEN v < {_T_TRAIN} THEN 'train'
             ELSE 'test' END AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (
     SELECT lang, n_chars,
            {HEX32_TO_INT_SQL.format(h="md5(CAST(doc_id AS VARCHAR))")} AS v
@@ -130,7 +130,7 @@ SELECT lang, source,
        {round_portable_sql(
            "CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)", 6
        )} AS mean_quality,
-       SUM(n_tokens) AS total_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM good
 GROUP BY lang, source
 """
