@@ -95,10 +95,18 @@ def extract_features_fake(df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def byte_mean(b: bytes) -> float:
+            if not len(b):
+                return 0.0
+            # exact integer sum then one division then 1e-6 rounding:
+            # order-independent and bit-identical to the SQL twin
+            s = int(np.frombuffer(b, dtype=np.uint8).astype(np.int64).sum())
+            return float(np.floor(s / len(b) * 1e6 + 0.5) / 1e6)
+
         for pdf in it:
             payloads = pdf["payload"]
             n = payloads.str.len().to_numpy()
-            mean = payloads.map(lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if len(b) else 0.0)
+            mean = payloads.map(byte_mean)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -112,11 +120,39 @@ def extract_features_fake(df: DataFrame) -> DataFrame:
 
 
 def query_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over the binary column (rows-only check: the
-    byte-mean decode stand-in is deliberately engine-internal; schema and
-    row-per-doc contract asserted here and in tests/test_multimodal.py)."""
+    """Feature extraction over the binary column. The deterministic decode
+    stand-in (byte mean + size-derived dims) has an exact SQL twin
+    (ORACLE_FEATURES re-derives each byte from the hex dump), so the whole
+    mapInPandas plumbing is oracle-checked end to end."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features_fake(with_binary_payload(docs))
+
+
+def _features_oracle() -> str:
+    from bigdata_project_spark.functions.scalars import round_portable_sql
+
+    # byte i of the payload, recovered from the uppercase hex dump
+    byte_i = (
+        "(strpos('0123456789ABCDEF', h[2*i-1]) - 1) * 16"
+        " + (strpos('0123456789ABCDEF', h[2*i]) - 1)"
+    )
+    mean = round_portable_sql(
+        f"CAST(list_sum([{byte_i} for i in range(1, n + 1)]) AS DOUBLE) / n", 6
+    )
+    return f"""
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n % 640 AS INTEGER) AS width,
+       CAST(n % 480 AS INTEGER) AS height,
+       CASE WHEN n = 0 THEN 0.0e0 ELSE {mean} END AS mean_byte
+FROM b
+"""
+
+
+ORACLE_FEATURES = _features_oracle()
 
 
 def query_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,9 +12,14 @@ tokenizers) uses:
   small (≲10⁶ rows even at 100 TB of text) → driver-side, exact, and
   deterministic (ties broken lexicographically).
 
-Deliberately engine-internal (an N-round iterative fixpoint has no SQL
-twin) → registered rows-only; the algorithm itself is pinned by a
-hand-computed example in tests/test_bpe.py.
+Oracle strategy: the N-round iterative fixpoint has no direct SQL twin,
+but the *corpus-sized stage* (tokenize + count) does. ``oracle_sql`` lets
+DuckDB produce the word counts with its own tokenizer
+(string_split_regex, the twin of :func:`tokens`), feeds them through the
+merge loop — which is bounded, deterministic, and pinned by a
+hand-computed example in tests/test_bpe.py — and emits the resulting
+merge table as a VALUES literal. A count divergence between the engines'
+tokenizers therefore shows up as a driver hash mismatch.
 """
 
 from __future__ import annotations
@@ -85,3 +90,47 @@ def query_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count bigint"
     )
+
+
+# DuckDB twin of tokens()+count_words() — shared with text_analysis oracles.
+_WORD_COUNT_SQL = """
+SELECT w, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM read_parquet('{path}')
+)
+WHERE w <> ''
+GROUP BY w
+"""
+
+
+def oracle_bpe_merges_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Build the oracle at registration time: DuckDB counts the words of
+    the driver's correctness fixture (sf0.01 — the only SF the driver
+    cross-checks at), the same pinned merge loop runs on those counts, and
+    the result is emitted as a VALUES literal. Returns None (→ rows-only
+    check) if the fixture is unreadable."""
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        counted = con.execute(
+            _WORD_COUNT_SQL.format(path=f"{sf_dir}/documents.parquet") + " ORDER BY w"
+        ).fetchall()
+        merges = train_merges([(w, int(c)) for w, c in counted])
+        if not merges:
+            return None
+
+        def esc(s: str) -> str:
+            return s.replace("'", "''")
+
+        rows = ",\n       ".join(
+            f"({rank}, '{esc(left)}', '{esc(right)}', {cnt})"
+            for rank, left, right, cnt in merges
+        )
+        return (
+            'SELECT CAST(merge_rank AS INTEGER) AS merge_rank, "left", "right",\n'
+            "       CAST(pair_count AS BIGINT) AS pair_count\n"
+            f'FROM (VALUES {rows}) t(merge_rank, "left", "right", pair_count)'
+        )
+    except Exception:  # noqa: BLE001 — missing fixture/driver quirk → rows-only
+        return None

@@ -1,20 +1,23 @@
-"""IVF with a learned coarse quantizer: Lloyd's k-means over the embedding
-corpus, then inverted-file ANN search probing only the nearest cells.
+"""IVF ANN search: coarse quantizer cells + probe-only-nearest-cells.
 
-The iterative structure is the Spark-idiomatic one for small-k clustering:
+Two variants share the distributed machinery:
 
-- **assignment** is distributed — one Arrow-batched ``mapInPandas`` pass,
-  each task BLAS-scoring its partition against the broadcast k×d centroid
-  matrix (k·d ≈ KBs even for k=65536, d=1024 — always broadcastable);
-- **update** (mean per cell) is one hash aggregate; only the k centroid
-  rows ever reach the driver, so iterations are cheap and the loop count
-  is fixed and small (Lloyd converges fast; IVF needs balance, not
-  optimality).
+- **Seeded (registered, oracle-checked)** — centroids are the first
+  K_CELLS vectors (the deterministic k-means init). Assignment, probe
+  selection, and final ranking all compare 1e-6-rounded cosines with a
+  lowest-cell-id tiebreak, so the whole pipeline has an exact DuckDB SQL
+  twin (ORACLE_IVF_KMEANS_TOPK) despite the BLAS execution path.
+- **Learned (tests-only)** — Lloyd's k-means refines the same seeds
+  (``train_kmeans``); recall vs brute force is asserted in
+  tests/test_similarity.py. The learned loop has no SQL twin (iterative
+  float means), which is why the driver-registered entry is the seeded
+  variant.
 
-Search: score the query against centroids, probe the ``nprobe`` nearest
-cells, exact-rank inside them. Deliberately engine-internal (k-means has
-no SQL twin) → registered rows-only; recall vs brute force is asserted in
-tests/test_similarity.py.
+Scale shape (identical for both): assignment is one Arrow-batched
+``mapInPandas`` pass BLAS-scoring each partition against the broadcast
+k×d centroid matrix (k·d ≈ KBs even for k=65536, d=1024 — always
+broadcastable); the k-means update is one hash aggregate with only k
+centroid rows reaching the driver; search scores ~nprobe/k of the corpus.
 """
 
 from __future__ import annotations
@@ -24,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_project_spark.functions.scalars import round_portable_sql
+from bigdata_project_spark.operators.similarity import _cos_sql
 from bigdata_project_spark.sources.readers import load_table
 
 K_CELLS = 8
@@ -31,24 +36,45 @@ N_ITERS = 3
 N_PROBE = 2
 
 
-def _assign_cells(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
-    """Distributed assignment: nearest centroid by cosine, BLAS per batch."""
+def _round6(a: np.ndarray) -> np.ndarray:
+    """The numpy twin of round_portable(·, 6) — floor(x·1e6 + 0.5)/1e6."""
+    return np.floor(a * 1e6 + 0.5) / 1e6
+
+
+def _assign_cells(
+    emb: DataFrame, centroids: np.ndarray, cell_ids: np.ndarray
+) -> DataFrame:
+    """Distributed assignment: nearest centroid by ROUNDED cosine, BLAS per
+    batch; ties go to the lowest cell id (argmax returns the first max,
+    and ``cell_ids`` is ascending)."""
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    ids = np.asarray(cell_ids, dtype=np.int64)
 
     def batches(it):
         for pdf in it:
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cos = _round6(m @ C.T)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "embedding": pdf["embedding"],
-                    "cell": (m @ C.T).argmax(axis=1).astype("int32"),
+                    "cell": ids[cos.argmax(axis=1)],
                 }
             )
 
     return emb.mapInPandas(
-        batches, schema="vec_id long, embedding array<float>, cell int"
+        batches, schema="vec_id long, embedding array<float>, cell long"
+    )
+
+
+def _seed_centroids(emb: DataFrame, k: int = K_CELLS) -> tuple[np.ndarray, np.ndarray]:
+    seeds = (
+        emb.filter(F.col("vec_id") < k).orderBy("vec_id").select("vec_id", "embedding").toPandas()
+    )
+    return (
+        np.stack(seeds["embedding"].to_numpy()).astype(np.float64),
+        seeds["vec_id"].to_numpy(),
     )
 
 
@@ -59,13 +85,8 @@ def train_kmeans(emb: DataFrame, k: int = K_CELLS, iters: int = N_ITERS) -> np.n
     the per-cell vector mean (``applyInPandas`` after the one shuffle on
     ``cell``). The caller passes a cached (vec_id, embedding) projection —
     iteration re-reads hit memory, not parquet."""
-    init = (
-        emb.filter(F.col("vec_id") < k)
-        .orderBy("vec_id")
-        .select("embedding")
-        .toPandas()["embedding"]
-    )
-    centroids = np.stack(init.to_numpy()).astype(np.float64)
+    centroids, _ = _seed_centroids(emb, k)
+    idx = np.arange(k, dtype=np.int64)
 
     def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -75,9 +96,9 @@ def train_kmeans(emb: DataFrame, k: int = K_CELLS, iters: int = N_ITERS) -> np.n
 
     for _ in range(iters):
         means = (
-            _assign_cells(emb, centroids)
+            _assign_cells(emb, centroids, idx)
             .groupBy("cell")
-            .applyInPandas(cell_mean, schema="cell int, centroid array<double>")
+            .applyInPandas(cell_mean, schema="cell long, centroid array<double>")
             .toPandas()
         )
         for _, row in means.iterrows():
@@ -85,18 +106,22 @@ def train_kmeans(emb: DataFrame, k: int = K_CELLS, iters: int = N_ITERS) -> np.n
     return centroids
 
 
-def query_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 neighbours of vec_id=0 probing N_PROBE of K_CELLS learned
-    cells — the scale ANN path (scores ~nprobe/k of the corpus)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
-    centroids = train_kmeans(emb)
-    assigned = _assign_cells(emb, centroids)
-
+def _probe_and_rank(
+    spark: SparkSession,
+    emb: DataFrame,
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    cell_ids: np.ndarray,
+) -> DataFrame:
+    """Probe the N_PROBE cells nearest the query (vec_id=0) and exact-rank
+    inside them: top-10 by (rounded cosine desc, vec_id asc)."""
     q = emb.filter(F.col("vec_id") == 0).toPandas()["embedding"][0]
     qv = np.asarray(q, dtype=np.float64)
     qv = qv / np.linalg.norm(qv)
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    probe = [int(c) for c in (C @ qv).argsort()[::-1][:N_PROBE]]
+    cos_q = _round6(C @ qv)
+    order = sorted(range(len(cell_ids)), key=lambda i: (-cos_q[i], cell_ids[i]))
+    probe = [int(cell_ids[i]) for i in order[:N_PROBE]]
 
     cands = assigned.filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
 
@@ -106,14 +131,73 @@ def query_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            cos = m @ qv
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "cell": pdf["cell"],
-                    "cos_sim": np.floor(cos * 1e6 + 0.5) / 1e6,
+                    "cos_sim": _round6(m @ qv),
                 }
             )
 
-    scored = cands.mapInPandas(score, schema="vec_id long, cell int, cos_sim double")
+    scored = cands.mapInPandas(score, schema="vec_id long, cell long, cos_sim double")
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+def query_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbours of vec_id=0 probing N_PROBE of K_CELLS seeded
+    cells — the scale ANN path (scores ~nprobe/k of the corpus), with the
+    deterministic seed quantizer so every step is oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, cell_ids = _seed_centroids(emb)
+    assigned = _assign_cells(emb, centroids, cell_ids)
+    return _probe_and_rank(spark, emb, assigned, centroids, cell_ids)
+
+
+def query_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned-quantizer variant (tests-only): same search, centroids
+    refined by N_ITERS Lloyd iterations."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    centroids = train_kmeans(emb)
+    idx = np.arange(K_CELLS, dtype=np.int64)
+    assigned = _assign_cells(emb, centroids, idx)
+    return _probe_and_rank(spark, emb, assigned, centroids, idx)
+
+
+# DuckDB twin of the seeded variant: same seeds, same rounded-cosine
+# argmax with lowest-cell tiebreak, same probe rule, same final ranking.
+ORACLE_IVF_KMEANS_TOPK = f"""
+WITH c AS (
+    SELECT vec_id AS cell, embedding AS cemb
+    FROM embeddings WHERE vec_id < {K_CELLS}
+),
+q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+assign AS (
+    SELECT vec_id, cell, embedding FROM (
+        SELECT e.vec_id, c.cell, e.embedding,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {round_portable_sql(_cos_sql("e.embedding", "c.cemb"), 6)} DESC,
+                            c.cell ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN c
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT cell FROM (
+        SELECT c.cell,
+               row_number() OVER (
+                   ORDER BY {round_portable_sql(_cos_sql("c.cemb", "q.qemb"), 6)} DESC,
+                            c.cell ASC
+               ) AS rn
+        FROM c CROSS JOIN q
+    ) WHERE rn <= {N_PROBE}
+)
+SELECT vec_id, cell, cos_sim FROM (
+    SELECT a.vec_id, a.cell,
+           {round_portable_sql(_cos_sql("a.embedding", "q.qemb"), 6)} AS cos_sim
+    FROM assign a JOIN probe USING (cell) CROSS JOIN q
+    WHERE a.vec_id <> 0
+)
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""

@@ -263,7 +263,9 @@ def lsh_signatures(emb: DataFrame) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bit = F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        # sign taken on the 1e-6-rounded projection so BLAS/fold/SQL
+        # evaluation orders can never flip a bit near zero
+        bit = F.when(round_portable(proj, 6) > 0, F.lit(2**p)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return emb.select("vec_id", "label", "embedding", sig.cast("bigint").alias("lsh_sig"))
 
@@ -284,7 +286,8 @@ def lsh_signatures_np(emb: DataFrame) -> DataFrame:
         pw = np.array(powers, dtype=np.int64)
         for pdf in it:
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            bits = (m @ P) > 0
+            # round before sign — see lsh_signatures
+            bits = (np.floor((m @ P) * 1e6 + 0.5) / 1e6) > 0
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -301,8 +304,10 @@ def lsh_signatures_np(emb: DataFrame) -> DataFrame:
 
 def query_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs sharing one of four 8-bit LSH signature bands,
-    verified by exact cosine ≥ 0.35. Rows-only (the md5-derived planes are
-    deliberately engine-internal); recall asserted in tests.
+    verified by exact cosine ≥ 0.35. Fully oracle-checked: the md5-derived
+    ±1 planes are engine-portable literals, so ORACLE_ANN_LSH replays the
+    identical signature → band → verify pipeline in DuckDB SQL; recall vs
+    the exact baseline is additionally asserted in tests.
 
     Plan shape matters more than constants here: the bucket join carries
     only (vec_id, band, byte) — embeddings are re-attached *after* the
@@ -365,3 +370,54 @@ def query_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return cands.mapInPandas(verify, schema="vec_a long, vec_b long, cos_sim double")
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of query_ann_lsh_buckets: the ±1 hyperplanes are shipped
+    as DOUBLE-array literals (e0 suffix — bare 1.0 parses as DECIMAL), the
+    projection is the same sequential fold as the engine's, and the sign is
+    taken on the 1e-6-rounded value on both sides."""
+    plane_rows = ",\n       ".join(
+        "({p}, [{vals}])".format(
+            p=p, vals=", ".join(f"{s:.1f}e0" for s in _plane_signs(p))
+        )
+        for p in range(N_PLANES)
+    )
+    proj = (
+        "list_reduce([CAST(e.embedding[i] AS DOUBLE) * p.signs[i] "
+        "for i in range(1, len(p.signs) + 1)], (x, y) -> x + y)"
+    )
+    return f"""
+WITH planes(plane, signs) AS (
+    VALUES {plane_rows}
+),
+sigs AS (
+    SELECT e.vec_id,
+           CAST(SUM(CASE WHEN {round_portable_sql(proj, 6)} > 0
+                         THEN CAST(power(2, p.plane) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS lsh_sig
+    FROM embeddings e CROSS JOIN planes p
+    GROUP BY e.vec_id
+),
+melted AS (
+    SELECT vec_id, t.b AS band,
+           (lsh_sig // CAST(power(2, 8 * t.b) AS BIGINT)) % 256 AS nib
+    FROM sigs, range(4) t(b)
+),
+pairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+    FROM melted a JOIN melted b2
+      ON a.band = b2.band AND a.nib = b2.nib AND a.vec_id < b2.vec_id
+),
+scored AS (
+    SELECT vec_a, vec_b,
+           {round_portable_sql(_cos_sql("ea.embedding", "eb.embedding"), 6)} AS cos_sim
+    FROM pairs
+    JOIN embeddings ea ON ea.vec_id = pairs.vec_a
+    JOIN embeddings eb ON eb.vec_id = pairs.vec_b
+)
+SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.35
+"""
+
+
+ORACLE_ANN_LSH = _ann_lsh_oracle()

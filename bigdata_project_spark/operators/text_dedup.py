@@ -10,9 +10,10 @@ Four families, each a registered query with a DuckDB oracle:
                      pairs → verified Jaccard filter.
 - **SimHash**      : 32-bit simhash over token hashes; near-pairs found
                      by 8-bit band blocking + Hamming ≤ 3 verification.
-- **n-gram Jaccard**: exact all-pairs Jaccard over shingles (the quality
-                     baseline the approximate methods are judged against
-                     in tests/test_dedup.py).
+- **n-gram Jaccard**: exact Jaccard over shingles with PPJoin prefix
+                     filtering, so candidate generation is bounded; the
+                     unfiltered all-pairs form (``_jaccard_pairs``) stays
+                     as the tests/oracle quality baseline.
 
 Portability: hashes derive from md5 hex strings (identical in both
 engines); min-hashes are a universal-hash family (a·v+b mod P) over the
@@ -149,10 +150,77 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     )
 
 
+# Jaccard threshold as an exact rational (9/10): prefix lengths must be
+# computed in integer arithmetic — 0.9*20 in doubles is 18.000…04, whose
+# ceil silently shortens the prefix and breaks the losslessness proof.
+_J_NUM, _J_DEN = 9, 10
+
+
+def _prefix_filtered_pairs(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard ≥ 0.9 pairs with PPJoin prefix filtering (Xiao,
+    Wang, Lin, Yu 2008): under any global shingle order, J(A,B) ≥ t
+    forces the first ``|X| - ceil(t|X|) + 1`` shingles of each side to
+    intersect — so only prefix rows enter the candidate self-join, and
+    candidate volume is bounded by (rare-)prefix bucket sizes instead of
+    whole-corpus shingle buckets. The all-pairs formulation remains the
+    oracle/tests baseline; this produces identical output.
+
+    Plan: df-count per shingle (one hash agg), per-doc rank by global
+    (freq, shingle) order (one shuffle on doc_id), prefix self-join on the
+    rare shingles only, then a two-join verify that counts the true
+    intersection for surviving candidates — all codegen, no HOFs."""
+    from pyspark.sql import Window as W
+
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    df_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = sh.join(df_freq, "shingle").withColumn(
+        "pos",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("freq").asc(), F.col("shingle").asc())
+        ),
+    )
+    with_size = ranked.join(cnt, "doc_id")
+    # prefix length |A| - ceil(9|A|/10) + 1, all-integer
+    prefix_len = F.col("c") - F.floor((_J_NUM * F.col("c") + _J_DEN - 1) / _J_DEN) + 1
+    prefix = with_size.filter(F.col("pos") <= prefix_len).select("doc_id", "shingle")
+
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # verify: true intersection count, restricted to candidates
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("ca") + F.col("cb") - F.col("n_common")),
+        )
+    )
+
+
 def query_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-Jaccard near-dup pairs (threshold 0.9)."""
+    """Exact shingle-Jaccard near-dup pairs (threshold 0.9), prefix-
+    filtered so candidate generation is bounded at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs(shingle_rows(docs))
+    pairs = _prefix_filtered_pairs(shingle_rows(docs))
     return pairs.filter(F.col("jaccard") >= 0.9).select(
         "doc_a",
         "doc_b",

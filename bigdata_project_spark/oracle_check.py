@@ -126,7 +126,7 @@ def main() -> int:
 
     spark = get_spark("oracle_check")
     con = duckdb_connection(sf_dir)
-    qs, os_ = registry.queries(), registry.oracles()
+    qs, os_ = registry.queries(), registry.oracles(sf_dir)
 
     failed = 0
     for name, fn in qs.items():

@@ -19,15 +19,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+OracleBuilder = Callable[[str], "str | None"]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+# oracles whose SQL embeds fixture-derived literals (e.g. the BPE merge
+# pin): a builder regenerates them for whatever sf_dir a local check runs
+# at; the driver-facing default string targets its sf0.01 contract.
+_ORACLE_BUILDERS: dict[str, OracleBuilder] = {}
 
 
-def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+def register(
+    name: str,
+    fn: QueryFn,
+    oracle: str | None = None,
+    oracle_builder: OracleBuilder | None = None,
+) -> None:
     _QUERIES[name] = fn
     if oracle is not None:
         _ORACLES[name] = oracle
+    if oracle_builder is not None:
+        _ORACLE_BUILDERS[name] = oracle_builder
 
 
 def _load() -> None:
@@ -91,7 +103,7 @@ def _load() -> None:
     register("agg_grouping_sets", analytics.query_grouping_sets, analytics.ORACLE_GROUPING_SETS)
     register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
     register("agg_distinct_counts", analytics.query_distinct_counts, analytics.ORACLE_DISTINCT_COUNTS)
-    register("agg_approx_distinct", analytics.query_approx_distinct, None)
+    register("agg_approx_distinct", analytics.query_approx_distinct, analytics.ORACLE_APPROX_DISTINCT)
     register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
     register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
     register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
@@ -136,11 +148,11 @@ def _load() -> None:
     register("pipeline_train_val_split", clean_corpus.query_train_val_split, clean_corpus.ORACLE_TRAIN_VAL_SPLIT)
     register("sim_cosine_topk", similarity.query_cosine_topk, similarity.ORACLE_COSINE_TOPK)
     register("sim_neardup_pairs", similarity.query_neardup_pairs, similarity.ORACLE_NEARDUP_PAIRS)
-    register("sim_ann_lsh_buckets", similarity.query_ann_lsh_buckets, None)
+    register("sim_ann_lsh_buckets", similarity.query_ann_lsh_buckets, similarity.ORACLE_ANN_LSH)
 
     from bigdata_project_spark.operators import ivf
 
-    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, None)
+    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, ivf.ORACLE_IVF_KMEANS_TOPK)
     register("text_token_stats", text_analysis.query_token_stats, text_analysis.ORACLE_TOKEN_STATS)
     register("text_lang_id", text_analysis.query_lang_id, text_analysis.ORACLE_LANG_ID)
     register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
@@ -184,7 +196,12 @@ def _load() -> None:
     register("text_bigram_lm", text_signals.query_text_bigram_lm, text_signals.ORACLE_TEXT_BIGRAM_LM)
     from bigdata_project_spark.operators import bpe
 
-    register("text_bpe_merges", bpe.query_bpe_merges, None)
+    register(
+        "text_bpe_merges",
+        bpe.query_bpe_merges,
+        bpe.oracle_bpe_merges_sql(),
+        oracle_builder=bpe.oracle_bpe_merges_sql,
+    )
     register(
         "text_decontaminate",
         text_signals.query_text_decontaminate,
@@ -205,7 +222,7 @@ def _load() -> None:
     )
     register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
     register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
-    register("multimodal_features", binary_ops.query_features, None)
+    register("multimodal_features", binary_ops.query_features, binary_ops.ORACLE_FEATURES)
 
 
 def queries() -> dict[str, QueryFn]:
@@ -213,6 +230,15 @@ def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
 
-def oracles() -> dict[str, str]:
+def oracles(sf_dir: str | None = None) -> dict[str, str]:
+    """Oracle SQL per query. With ``sf_dir``, fixture-pinned oracles are
+    regenerated for that directory; without it (the driver's call path)
+    the returned strings target the driver's sf0.01 contract."""
     _load()
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    if sf_dir is not None:
+        for name, build in _ORACLE_BUILDERS.items():
+            rebuilt = build(sf_dir)
+            if rebuilt is not None:
+                out[name] = rebuilt
+    return out

@@ -35,6 +35,29 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
         assert len(lsh) / len(exact) >= 0.9  # banding recall at j≥0.9
 
 
+def test_prefix_filter_is_lossless(spark, sf_dir):
+    """PPJoin prefix filtering must reproduce the all-pairs result
+    exactly — it is a pruning of candidates that cannot pass, not an
+    approximation."""
+    from bigdata_project_spark.operators.text_dedup import (
+        _jaccard_pairs,
+        _prefix_filtered_pairs,
+        shingle_rows,
+    )
+    from bigdata_project_spark.sources.readers import load_table
+
+    sh = shingle_rows(load_table(spark, sf_dir, "documents"))
+    allp = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in _jaccard_pairs(sh).filter(F.col("jaccard") >= 0.9).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in _prefix_filtered_pairs(sh).filter(F.col("jaccard") >= 0.9).collect()
+    }
+    assert pref == allp
+
+
 def test_simhash_similar_docs_close(spark, sf_dir):
     """Near-duplicate docs (jaccard ≥ 0.9) should have close simhashes."""
     pairs = query_dedup_ngram_jaccard(spark, sf_dir).collect()

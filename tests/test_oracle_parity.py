@@ -14,13 +14,11 @@ from bigdata_project_spark import registry
 from bigdata_project_spark.oracle_check import compare_one
 
 
-def _cases():
-    qs, os_ = registry.queries(), registry.oracles()
-    return [(name, qs[name], os_.get(name)) for name in sorted(qs)]
-
-
-@pytest.mark.parametrize("name,fn,sql", _cases(), ids=[c[0] for c in _cases()])
-def test_query_matches_oracle(spark, duck, sf_dir, name, fn, sql):
+@pytest.mark.parametrize("name", sorted(registry.queries()))
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    fn = registry.queries()[name]
+    # sf_dir-aware: fixture-pinned oracles regenerate for the test fixture
+    sql = registry.oracles(sf_dir).get(name)
     if sql is None:
         # rows-only contract: must at least run and return a stable schema
         df = fn(spark, sf_dir)
