@@ -18,7 +18,7 @@ salted == unsalted on a deliberately skewed corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -80,3 +80,34 @@ def salted_join(
     )
     out = fact_salted.join(dim_rep, [key, "__salt"])
     return out.drop("__salt")
+
+
+def query_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible salted aggregation: SUM/COUNT of events per
+    event_type — a handful of distinct values, so at scale EVERY group is
+    a hot key and the two-phase salted plan is the one that survives.
+    Semantics-preserving by construction, so the oracle is the plain
+    one-phase GROUP BY; sums go through DECIMAL for order-independence.
+    ``row_entropy=event_id`` keeps the salt layout-independent."""
+    from bigdata_project_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_sum_count(
+        ev, ["event_type"], {"value_dec": "sum_dec"}, row_entropy=F.col("event_id")
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "n_rows",
+    )
+
+
+ORACLE_SKEW_SALTED_AGG = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_rows
+FROM events
+GROUP BY event_type
+"""

@@ -127,6 +127,46 @@ def with_audit_columns(df: DataFrame, source: str | None = None) -> DataFrame:
     return df
 
 
+def stage_urls(urls: list[str], dest_dir: str, max_workers: int = 8) -> list[str]:
+    """E1/S1/S2 closing helper: URL list → local staged files → engine scan.
+
+    The reference streams ``.csv.gz``/JSON straight from HTTPS into
+    DuckDB's httpfs scan (bronze/utils.py:226-295 harvests the URL list
+    from an RSS feed; :325-330 and :392-399 scan the URLs directly).
+    Spark has no HTTP data source, so ingestion stages each URL into
+    ``dest_dir`` (a local path here; an object-store prefix in
+    production) and feeds the staged paths to :func:`read_csv_all_string`
+    / :func:`read_json_array` — compression stays transparent because the
+    ``.csv.gz`` suffix is preserved.
+
+    Driver-side by design: the transfer is per-file and network-bound;
+    executors take over at the scan. Downloads run in a bounded thread
+    pool, mirroring the reference's 15-slot Airflow ingestion pool
+    (airflow_settings.yaml:9-12). ``file://`` URLs work too (urllib), so
+    the path is testable offline. Returns staged paths in input order
+    (the reference sorts its URL list driver-side as well, §2.6 O3).
+    """
+    import os
+    import urllib.parse
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    os.makedirs(dest_dir, exist_ok=True)
+
+    def fetch(i_url: tuple[int, str]) -> str:
+        i, url = i_url
+        name = os.path.basename(urllib.parse.urlparse(url).path) or "payload"
+        # index prefix keeps same-named URLs from clobbering each other
+        dest = os.path.join(dest_dir, f"{i:04d}_{name}")
+        with urllib.request.urlopen(url) as resp, open(dest, "wb") as out:
+            while chunk := resp.read(1 << 20):
+                out.write(chunk)
+        return dest
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(fetch, enumerate(urls)))
+
+
 def register_temp(spark: SparkSession, name: str, df: DataFrame) -> None:
     """S5: register a DataFrame as a queryable relation
     (DuckDB ``con.register``, bronze/utils.py:685)."""

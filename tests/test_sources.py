@@ -45,6 +45,22 @@ def test_csv_all_string_multi_file(spark, csv_files):
     assert rows[2]["filename"].endswith("b.csv.gz")
 
 
+def test_stage_urls_to_engine(spark, csv_files, tmp_path):
+    """URL list → staged dir → all-string scan: the reference's E1 entry
+    path (RSS-harvested HTTPS URLs into the engine scan,
+    bronze/utils.py:226-295 + :325-330), exercised offline via file://.
+    Gzip survives staging because the suffix is preserved."""
+    from bigdata_project_spark.sources.readers import stage_urls
+
+    urls = [f"file://{p}" for p in csv_files]
+    staged = stage_urls(urls, str(tmp_path / "staged"))
+    assert len(staged) == 2
+    assert staged[0].endswith("a.csv") and staged[1].endswith("b.csv.gz")
+    df = read_csv_all_string(spark, staged, sep="|")
+    assert df.count() == 3
+    assert {r["origen"] for r in df.collect()} == {"A01", "A02", "B01"}
+
+
 def test_json_array_nested_inference(spark, tmp_path):
     payload = [
         {"COD": "1", "Nombre": "Uno. Seg", "Data": [{"Fecha": 1648771200000, "Valor": 1.5}]},
