@@ -180,8 +180,12 @@ def _prefix_filtered_pairs(sh: DataFrame) -> DataFrame:
         ),
     )
     with_size = ranked.join(cnt, "doc_id")
-    # prefix length |A| - ceil(9|A|/10) + 1, all-integer
-    prefix_len = F.col("c") - F.floor((_J_NUM * F.col("c") + _J_DEN - 1) / _J_DEN) + 1
+    # prefix length |A| - ceil(9|A|/10) + 1; `div` is Spark's integral
+    # division, so this stays in BIGINT end-to-end (no double rounding at
+    # any magnitude — F.floor(x/y) would round through double).
+    prefix_len = F.expr(
+        f"c - (({_J_NUM} * c + {_J_DEN - 1}) div {_J_DEN}) + 1"
+    )
     prefix = with_size.filter(F.col("pos") <= prefix_len).select("doc_id", "shingle")
 
     pa, pb = prefix.alias("a"), prefix.alias("b")
@@ -254,47 +258,68 @@ WHERE jaccard >= 0.9
 
 
 def query_dedup_fuzzy_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs: levenshtein ≤ 5 on 40-char prefixes,
-    blocked by ``lang`` (both engines implement the same classic DP, so
-    the distances are identical integers).
+    """Edit-distance near-dup pairs over the FULL dup corpus: levenshtein
+    ≤ 5 on 40-char prefixes, blocked on the 8-bit simhash bands (same
+    blocking as :func:`query_dedup_simhash_pairs` — near-identical texts
+    have near-identical simhashes, so ≥1 band agrees; exact copies agree
+    on all four).
 
-    Scale shape: blocking bounds the pair space (never all-pairs); the
-    40-char prefix caps the O(m·n) DP cost per pair. At corpus scale the
-    block key would be a coarser fingerprint (e.g. simhash band), same
-    plan. Corpus restricted to the first 100 docs + planted dups to keep
-    the oracle's quadratic form cheap."""
-    corpus = _corpus_with_dups(spark, sf_dir).filter(
-        (F.col("doc_id") < 100) | (F.col("doc_id") >= 1_000_000)
-    )
-    pre = corpus.select(
-        "doc_id", "lang", F.substring("text", 1, 40).alias("prefix")
-    )
-    a, b = pre.alias("a"), pre.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    return (
-        pairs.select(
+    Scale shape: candidate volume is bounded by band-bucket sizes
+    (~n/256 per band), never all-pairs; the 40-char prefix caps the
+    O(m·n) DP cost per surviving pair. Both engines implement the same
+    classic Levenshtein DP, so the distances are identical integers.
+    (r2 shipped ``lang`` blocking + a 100-doc corpus cap to hide the
+    O(n²/3) pair space; this is the fix the docstring promised.)"""
+    corpus = _corpus_with_dups(spark, sf_dir)
+    melted = simhash_band_melt(simhash_column(corpus)).select("doc_id", "band", "nib")
+    pre = corpus.select("doc_id", F.substring("text", 1, 40).alias("prefix"))
+    blocked = melted.join(pre, "doc_id")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("lev"),
+            F.col("a.prefix").alias("prefix_a"),
+            F.col("b.prefix").alias("prefix_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("prefix_a"), F.col("prefix_b")).alias("lev"),
         )
         .filter(F.col("lev") <= 5)
     )
 
 
-ORACLE_DEDUP_FUZZY_LEV = f"""
+# assembled at the bottom of the module: needs _SIMHASH_SQL_T/_band_nibs
+# from the simhash section below.
+_ORACLE_DEDUP_FUZZY_LEV_T = f"""
 WITH corpus AS ({_CORPUS_SQL}),
-pre AS (
-    SELECT doc_id, lang, substring(text, 1, 40) AS prefix
-    FROM corpus
-    WHERE doc_id < 100 OR doc_id >= 1000000
+sims AS ({{simhash_corpus}}),
+melted AS (
+    SELECT doc_id, bs.band AS band, bs.nib AS nib
+    FROM sims, UNNEST([{{band_nibs}}]) AS t(bs)
+),
+pre AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM corpus),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM melted a JOIN melted b
+      ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       levenshtein(a.prefix, b.prefix) AS lev
-FROM pre a JOIN pre b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE levenshtein(a.prefix, b.prefix) <= 5
+SELECT doc_a, doc_b, levenshtein(pa.prefix, pb.prefix) AS lev
+FROM cand
+JOIN pre pa ON pa.doc_id = doc_a
+JOIN pre pb ON pb.doc_id = doc_b
+WHERE levenshtein(pa.prefix, pb.prefix) <= 5
 """
 
 
@@ -496,7 +521,7 @@ _simhash_combine = " + ".join(
     f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS)
 )
 
-_SIMHASH_SQL = f"""
+_SIMHASH_SQL_T = f"""
     SELECT doc_id, CAST({_simhash_combine} AS BIGINT) AS simhash
     FROM (
         SELECT doc_id,
@@ -504,11 +529,12 @@ _SIMHASH_SQL = f"""
         FROM (
             SELECT doc_id, w, {WORD_HASH32_SQL.format(w="w")} AS h
             FROM (SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
-                  FROM documents)
+                  FROM {{src}})
         )
         GROUP BY doc_id
     )
 """
+_SIMHASH_SQL = _SIMHASH_SQL_T.format(src="documents")
 
 
 def query_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,13 +545,10 @@ def query_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DEDUP_SIMHASH = _SIMHASH_SQL
 
 
-def query_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-pairs by simhash: block on the four 8-bit bands (a pair within
-    Hamming ≤ 3 must agree exactly on ≥1 band — pigeonhole), then verify
-    Hamming ≤ 3. Band blocking keeps the join linear in bucket sizes — the
-    100 TB-safe plan vs the O(n²) all-pairs XOR."""
-    docs = load_table(spark, sf_dir, "documents")
-    sims = simhash_column(docs)
+def simhash_band_melt(sims: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, nib): one row per 8-bit simhash band — the
+    shared blocking key for simhash near-pairs and fuzzy (edit-distance)
+    dedup. Pure per-row arithmetic, no shuffle."""
     bands = F.array(
         *[
             F.struct(
@@ -535,9 +558,18 @@ def query_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(4)
         ]
     )
-    melted = sims.select("doc_id", "simhash", F.explode(bands).alias("bs")).select(
+    return sims.select("doc_id", "simhash", F.explode(bands).alias("bs")).select(
         "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.nib").alias("nib")
     )
+
+
+def query_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-pairs by simhash: block on the four 8-bit bands (a pair within
+    Hamming ≤ 3 must agree exactly on ≥1 band — pigeonhole), then verify
+    Hamming ≤ 3. Band blocking keeps the join linear in bucket sizes — the
+    100 TB-safe plan vs the O(n²) all-pairs XOR."""
+    docs = load_table(spark, sf_dir, "documents")
+    melted = simhash_band_melt(simhash_column(docs))
     a, b = melted.alias("a"), melted.alias("b")
     pairs = (
         a.join(
@@ -581,3 +613,10 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
 FROM pairs
 WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """
+
+# Fuzzy-lev oracle assembly (template lives in the fuzzy section above;
+# the simhash SQL twins it needs are defined in this section).
+ORACLE_DEDUP_FUZZY_LEV = _ORACLE_DEDUP_FUZZY_LEV_T.format(
+    simhash_corpus=_SIMHASH_SQL_T.format(src="corpus"),
+    band_nibs=_band_nibs,
+)

@@ -327,31 +327,46 @@ def query_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the checkable contract is the one a user relies on — |approx − exact|
     ≤ 5%·exact — which each engine materializes as a boolean next to the
     exact count. Both engines assert their own sketch; the hash matches
-    iff both sketches are inside the bound and the exact counts agree."""
+    iff both sketches are inside the bound and the exact counts agree.
+
+    Plan shape: two exact count_distincts on DIFFERENT columns in one agg
+    force Catalyst's multi-distinct Expand (4× row blowup over the whole
+    scan). Two single-distinct aggregates cross-joined (each result is one
+    row) keep both passes in plain two-phase partial aggregation — the
+    100×-safe plan. The 5% bound is pure integer arithmetic
+    (20·|approx−exact| ≤ exact) so no float boundary can flip the boolean
+    between engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    exact_o = F.count_distinct(F.col("l_orderkey"))
-    exact_p = F.count_distinct(F.col("l_partkey"))
-    return li.agg(
-        exact_o.alias("exact_orders"),
-        exact_p.alias("exact_parts"),
-        (
-            F.abs(F.approx_count_distinct("l_orderkey", 0.02) - exact_o)
-            <= exact_o * F.lit(0.05)
-        ).alias("orders_within_eps"),
-        (
-            F.abs(F.approx_count_distinct("l_partkey", 0.02) - exact_p)
-            <= exact_p * F.lit(0.05)
-        ).alias("parts_within_eps"),
+
+    def one(col: str, exact_alias: str, flag_alias: str) -> DataFrame:
+        agg = li.agg(
+            F.count_distinct(F.col(col)).alias(exact_alias),
+            F.approx_count_distinct(col, 0.02).alias("__approx"),
+        )
+        return agg.select(
+            exact_alias,
+            (
+                F.lit(20) * F.abs(F.col("__approx") - F.col(exact_alias))
+                <= F.col(exact_alias)
+            ).alias(flag_alias),
+        )
+
+    orders = one("l_orderkey", "exact_orders", "orders_within_eps")
+    parts = one("l_partkey", "exact_parts", "parts_within_eps")
+    return orders.crossJoin(parts).select(
+        "exact_orders", "exact_parts", "orders_within_eps", "parts_within_eps"
     )
 
 
 ORACLE_APPROX_DISTINCT = """
 SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-       abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
-           <= COUNT(DISTINCT l_orderkey) * 0.05 AS orders_within_eps,
-       abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
-           <= COUNT(DISTINCT l_partkey) * 0.05 AS parts_within_eps
+       20 * abs(CAST(approx_count_distinct(l_orderkey) AS BIGINT)
+                - COUNT(DISTINCT l_orderkey))
+           <= COUNT(DISTINCT l_orderkey) AS orders_within_eps,
+       20 * abs(CAST(approx_count_distinct(l_partkey) AS BIGINT)
+                - COUNT(DISTINCT l_partkey))
+           <= COUNT(DISTINCT l_partkey) AS parts_within_eps
 FROM lineitem
 """
 
