@@ -24,14 +24,26 @@ tokenizers therefore shows up as a driver hash mismatch.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_project_spark.functions.text import tokens
+from bigdata_project_spark.registry import DRIVER_CHECK_SF_DIR
 from bigdata_project_spark.sources.readers import load_table
+
+log = logging.getLogger(__name__)
 
 N_MERGES = 10
 END_OF_WORD = "</w>"
+# Hard bound on the driver-side vocab collect. Heaps' law keeps a natural-
+# language vocab ~1e6 even at 100 TB, but an adversarial corpus (random
+# strings) makes vocab ≈ corpus — so prune to the top VOCAB_CAP words by
+# count (ties broken by word) BEFORE collecting. Dropped tail words have
+# the smallest counts; at the fixture scales the cap is never hit, and the
+# oracle applies the identical prune so both engines see the same vocab.
+VOCAB_CAP = 1_000_000
 
 
 def count_words(docs: DataFrame) -> DataFrame:
@@ -84,7 +96,13 @@ def train_merges(
 def query_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N_MERGES BPE merge table learned from the documents corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    counted = [(r["w"], r["cnt"]) for r in count_words(docs).collect()]
+    # TakeOrderedAndProject bounds the driver transfer at VOCAB_CAP rows
+    pruned = (
+        count_words(docs)
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(VOCAB_CAP)
+    )
+    counted = [(r["w"], r["cnt"]) for r in pruned.collect()]
     counted.sort()  # deterministic input order for the driver loop
     merges = train_merges(counted)
     return spark.createDataFrame(
@@ -103,21 +121,32 @@ GROUP BY w
 """
 
 
-def oracle_bpe_merges_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+def oracle_bpe_merges_sql(sf_dir: str | None = None) -> str | None:
     """Build the oracle at registration time: DuckDB counts the words of
     the driver's correctness fixture (sf0.01 — the only SF the driver
     cross-checks at), the same pinned merge loop runs on those counts, and
-    the result is emitted as a VALUES literal. Returns None (→ rows-only
-    check) if the fixture is unreadable."""
+    the result is emitted as a VALUES literal. The merge loop itself is
+    guarded by the hand-computed pin in tests/test_bpe.py (a train_merges
+    bug would slip past a VALUES oracle built from train_merges — the pin
+    test is the independent check). Returns None (→ the driver downgrades
+    to a rows-only check, logged loudly) if the fixture is unreadable."""
+    if sf_dir is None:
+        sf_dir = DRIVER_CHECK_SF_DIR
     try:
         import duckdb
 
         con = duckdb.connect()
         counted = con.execute(
-            _WORD_COUNT_SQL.format(path=f"{sf_dir}/documents.parquet") + " ORDER BY w"
+            _WORD_COUNT_SQL.format(path=f"{sf_dir}/documents.parquet")
+            + f" ORDER BY cnt DESC, w LIMIT {VOCAB_CAP}"
         ).fetchall()
         merges = train_merges([(w, int(c)) for w, c in counted])
         if not merges:
+            log.warning(
+                "bpe oracle builder: empty merge table for %s — "
+                "falling back to rows-only correctness check",
+                sf_dir,
+            )
             return None
 
         def esc(s: str) -> str:
@@ -132,5 +161,12 @@ def oracle_bpe_merges_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
             "       CAST(pair_count AS BIGINT) AS pair_count\n"
             f'FROM (VALUES {rows}) t(merge_rank, "left", "right", pair_count)'
         )
-    except Exception:  # noqa: BLE001 — missing fixture/driver quirk → rows-only
+    except Exception as exc:  # noqa: BLE001 — missing fixture → rows-only
+        log.warning(
+            "bpe oracle builder: %s: %s — falling back to rows-only "
+            "correctness check for %s",
+            type(exc).__name__,
+            exc,
+            sf_dir,
+        )
         return None

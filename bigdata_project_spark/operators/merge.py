@@ -51,8 +51,25 @@ def merge_keyed(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     # reproducibly instead).
     from bigdata_project_spark.operators.distinct_on import distinct_on
 
-    # maps are not orderable in Spark; every other fixture type is
-    residual = [c for c, t in new.dtypes if c not in keys and not t.startswith("map")]
-    deduped = distinct_on(new, keys, [F.col(c).asc_nulls_last() for c in residual] or [F.lit(1)])
+    # Maps are not orderable in Spark, so order them via a canonical JSON
+    # serialization: entries sorted by key (keys are unique, so the
+    # key-only comparator is total), then to_json. Every other type orders
+    # natively — keeping duplicate-key resolution deterministic even when
+    # rows differ only in a map column.
+    residual: list = []
+    for c, t in new.dtypes:
+        if c in keys:
+            continue
+        if t.startswith("map"):
+            residual.append(
+                F.expr(
+                    f"to_json(array_sort(map_entries(`{c}`), "
+                    "(a, b) -> CASE WHEN a.key < b.key THEN -1 "
+                    "WHEN a.key > b.key THEN 1 ELSE 0 END))"
+                ).asc_nulls_last()
+            )
+        else:
+            residual.append(F.col(c).asc_nulls_last())
+    deduped = distinct_on(new, keys, residual or [F.lit(1)])
     untouched = old.join(deduped.select(*keys), on=keys, how="left_anti")
     return deduped.select(*cols).unionByName(untouched)

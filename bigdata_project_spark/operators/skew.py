@@ -63,6 +63,7 @@ def salted_join(
     dim: DataFrame,
     key: str,
     n_salts: int = 16,
+    row_entropy: Column | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: replicate the (small) dim ``n_salts`` times,
     salt the fact side, join on (key, salt).
@@ -71,9 +72,16 @@ def salted_join(
     meeting its own dim replica. Replication factor × dim size is the
     cost — use for dims too big to broadcast outright but small enough to
     replicate; below broadcast threshold, plain ``broadcast(dim)`` wins.
+
+    ``row_entropy``: same contract as :func:`salted_sum_count` — pass a
+    stable column for a layout-independent salt assignment (reruns over a
+    repartitioned input place every row in the same salted partition).
     """
+    entropy = (
+        row_entropy if row_entropy is not None else F.monotonically_increasing_id()
+    )
     fact_salted = fact.withColumn(
-        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+        "__salt", F.pmod(F.hash(entropy), F.lit(n_salts))
     )
     dim_rep = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -168,6 +168,53 @@ def upsert_sink(stream_df: DataFrame, table: str, keys: list[str], checkpoint: s
     )
 
 
+def query_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible CORRECTNESS query for :func:`upsert_sink`: stage the
+    events file TWICE in a stream directory, process one file per
+    micro-batch, and foreachBatch-MERGE each batch into a catalog table
+    keyed on ``event_id``. Batch 0 creates the table; batch 1 is a full
+    at-least-once replay that must leave it unchanged — so the final table
+    equals the deduped events set regardless of batch order, and the
+    oracle is a plain SELECT over ``events`` (event_id is unique in the
+    fixture; the merge path, not the fixture, enforces that invariant).
+
+    This is the streaming twin of the reference's idempotent bronze MERGE
+    re-ingest (bronze/utils.py:348-366). ``ts`` stays out of the output:
+    replay-convergence is about row identity, pinned by the unique key +
+    value columns."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="stream_upsert_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
+    table = "stream_upsert_sink_tbl"
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/batch0.parquet")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/batch1.parquet")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("event_id", "user_id", "event_type", "value")
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        q = upsert_sink(stream, table, ["event_id"], ckpt)
+        q.processAllAvailable()
+        q.stop()
+        # materialize before dropping the backing table
+        return spark.table(table).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+ORACLE_STREAM_UPSERT = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drain all available input synchronously into a memory sink table."""
     q = (

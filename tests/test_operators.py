@@ -24,6 +24,28 @@ def test_merge_keyed_incoming_wins(spark):
     assert got == {1: "new", 2: "keep", 3: "ins"}
 
 
+def test_merge_keyed_map_column_deterministic(spark):
+    """Duplicate-key rows differing only in a MAP column resolve to the
+    row whose canonical (key-sorted JSON) serialization sorts first —
+    stable across input order and partition layout."""
+    rows = [
+        (1, {"b": "2", "a": "1"}),
+        (1, {"a": "0"}),
+        (2, {"z": "9"}),
+    ]
+    schema = "k int, m map<string,string>"
+    old = spark.createDataFrame([], schema)
+    fwd = merge_keyed(old, spark.createDataFrame(rows, schema), ["k"])
+    rev = merge_keyed(
+        old, spark.createDataFrame(list(reversed(rows)), schema).repartition(3), ["k"]
+    )
+    got_f = {r["k"]: dict(r["m"]) for r in fwd.collect()}
+    got_r = {r["k"]: dict(r["m"]) for r in rev.collect()}
+    assert got_f == got_r
+    # '{"a":"0"}' < '{"a":"1","b":"2"}' in the canonical ordering
+    assert got_f == {1: {"a": "0"}, 2: {"z": "9"}}
+
+
 def test_distinct_on_deterministic(spark):
     df = spark.createDataFrame(
         [(1, 5, "x"), (1, 9, "y"), (2, 3, "z")], ["k", "score", "v"]

@@ -39,3 +39,23 @@ def test_salted_join_matches_plain(spark):
     plain = fact.join(dim, "k").groupBy("label").count()
     salted = salted_join(fact, dim, "k", n_salts=8).groupBy("label").count()
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_join_row_entropy_layout_stable(spark):
+    """With a stable row_entropy column the join output (and the salt
+    assignment driving it) is identical across partition layouts."""
+    fact = _skewed(spark).withColumn("rid", F.monotonically_increasing_id()).cache()
+    fact.count()
+    dim = spark.createDataFrame(
+        [("HOT", "hot-dim")] + [(f"k{i}", f"d{i}") for i in range(97)],
+        "k string, label string",
+    )
+    out_a = salted_join(fact, dim, "k", n_salts=8, row_entropy=F.col("rid"))
+    out_b = salted_join(
+        fact.repartition(7), dim, "k", n_salts=8, row_entropy=F.col("rid")
+    )
+    rows_a = sorted(tuple(r) for r in out_a.collect())
+    rows_b = sorted(tuple(r) for r in out_b.collect())
+    assert rows_a == rows_b
+    plain = sorted(tuple(r) for r in fact.join(dim, "k").collect())
+    assert rows_a == plain

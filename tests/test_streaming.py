@@ -93,6 +93,21 @@ def test_stream_upsert_sink_exactly_once(spark, sf_dir, tmp_path):
         drop_table(spark, table)
 
 
+def test_query_stream_upsert_sink_matches_events(spark, sf_dir):
+    """The registered CORRECTNESS query: a twice-staged (replayed) stream
+    upserted on event_id converges to exactly the events table."""
+    from bigdata_project_spark.sources.readers import load_table
+    from bigdata_project_spark.streaming.windows import query_stream_upsert_sink
+
+    out = query_stream_upsert_sink(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in ev.collect()
+    )
+
+
 def test_stateful_threshold_operator(spark, sf_dir):
     stream = events_after_threshold(read_event_stream(spark, sf_dir), threshold=3)
     q = stream.writeStream.outputMode("append").format("memory").queryName("after3").start()
