@@ -259,39 +259,55 @@ WHERE jaccard >= 0.9
 
 def query_dedup_fuzzy_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs over the FULL dup corpus: levenshtein
-    ≤ 5 on 40-char prefixes, blocked on the 8-bit simhash bands (same
-    blocking as :func:`query_dedup_simhash_pairs` — near-identical texts
-    have near-identical simhashes, so ≥1 band agrees; exact copies agree
-    on all four).
+    ≤ 5 on 40-char prefixes, blocked on PAIRS of 8-bit simhash bands — a
+    16-bit effective key, so candidates must agree on two bands at once
+    (pigeonhole: any pair within simhash-Hamming ≤ 2 shares an exact
+    2-band key; exact copies share all six).
 
-    Scale shape: candidate volume is bounded by band-bucket sizes
-    (~n/256 per band), never all-pairs; the 40-char prefix caps the
-    O(m·n) DP cost per surviving pair. Both engines implement the same
-    classic Levenshtein DP, so the distances are identical integers.
-    (r2 shipped ``lang`` blocking + a 100-doc corpus cap to hide the
-    O(n²/3) pair space; this is the fix the docstring promised.)"""
+    Why 2-band and not the simhash_pairs 1-band melt: MEASURED at sf0.1
+    the single-band key (÷256) left 2.9M candidate pairs (hot bucket
+    1358 docs — templated synthetic text clusters simhashes) and 74 s of
+    Levenshtein DP; the 2-band key (÷65536) cuts that to 0.3M (hot
+    bucket 297). The DP is the per-pair scale term, so blocking
+    resolution must grow with corpus size — at larger corpora move to a
+    64-bit simhash with 16-bit bands, same construction. Both engines
+    implement the same classic Levenshtein DP, so the distances are
+    identical integers."""
     corpus = _corpus_with_dups(spark, sf_dir)
-    melted = simhash_band_melt(simhash_column(corpus)).select("doc_id", "band", "nib")
-    pre = corpus.select("doc_id", F.substring("text", 1, 40).alias("prefix"))
-    blocked = melted.join(pre, "doc_id")
-    a, b = blocked.alias("a"), blocked.alias("b")
+    melted = simhash_band_pair_melt(simhash_column(corpus))
+    a, b = melted.alias("a"), melted.alias("b")
+    # candidates carry ONLY ids through the join+distinct (MEASURED 2.2×
+    # at sf0.1 vs melting the prefixes in: the 40-char strings double the
+    # shuffle width of the hot distinct); prefixes join back afterwards —
+    # a per-doc-keyed join AQE broadcasts at small scale and hash-joins
+    # at large, either way off the candidate join's critical path.
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.nib") == F.col("b.nib"))
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bj") == F.col("b.bj"))
+            & (F.col("a.ni") == F.col("b.ni"))
+            & (F.col("a.nj") == F.col("b.nj"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.prefix").alias("prefix_a"),
-            F.col("b.prefix").alias("prefix_b"),
         )
         .distinct()
     )
+    pre = corpus.select("doc_id", F.substring("text", 1, 40).alias("prefix"))
+    pa = pre.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("prefix_a"))
+    pb = pre.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("prefix_b"))
     return (
-        cand.select(
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        # lossless length bound: |len_a − len_b| > 5 ⇒ lev > 5; skips the
+        # O(40×40) DP for cheap mismatches
+        .filter(
+            F.abs(F.length("prefix_a") - F.length("prefix_b")) <= 5
+        )
+        .select(
             "doc_a",
             "doc_b",
             F.levenshtein(F.col("prefix_a"), F.col("prefix_b")).alias("lev"),
@@ -300,26 +316,28 @@ def query_dedup_fuzzy_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# assembled at the bottom of the module: needs _SIMHASH_SQL_T/_band_nibs
-# from the simhash section below.
+# assembled at the bottom of the module: needs _SIMHASH_SQL_T and the
+# band-pair struct list from the simhash section below.
 _ORACLE_DEDUP_FUZZY_LEV_T = f"""
 WITH corpus AS ({_CORPUS_SQL}),
 sims AS ({{simhash_corpus}}),
 melted AS (
-    SELECT doc_id, bs.band AS band, bs.nib AS nib
-    FROM sims, UNNEST([{{band_nibs}}]) AS t(bs)
+    SELECT doc_id, bs.bi, bs.bj, bs.ni, bs.nj
+    FROM sims, UNNEST([{{band_pair_nibs}}]) AS t(bs)
 ),
 pre AS (SELECT doc_id, substring(text, 1, 40) AS prefix FROM corpus),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM melted a JOIN melted b
-      ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+      ON a.bi = b.bi AND a.bj = b.bj AND a.ni = b.ni AND a.nj = b.nj
+     AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, levenshtein(pa.prefix, pb.prefix) AS lev
 FROM cand
 JOIN pre pa ON pa.doc_id = doc_a
 JOIN pre pb ON pb.doc_id = doc_b
-WHERE levenshtein(pa.prefix, pb.prefix) <= 5
+WHERE abs(length(pa.prefix) - length(pb.prefix)) <= 5
+  AND levenshtein(pa.prefix, pb.prefix) <= 5
 """
 
 
@@ -563,6 +581,31 @@ def simhash_band_melt(sims: DataFrame) -> DataFrame:
     )
 
 
+_BAND_PAIRS = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+
+
+def simhash_band_pair_melt(sims: DataFrame) -> DataFrame:
+    """(doc_id, bi, bj, ni, nj): one row per PAIR of 8-bit simhash bands —
+    a 16-bit blocking key (÷65536 pair-space cut vs the single band's
+    ÷256) that still guarantees a shared bucket for simhash-Hamming ≤ 2
+    (≤2 bit flips corrupt ≤2 of the 4 bands, leaving one clean pair).
+    Pure per-row arithmetic, no shuffle; 6 rows per doc."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.lit(j).alias("bj"),
+                (F.floor(F.col("simhash") / (2 ** (8 * i))).cast("bigint") % 256).alias("ni"),
+                (F.floor(F.col("simhash") / (2 ** (8 * j))).cast("bigint") % 256).alias("nj"),
+            )
+            for i, j in _BAND_PAIRS
+        ]
+    )
+    return sims.select("doc_id", F.explode(entries).alias("bs")).select(
+        "doc_id", "bs.bi", "bs.bj", "bs.ni", "bs.nj"
+    )
+
+
 def query_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-pairs by simhash: block on the four 8-bit bands (a pair within
     Hamming ≤ 3 must agree exactly on ≥1 band — pigeonhole), then verify
@@ -616,7 +659,16 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 3
 
 # Fuzzy-lev oracle assembly (template lives in the fuzzy section above;
 # the simhash SQL twins it needs are defined in this section).
+_band_pair_nibs = ", ".join(
+    "struct_pack(bi := {i}, bj := {j}, "
+    "ni := CAST(floor(simhash / {pi}) AS BIGINT) % 256, "
+    "nj := CAST(floor(simhash / {pj}) AS BIGINT) % 256)".format(
+        i=i, j=j, pi=2 ** (8 * i), pj=2 ** (8 * j)
+    )
+    for i, j in _BAND_PAIRS
+)
+
 ORACLE_DEDUP_FUZZY_LEV = _ORACLE_DEDUP_FUZZY_LEV_T.format(
     simhash_corpus=_SIMHASH_SQL_T.format(src="corpus"),
-    band_nibs=_band_nibs,
+    band_pair_nibs=_band_pair_nibs,
 )

@@ -245,6 +245,14 @@ def _load() -> None:
     register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
     register("agg_percentiles", asof_range.query_percentiles_by_type, asof_range.ORACLE_PERCENTILES)
 
+    from bigdata_project_spark.operators import bucketing
+
+    register(
+        "layout_bucketed_join",
+        bucketing.query_bucketed_join_revenue,
+        bucketing.ORACLE_BUCKETED_JOIN,
+    )
+
 
 def queries() -> dict[str, QueryFn]:
     _load()
