@@ -329,18 +329,23 @@ def query_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count. Both engines assert their own sketch; the hash matches
     iff both sketches are inside the bound and the exact counts agree.
 
-    Plan shape: two exact count_distincts on DIFFERENT columns in one agg
-    force Catalyst's multi-distinct Expand (4× row blowup over the whole
-    scan). Two single-distinct aggregates cross-joined (each result is one
-    row) keep both passes in plain two-phase partial aggregation — the
-    100×-safe plan. The 5% bound is pure integer arithmetic
+    Plan shape: ANY exact count_distinct next to a non-distinct aggregate
+    (the HLL sketch included) triggers Catalyst's distinct-agg Expand
+    rewrite — MEASURED 1.9 s vs 0.4+0.3 s for the pieces at sf0.1, even
+    on the same column. The Expand-free form: distinct() the key first (a
+    plain partial-agg groupBy), then take count(1) AND the HLL over the
+    distinct keys in one ordinary aggregate — HLL register updates are
+    duplicate-insensitive, so the estimate is bit-identical to sketching
+    the raw column. One column pass each, cross-joined 1-row results,
+    0.73 s at sf0.1. The 5% bound is pure integer arithmetic
     (20·|approx−exact| ≤ exact) so no float boundary can flip the boolean
     between engines."""
     li = load_table(spark, sf_dir, "lineitem")
 
     def one(col: str, exact_alias: str, flag_alias: str) -> DataFrame:
-        agg = li.agg(
-            F.count_distinct(F.col(col)).alias(exact_alias),
+        dist = li.select(col).distinct()
+        agg = dist.agg(
+            F.count(F.lit(1)).alias(exact_alias),
             F.approx_count_distinct(col, 0.02).alias("__approx"),
         )
         return agg.select(

@@ -20,8 +20,10 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-# deliberate tiny-side cross joins (1-row broadcast query vector)
-_CROSS_JOIN_OK = {"sim_cosine_topk"}
+# deliberate tiny-side cross joins: 1-row broadcast query vector
+# (sim_cosine_topk) and the cross of two 1-row distinct-count aggregates
+# (agg_approx_distinct — the Expand-free plan shape, see its docstring)
+_CROSS_JOIN_OK = {"sim_cosine_topk", "agg_approx_distinct"}
 
 
 def test_no_cartesian_products_anywhere(spark, sf_dir):
