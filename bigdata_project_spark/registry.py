@@ -245,13 +245,14 @@ def _load() -> None:
     register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
     register("agg_percentiles", asof_range.query_percentiles_by_type, asof_range.ORACLE_PERCENTILES)
 
-    from bigdata_project_spark.operators import bucketing
+    from bigdata_project_spark.operators import bucketing, pq
 
     register(
         "layout_bucketed_join",
         bucketing.query_bucketed_join_revenue,
         bucketing.ORACLE_BUCKETED_JOIN,
     )
+    register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
 
 
 def queries() -> dict[str, QueryFn]:
