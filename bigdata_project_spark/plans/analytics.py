@@ -376,6 +376,108 @@ FROM lineitem
 """
 
 
+def query_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch twin of query_approx_distinct: each engine's own
+    approximate percentile sketch (Spark GK via approx_percentile, DuckDB
+    t-digest via approx_quantile) asserted against the exact DISCRETE
+    percentile, in pure integer arithmetic (price cents, BIGINT), with
+    the hash-checkable contract 20·|approx − exact| ≤ exact per quantile.
+
+    The exact side runs the textbook distributed exact-quantile plan —
+    the price-cent domain is ≈n distinct values (583k at sf0.1), so a
+    cumulative window over it would be a global serial sort. Instead:
+    (1) a coarse histogram on $100 buckets (~1k groups, map-side
+    combined); (2) a cumulative window over those ~1k bucket counts to
+    locate the bucket holding rank ⌈q·n⌉ and the residual rank inside
+    it; (3) a fine cumulative window restricted to THAT bucket's
+    distinct values (~600 rows, reached via a broadcast join). No stage
+    ever windows more than max(buckets, bucket-width) rows regardless
+    of corpus size. The discrete percentile (least value whose
+    cumulative count reaches the rank) is an actual data value, so both
+    engines agree exactly — interpolated definitions differ in last-ulp
+    arithmetic across engines and would make the exact columns
+    unhashable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    dist = (
+        li.select(cents.alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("b", F.expr("c div 10000"))
+    )
+    bck = dist.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
+    cumb = bck.withColumn(
+        "cum", F.sum("bcnt").over(W.orderBy("b").rowsBetween(W.unboundedPreceding, 0))
+    )
+    n = li.count()
+
+    def exact_disc(k: int, alias: str) -> DataFrame:
+        tgt = (
+            cumb.filter(F.col("cum") >= k)
+            .orderBy("b")
+            .limit(1)
+            .select("b", (F.lit(k) - (F.col("cum") - F.col("bcnt"))).alias("off"))
+        )
+        inb = dist.join(F.broadcast(tgt), "b").withColumn(
+            "cum_in",
+            F.sum("cnt").over(
+                W.partitionBy("b").orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        return inb.filter(F.col("cum_in") >= F.col("off")).agg(
+            F.min("c").alias(alias)
+        )
+
+    k50 = (n * 50 + 99) // 100
+    k95 = (n * 95 + 99) // 100
+    exact = exact_disc(k50, "exact_p50_cents").crossJoin(
+        exact_disc(k95, "exact_p95_cents")
+    )
+    approx = li.select(cents.alias("c")).agg(
+        F.percentile_approx("c", 0.5, 10000).alias("a50"),
+        F.percentile_approx("c", 0.95, 10000).alias("a95"),
+    )
+    return exact.crossJoin(approx).select(
+        "exact_p50_cents",
+        "exact_p95_cents",
+        (
+            F.lit(20) * F.abs(F.col("a50") - F.col("exact_p50_cents"))
+            <= F.col("exact_p50_cents")
+        ).alias("p50_within_eps"),
+        (
+            F.lit(20) * F.abs(F.col("a95") - F.col("exact_p95_cents"))
+            <= F.col("exact_p95_cents")
+        ).alias("p95_within_eps"),
+    )
+
+
+ORACLE_APPROX_QUANTILES = """
+WITH cents AS (
+    SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c FROM lineitem
+),
+cum AS (
+    SELECT c, SUM(cnt) OVER (ORDER BY c) AS cum FROM (
+        SELECT c, COUNT(*) AS cnt FROM cents GROUP BY c
+    )
+),
+n AS (SELECT COUNT(*) AS n FROM cents),
+exact AS (
+    SELECT MIN(CASE WHEN cum >= (n.n * 50 + 99) // 100 THEN c END) AS exact_p50_cents,
+           MIN(CASE WHEN cum >= (n.n * 95 + 99) // 100 THEN c END) AS exact_p95_cents
+    FROM cum, n
+),
+approx AS (
+    SELECT CAST(approx_quantile(c, 0.5) AS BIGINT) AS a50,
+           CAST(approx_quantile(c, 0.95) AS BIGINT) AS a95
+    FROM cents
+)
+SELECT exact_p50_cents, exact_p95_cents,
+       20 * abs(a50 - exact_p50_cents) <= exact_p50_cents AS p50_within_eps,
+       20 * abs(a95 - exact_p95_cents) <= exact_p95_cents AS p95_within_eps
+FROM exact, approx
+"""
+
+
 def query_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI + LEFT ANTI joins (EXISTS / NOT EXISTS) — absent from the
     reference (§2.3 'not present') but core engine surface."""

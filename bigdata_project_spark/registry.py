@@ -253,6 +253,11 @@ def _load() -> None:
         bucketing.ORACLE_BUCKETED_JOIN,
     )
     register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
+    register(
+        "agg_approx_quantiles",
+        analytics.query_approx_quantiles,
+        analytics.ORACLE_APPROX_QUANTILES,
+    )
 
 
 def queries() -> dict[str, QueryFn]:

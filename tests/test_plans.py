@@ -21,9 +21,10 @@ def _plan(spark, sf_dir, name: str) -> str:
 
 
 # deliberate tiny-side cross joins: 1-row broadcast query vector
-# (sim_cosine_topk) and the cross of two 1-row distinct-count aggregates
-# (agg_approx_distinct — the Expand-free plan shape, see its docstring)
-_CROSS_JOIN_OK = {"sim_cosine_topk", "agg_approx_distinct"}
+# (sim_cosine_topk) and crosses of 1-row aggregate results
+# (agg_approx_distinct / agg_approx_quantiles — Expand-free sketch-vs-
+# exact contracts, see their docstrings)
+_CROSS_JOIN_OK = {"sim_cosine_topk", "agg_approx_distinct", "agg_approx_quantiles"}
 
 
 def test_no_cartesian_products_anywhere(spark, sf_dir):
