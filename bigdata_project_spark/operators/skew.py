@@ -119,3 +119,35 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def query_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible salted join: events (fact; user_id is the skewable
+    key at scale) against the customer dim replicated n_salts ways —
+    the mid-size-dim regime where broadcast is too big and a plain
+    shuffle join straggles on hot keys. Semantics-preserving by
+    construction, so the oracle is the plain join + aggregate.
+    ``row_entropy=event_id`` keeps the salt layout-independent."""
+    from bigdata_project_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        ev, dim, "c_custkey", row_entropy=F.col("value")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_SKEW_SALTED_JOIN = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+JOIN customer ON c_custkey = user_id
+GROUP BY c_mktsegment
+"""

@@ -258,6 +258,7 @@ def _load() -> None:
         analytics.query_approx_quantiles,
         analytics.ORACLE_APPROX_QUANTILES,
     )
+    register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
 
 
 def queries() -> dict[str, QueryFn]:
