@@ -134,3 +134,23 @@ def test_runtime_bloom_filter_injects(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_pq_scoring_is_broadcast_join_plus_heap(spark, sf_dir):
+    """PQ/ADC: the M×K query table joins by broadcast (never shuffles the
+    codes) and the final top-k is a heap, not a global sort."""
+    plan = _plan(spark, sf_dir, "sim_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_quantile_windows_stay_bounded(spark, sf_dir):
+    """The exact-percentile side must never window the raw cent domain:
+    every Window in the plan runs over bucket counts (~1k rows) or one
+    bucket's values — both reached only after a hash aggregate."""
+    plan = _plan(spark, sf_dir, "agg_approx_quantiles")
+    assert "Window" in plan
+    # the coarse histogram aggregates exist below the windows, so every
+    # window input is post-aggregate (bucket counts / one bucket's
+    # distinct values), never the raw scan
+    assert plan.count("HashAggregate") >= 4
