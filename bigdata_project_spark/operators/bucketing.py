@@ -35,15 +35,9 @@ def write_bucketed(
 ) -> None:
     """Materialize ``df`` bucketed+sorted by ``key`` — the one-time shuffle
     that buys every later join its exchange back."""
-    spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a crashed earlier run can leave the managed location behind with no
-    # catalog entry; Spark refuses to recreate over it
-    import shutil
-    from urllib.parse import urlparse
+    from bigdata_project_spark.sources.sinks import drop_table_and_orphan_location
 
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+    drop_table_and_orphan_location(df.sparkSession, table)
     # repartition on the same hash Spark's bucketing uses → exactly one
     # file per bucket; the scan only exposes the written sort order (and
     # skips the SMJ's Sort) when buckets are single-file

@@ -46,3 +46,17 @@ def append_table(df: DataFrame, table: str) -> None:
 def drop_table(spark: SparkSession, table: str) -> None:
     """S10: ``DROP TABLE IF EXISTS`` (bronze/utils.py:786)."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def drop_table_and_orphan_location(spark: SparkSession, table: str) -> None:
+    """DROP plus removal of a leftover managed location: a run that
+    crashed between DROP and write leaves the warehouse directory behind
+    with no catalog entry, and Spark then refuses to recreate the table
+    (LOCATION_ALREADY_EXISTS). Callers that re-create fixed-name tables
+    (bucketed layouts, the streaming upsert sink) use this form."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)

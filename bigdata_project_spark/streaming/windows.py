@@ -185,6 +185,8 @@ def query_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from bigdata_project_spark.sources.sinks import drop_table_and_orphan_location
+
     src = tempfile.mkdtemp(prefix="stream_upsert_src_")
     ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
     table = "stream_upsert_sink_tbl"
@@ -198,7 +200,7 @@ def query_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
             .select("event_id", "user_id", "event_type", "value")
         )
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        drop_table_and_orphan_location(spark, table)
         q = upsert_sink(stream, table, ["event_id"], ckpt)
         q.processAllAvailable()
         q.stop()
