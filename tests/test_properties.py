@@ -90,3 +90,61 @@ def test_centroid_triangle_is_vertex_mean(t):
     cx, cy = multipolygon_centroid(parse_wkt_polygons(_wkt_of([t])))
     assert cx == pytest.approx(sum(x for x, _ in t) / 3, abs=1e-9)
     assert cy == pytest.approx(sum(y for _, y in t) / 3, abs=1e-9)
+
+
+# --- BPE merge loop vs an independent brute-force re-implementation -----
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcd", min_size=1, max_size=6),
+                  st.integers(min_value=1, max_value=9)),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    )
+)
+def test_bpe_train_merges_matches_bruteforce(word_counts):
+    """train_merges must pick, at every rank, the (count-max, lexmin) pair
+    a from-scratch recount of the current vocab would pick."""
+    from bigdata_project_spark.operators.bpe import END_OF_WORD, train_merges
+
+    merges = train_merges(word_counts, n_merges=5)
+    vocab = {tuple(list(w) + [END_OF_WORD]): c for w, c in word_counts}
+    for rank, left, right, cnt in merges:
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        best_cnt = max(pairs.values())
+        assert cnt == best_cnt
+        assert (left, right) == min(p for p, c in pairs.items() if c == best_cnt)
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (left, right):
+                    out.append(left + right); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+
+
+# --- Morton z-value: interleave must be a bijection on bit pairs --------
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**16 - 1),
+       st.integers(min_value=0, max_value=2**16 - 1))
+def test_zvalue_interleave_bijective(x, y):
+    """The floor-div/mod interleave must equal the bitwise definition, so
+    (x, y) is exactly recoverable — tight file extents depend on it."""
+    z = 0
+    for j in range(16):
+        z += ((x >> j) & 1) << (2 * j)
+        z += ((y >> j) & 1) << (2 * j + 1)
+    # recover
+    rx = sum(((z >> (2 * j)) & 1) << j for j in range(16))
+    ry = sum(((z >> (2 * j + 1)) & 1) << j for j in range(16))
+    assert (rx, ry) == (x, y)
+    # and the SQL/Column formula (pure arithmetic) agrees with bitwise
+    za = sum((x // (2**j) % 2) * 4**j + (y // (2**j) % 2) * 2 * 4**j for j in range(16))
+    assert za == z
