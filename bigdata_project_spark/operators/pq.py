@@ -130,6 +130,54 @@ def query_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def query_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed — the FAISS IVFPQ architecture at Spark scale:
+    coarse seeded-cell assignment prunes the corpus to ~nprobe/k, then
+    PQ/ADC scores only the surviving candidates in the compressed
+    domain. Every stage is the proven plan of its standalone query
+    (ivf: broadcast-centroid mapInPandas assign; pq: map-only encode +
+    broadcast ADC join + one hash aggregate + heap), so the composition
+    adds no new shuffle — the candidate filter simply shrinks every
+    downstream stage."""
+    from bigdata_project_spark.operators.ivf import (
+        N_PROBE,
+        _round6,
+        _assign_cells,
+        _seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, cell_ids = _seed_centroids(emb)
+    assigned = _assign_cells(emb, centroids, cell_ids)
+
+    q = emb.filter(F.col("vec_id") == 0).toPandas()["embedding"][0]
+    qfull = np.asarray(q, dtype=np.float64)
+    qn = qfull / np.linalg.norm(qfull)
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cos_q = _round6(C @ qn)
+    order = sorted(range(len(cell_ids)), key=lambda i: (-cos_q[i], cell_ids[i]))
+    probe = [int(cell_ids[i]) for i in order[:N_PROBE]]
+
+    cands = assigned.filter(
+        F.col("cell").isin(probe) & (F.col("vec_id") != 0)
+    ).select("vec_id", "embedding")
+
+    codebook, qv = _codebook_and_query(emb)
+    codes = encode_pq(cands, codebook)
+    table = adc_table(spark, codebook, qv)
+    return (
+        codes.join(F.broadcast(table), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("micro").alias("micro_total"))
+        .select(
+            "vec_id",
+            (F.col("micro_total").cast("double") / F.lit(1e6)).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
 def _l2_micro_sql(a: str, b: str) -> str:
     """DuckDB twin of _micro_l2 on two float lists: sequential left-fold
     of squared diffs in index order, then floor(x·1e6 + 0.5) as BIGINT."""
@@ -144,6 +192,76 @@ def _l2_micro_sql(a: str, b: str) -> str:
 def _sub(col: str, m: str) -> str:
     """1-based inclusive sub-slice of subspace ``m`` (DuckDB list slicing)."""
     return f"{col}[{m} * {PQ_SUB} + 1 : {m} * {PQ_SUB} + {PQ_SUB}]"
+
+
+def _build_oracle_ivfpq() -> str:
+    """Composed DuckDB twin: the ivf oracle's assign/probe CTEs feeding
+    the pq oracle's codes/qt CTEs, with encoding restricted to probed
+    candidates exactly like the Spark plan."""
+    from bigdata_project_spark.functions.scalars import round_portable_sql
+    from bigdata_project_spark.operators.ivf import K_CELLS, N_PROBE
+    from bigdata_project_spark.operators.similarity import _cos_sql
+
+    return f"""
+WITH cc AS (
+    SELECT vec_id AS cell, embedding AS cemb
+    FROM embeddings WHERE vec_id < {K_CELLS}
+),
+q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+assign AS (
+    SELECT vec_id, cell, embedding FROM (
+        SELECT e.vec_id, cc.cell, e.embedding,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {round_portable_sql(_cos_sql("e.embedding", "cc.cemb"), 6)} DESC,
+                            cc.cell ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cc
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT cell FROM (
+        SELECT cc.cell,
+               row_number() OVER (
+                   ORDER BY {round_portable_sql(_cos_sql("cc.cemb", "q.qemb"), 6)} DESC,
+                            cc.cell ASC
+               ) AS rn
+        FROM cc CROSS JOIN q
+    ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+    SELECT a.vec_id, a.embedding
+    FROM assign a JOIN probe USING (cell)
+    WHERE a.vec_id <> 0
+),
+ms AS (SELECT unnest(range({PQ_M})) AS m),
+cw AS (
+    SELECT ms.m, e.vec_id AS code, {_sub("e.embedding", "ms.m")} AS cvec
+    FROM embeddings e, ms
+    WHERE e.vec_id < {PQ_K}
+),
+qt AS (
+    SELECT cw.m, cw.code,
+           {_l2_micro_sql("cw.cvec", _sub("qq.embedding", "cw.m"))} AS micro
+    FROM cw, (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+),
+codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT c.vec_id, cw.m, cw.code,
+               row_number() OVER (
+                   PARTITION BY c.vec_id, cw.m
+                   ORDER BY {_l2_micro_sql(_sub("c.embedding", "cw.m"), "cw.cvec")} ASC,
+                            cw.code ASC
+               ) AS rn
+        FROM cand c CROSS JOIN cw
+    ) WHERE rn = 1
+)
+SELECT vec_id, CAST(SUM(micro) AS DOUBLE) / 1000000 AS adc_dist
+FROM codes JOIN qt USING (m, code)
+GROUP BY vec_id
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
 
 
 ORACLE_PQ_ADC_TOPK = f"""
@@ -176,3 +294,5 @@ GROUP BY vec_id
 ORDER BY adc_dist ASC, vec_id ASC
 LIMIT {TOP_K}
 """
+
+ORACLE_IVFPQ_TOPK = _build_oracle_ivfpq()

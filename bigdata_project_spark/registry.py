@@ -259,6 +259,7 @@ def _load() -> None:
         analytics.ORACLE_APPROX_QUANTILES,
     )
     register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
+    register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
 
 
 def queries() -> dict[str, QueryFn]:
