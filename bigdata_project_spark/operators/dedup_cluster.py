@@ -174,3 +174,83 @@ SELECT l.node AS doc_id, l.cluster_id, s.cluster_size,
        l.node = l.cluster_id AS is_canonical
 FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
 """
+
+
+def query_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that actually produces a deduplicated corpus: per near-dup
+    cluster, keep the highest-quality member (C4/RefinedWeb keep-best
+    policy; ties → lowest doc_id). Composes the LSH→connected-components
+    clustering with the quality heuristic — both already oracle-checked
+    standalone — and resolves each cluster with one deterministic
+    DISTINCT ON. Ordering compares the 1e-6-rounded quality (the exact
+    column both engines hash-match), so the pick is engine-identical."""
+    from bigdata_project_spark.operators.distinct_on import distinct_on
+    from bigdata_project_spark.operators.text_analysis import quality_frame
+
+    corpus = _cc_corpus(spark, sf_dir)
+    labels = connected_components(lsh_verified_pairs(corpus))
+    q = quality_frame(corpus).select("doc_id", "quality")
+    members = labels.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        q, "doc_id"
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    best = distinct_on(
+        members,
+        ["cluster_id"],
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+    )
+    return best.join(sizes, "cluster_id").select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        F.col("quality").alias("canonical_quality"),
+        "cluster_size",
+    )
+
+
+def _build_oracle_dedup_canonical() -> str:
+    from bigdata_project_spark.operators.text_analysis import quality_sql
+
+    return f"""
+WITH RECURSIVE corpus AS ({_CC_CORPUS_SQL}),
+pairs AS ({lsh_verified_pairs_sql("corpus")}),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+    SELECT DISTINCT u AS node, u AS label FROM edges
+    UNION
+    SELECT e.v AS node, r.label
+    FROM reach r JOIN edges e ON e.u = r.node
+),
+labels AS (
+    SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+),
+q AS (SELECT doc_id, quality FROM ({quality_sql("corpus")})),
+members AS (
+    SELECT l.node AS doc_id, l.cluster_id, q.quality
+    FROM labels l JOIN q ON q.doc_id = l.node
+),
+sizes AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size FROM members GROUP BY cluster_id
+),
+best AS (
+    SELECT doc_id, cluster_id, quality,
+           row_number() OVER (
+               PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC
+           ) AS rn
+    FROM members
+)
+SELECT b.cluster_id,
+       b.doc_id AS canonical_doc_id,
+       b.quality AS canonical_quality,
+       s.cluster_size
+FROM best b JOIN sizes s USING (cluster_id)
+WHERE b.rn = 1
+"""
+
+
+ORACLE_DEDUP_CANONICAL = _build_oracle_dedup_canonical()

@@ -239,11 +239,19 @@ def quality_frame(docs: DataFrame) -> DataFrame:
 
 _stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
-ORACLE_QUALITY_SCORE = f"""
+
+def quality_sql(src: str) -> str:
+    """The quality-score SQL twin over an arbitrary (doc_id, text)
+    relation — embeddable as a CTE body (dedup_cluster's canonical-pick
+    reuses it over the duplicated corpus)."""
+    return _QUALITY_SQL_T.format(src=src)
+
+
+_QUALITY_SQL_T = f"""
 WITH base AS (
     SELECT doc_id, text,
            string_split_regex(lower(trim(text)), '\\s+') AS toks
-    FROM documents
+    FROM {{src}}
 ),
 m AS (
     SELECT doc_id, text, toks,
@@ -268,6 +276,8 @@ SELECT doc_id,
        )} AS quality
 FROM m
 """
+
+ORACLE_QUALITY_SCORE = quality_sql("documents")
 
 # ------------------------------------------------------------ fingerprint --
 

@@ -260,6 +260,11 @@ def _load() -> None:
     )
     register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
     register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
+    register(
+        "pipeline_dedup_canonical",
+        dedup_cluster.query_dedup_canonical,
+        dedup_cluster.ORACLE_DEDUP_CANONICAL,
+    )
 
 
 def queries() -> dict[str, QueryFn]:
