@@ -3,6 +3,15 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The driver captures only the LAST ~2000 bytes of stdout and parses the
+final line out of that window (observed: BENCH_r03 recorded
+``parsed: null`` once the per-query dict grew past ~3.5 KB, while the
+shorter r02 line parsed fine). So the printed line is byte-budgeted:
+the slowest queries keep individual entries, the long tail of fast ones
+is rolled up into ``queries.others = {"n": N, "sum": S}``, and the FULL
+per-query timing dict is written to ``BENCH_DETAIL.json`` next to this
+file (committed per round; BASELINE.md's tables are built from it).
+
 Env:
     SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local parallelism (default all cores)
@@ -18,6 +27,41 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Leave headroom inside the driver's 2000-byte tail window for the
+# progress-bar carriage returns that precede the line.
+LINE_BUDGET = 1800
+
+
+def budgeted_payload(timings: dict[str, float], sf: float | None) -> dict:
+    """Largest-first per-query entries until the serialized line would
+    exceed LINE_BUDGET; everything else folds into an ``others`` rollup."""
+    total = round(sum(timings.values()), 3)
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+
+    def render(k: int) -> dict:
+        kept = dict(sorted(by_cost[:k]))  # alphabetical for stable diffs
+        rest = by_cost[k:]
+        if rest:
+            kept["others"] = {
+                "n": len(rest),
+                "sum": round(sum(v for _, v in rest), 3),
+            }
+        return {
+            "metric": "sum_of_median_query_times",
+            "value": total,
+            "unit": "sec",
+            "queries": kept,
+            "sf": sf,
+            "detail": "BENCH_DETAIL.json",
+        }
+
+    k = len(by_cost)
+    payload = render(k)
+    while k > 0 and len(json.dumps(payload, separators=(",", ":"))) > LINE_BUDGET:
+        k -= 1
+        payload = render(k)
+    return payload
 
 
 def main() -> None:
@@ -43,21 +87,25 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
 
-    total = round(sum(timings.values()), 3)
-    # Compact separators keep the line short: the driver captures only the
-    # tail of stdout (~3 KB) and must find the whole JSON object inside it.
-    print(
-        json.dumps(
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "sum_of_median_query_times",
-                "value": total,
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
             },
-            separators=(",", ":"),
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+        f.write("\n")
+
+    print(json.dumps(budgeted_payload(timings, sf), separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,157 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+Product-analytics staples over the `events` stream table (beyond the
+reference's own surface — its notebooks stop at per-day aggregates,
+reference notebooks/; these are the sequence-aware follow-ups).
+
+Scale shape: every step is a filter + hash aggregate on ``user_id``
+followed by a join on the same key, so the whole funnel runs in ONE
+shuffle partitioning reused across stages (Catalyst reuses the exchange
+when the join keys match the aggregate keys). Nothing is windowed over
+an unpartitioned order, nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
+from bigdata_project_spark.sources.readers import load_table
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def query_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel view → click → purchase.
+
+    A user converts to stage k+1 at the EARLIEST event of that type at
+    or after their stage-k conversion time (the classic "first touch
+    after" semantics; simultaneous timestamps count, matching the
+    ``>=`` in the oracle). Output: one row per stage with the surviving
+    user count and the conversion ratio from the previous stage.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_view"))
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(view, "user_id")
+        .filter(F.col("ts") >= F.col("ts_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_click"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("ts") >= F.col("ts_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_purchase"))
+    )
+
+    n_v = view.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(1).alias("stage_no"), F.lit("view").alias("stage"), "n"
+    )
+    n_c = click.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(2).alias("stage_no"), F.lit("click").alias("stage"), "n"
+    )
+    n_p = purchase.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(3).alias("stage_no"), F.lit("purchase").alias("stage"), "n"
+    )
+    stages = n_v.unionByName(n_c).unionByName(n_p)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("stage_no")  # 3-row frame: driver-trivial window
+    return stages.select(
+        "stage_no",
+        "stage",
+        F.col("n").alias("n_users"),
+        round_portable(
+            F.col("n") / F.coalesce(F.lag("n").over(w), F.col("n")), 6
+        ).alias("conv_from_prev"),
+    )
+
+
+ORACLE_EVENTS_FUNNEL = f"""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS ts_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS ts_click
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts >= v.ts_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS ts_purchase
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= c.ts_click
+    GROUP BY e.user_id
+),
+stages AS (
+    SELECT 1 AS stage_no, 'view' AS stage, COUNT(*) AS n FROM v
+    UNION ALL
+    SELECT 2, 'click', COUNT(*) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*) FROM p
+)
+SELECT stage_no, stage, n AS n_users,
+       {round_portable_sql("n * 1.0 / COALESCE(LAG(n) OVER (ORDER BY stage_no), n)", 6)} AS conv_from_prev
+FROM stages
+"""
+
+
+def query_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by the ISO week
+    of their first event; one row per (cohort_week, week_offset) with
+    the count of cohort members active that week.
+
+    Both the cohort assignment and the activity matrix are hash
+    aggregates on user_id keys — the single-shuffle shape that survives
+    any corpus size; week arithmetic is integer day math on DATEs (no
+    engine-specific week-of-year semantics).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    activity = ev.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.expr(
+            "datediff(cast(date_trunc('week', ts) as date), cohort_day) div 7"
+        ).alias("week_offset"),
+    )
+    return (
+        activity.groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
+ORACLE_RETENTION_COHORT = """
+WITH firsts AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_day
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT e.user_id, f.cohort_day,
+           datediff('day', f.cohort_day,
+                    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_offset
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_week,
+       week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM activity
+GROUP BY cohort_day, week_offset
+"""

@@ -1,0 +1,182 @@
+"""Linear-algebra + graph operators: Gram matrix, PageRank.
+
+- **Gram matrix** (``emb_gram_matrix``): G = Σ v·vᵀ over the embedding
+  column — the input to PCA whitening / spectral dedup of a corpus'
+  embedding space. Spark-first shape: ``posexplode`` to long form, one
+  self equi-join on vec_id (shuffle volume = rows×dim, NOT rows×dim²:
+  the i ≤ j pair blowup happens after the exchange), one hash aggregate
+  on (i, j) — output is d(d+1)/2 rows regardless of corpus size. Float
+  parity follows the centroid contract (embedding_stats.py): inputs
+  portable-rounded to 6 dp, products summed as DECIMAL(27,12). At
+  100 TB the same result comes cheaper from per-partition BLAS partials
+  (``mapInPandas`` computing XᵀX per Arrow batch, then summing d² rows
+  per partition); the relational form is kept as the checked query
+  because it is decimal-exact and engine-portable.
+
+- **PageRank** (``graph_pagerank``): two unrolled power iterations over
+  a co-activity graph derived from `events` (edge u→v when v's event
+  directly follows u's in the same event_type stream; LAG over
+  (ts, event_id) makes the edge list deterministic). Damping 0.85, no
+  dangling-mass redistribution (nodes without out-edges leak rank —
+  documented, identical on both sides). Each iteration is one join on
+  src + one hash agg on dst — the exact shape GraphX/Pregel run per
+  superstep; per-edge contributions are summed as DECIMAL(38,18) so the
+  reduction order can't shift the result between engines. Iteration
+  count is fixed (2), so the oracle is plain SQL — no recursion needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
+from bigdata_project_spark.sources.readers import load_table
+
+_DEC_GRAM = "decimal(27,12)"
+_DEC_PR = "decimal(38,18)"
+DAMPING = 0.85
+
+
+def query_emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        round_portable(F.col("val").cast("double"), 6).alias("v6"),
+    )
+    a, b = long.alias("a"), long.alias("b")
+    pairs = a.join(b, "vec_id").filter(F.col("a.pos") <= F.col("b.pos"))
+    return (
+        pairs.select(
+            F.col("a.pos").alias("i"),
+            F.col("b.pos").alias("j"),
+            (F.col("a.v6") * F.col("b.v6")).cast(_DEC_GRAM).alias("prod"),
+        )
+        .groupBy("i", "j")
+        .agg(round_portable(F.sum("prod").cast("double"), 6).alias("gram"))
+    )
+
+
+ORACLE_EMB_GRAM_MATRIX = f"""
+WITH long AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS pos,
+           {round_portable_sql("CAST(unnest(embedding) AS DOUBLE)", 6)} AS v6
+    FROM embeddings
+)
+SELECT a.pos AS i, b.pos AS j,
+       {round_portable_sql("CAST(SUM(CAST(a.v6 * b.v6 AS DECIMAL(27,12))) AS DOUBLE)", 6)} AS gram
+FROM long a JOIN long b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY a.pos, b.pos
+"""
+
+
+def coactivity_edges(ev: DataFrame) -> DataFrame:
+    """Directed edge u→v when v's event directly follows u's within the
+    same event_type, ordered by (ts, event_id); self-loops dropped."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", "ts", "event_id", "user_id",
+        F.lag("user_id").over(w).alias("prev_user"),
+    )
+    return (
+        seq.filter(
+            F.col("prev_user").isNotNull() & (F.col("prev_user") != F.col("user_id"))
+        )
+        .select(F.col("prev_user").alias("src"), F.col("user_id").alias("dst"))
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, n_iter: int = 2, damping: float = DAMPING) -> DataFrame:
+    """Unrolled power iteration: returns (id, pr) for every node."""
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "id", "nn", (F.lit(1.0) / F.col("nn")).alias("pr")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(pr.select(F.col("id").alias("src"), "pr"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                ((F.lit(damping) * F.col("pr")) / F.col("outdeg"))
+                .cast(_DEC_PR)
+                .alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            pr.select("id", "nn")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                "nn",
+                (
+                    F.lit(1.0 - damping) / F.col("nn")
+                    + F.coalesce(F.col("s"), F.lit(0).cast(_DEC_PR)).cast("double")
+                ).alias("pr"),
+            )
+        )
+    return pr.select("id", "pr")
+
+
+def query_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ranks = pagerank(coactivity_edges(ev))
+    return ranks.select(
+        F.col("id").alias("user_id"), round_portable(F.col("pr"), 12).alias("pagerank")
+    )
+
+
+ORACLE_GRAPH_PAGERANK = f"""
+WITH seq AS (
+    SELECT event_type, ts, event_id, user_id,
+           LAG(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user
+    FROM events
+),
+edges AS (
+    SELECT DISTINCT prev_user AS src, user_id AS dst
+    FROM seq WHERE prev_user IS NOT NULL AND prev_user <> user_id
+),
+nodes AS (
+    SELECT src AS id FROM edges UNION SELECT dst FROM edges
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT id, nn, 1.0 / nn AS pr FROM nodes, n),
+c1 AS (
+    SELECT e.dst AS id, SUM(CAST(({DAMPING} * p.pr) / d.outdeg AS DECIMAL(38,18))) AS s
+    FROM edges e JOIN pr0 p ON p.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+pr1 AS (
+    SELECT p.id, p.nn,
+           {1.0 - DAMPING} / p.nn
+             + CAST(COALESCE(c1.s, CAST(0 AS DECIMAL(38,18))) AS DOUBLE) AS pr
+    FROM pr0 p LEFT JOIN c1 ON c1.id = p.id
+),
+c2 AS (
+    SELECT e.dst AS id, SUM(CAST(({DAMPING} * p.pr) / d.outdeg AS DECIMAL(38,18))) AS s
+    FROM edges e JOIN pr1 p ON p.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+),
+pr2 AS (
+    SELECT p.id, p.nn,
+           {1.0 - DAMPING} / p.nn
+             + CAST(COALESCE(c2.s, CAST(0 AS DECIMAL(38,18))) AS DOUBLE) AS pr
+    FROM pr1 p LEFT JOIN c2 ON c2.id = p.id
+)
+SELECT id AS user_id, {round_portable_sql("pr", 12)} AS pagerank
+FROM pr2
+"""

@@ -1,0 +1,214 @@
+"""Training-batch assembly operators: sequence packing + domain mixture.
+
+Two ops every LLM pretraining pipeline runs between "clean corpus" and
+"write training shards" (beyond the reference's own surface — its silver
+layer stops at conformed tables, reference silver/** — these are the
+next stage a 100 TB corpus needs):
+
+- **Sequence packing** (``pack_sequences``): concatenate documents in a
+  deterministic order and split the token stream into fixed-size
+  training sequences (GPT-style concat-and-chunk, documents spanning
+  chunk boundaries split across them). The core primitive is a GLOBAL
+  prefix sum of token counts — the naive Spark form is a window over an
+  unpartitioned ordering, i.e. every row through ONE reducer, which is
+  exactly what dies at 100 TB. Implemented instead as the textbook
+  two-pass distributed scan:
+
+      1. per-bucket token sums (one combiner-friendly hash agg),
+      2. exclusive cumsum over the tiny bucket table (thousands of rows
+         even at 100 TB — window over a broadcast-sized frame),
+      3. broadcast the bucket offsets back; within-bucket window cumsum
+         (partitioned by bucket → parallel across buckets).
+
+  Per-doc offsets then yield each doc's [start_bin, end_bin] span by
+  integer arithmetic; ``F.sequence`` explodes the span and one hash agg
+  per sequence finishes. No stage sees an unpartitioned window.
+
+- **Domain mixture** (``domain_mixture``): deterministically subsample
+  each domain so the kept corpus matches target mixture weights — the
+  "20% code, 50% web …" knob. Feasible total T = min_d(n_d / w_d);
+  keep floor(w_d * T) docs of domain d, selected by md5(doc_id) rank so
+  the sample is stable across runs and layouts. The per-domain
+  ROW_NUMBER here is one reducer per domain — fine for the checked
+  output; the 100 TB path replaces the rank with a hash-bucket
+  histogram cut (count docs per (domain, first-16-bits-of-md5) bucket,
+  cumsum the 64Ki-row histogram, keep whole buckets below the cut and
+  rank only the single boundary bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.functions.text import tokens
+from bigdata_project_spark.sources.readers import load_table
+
+#: training sequence length (tokens) for the registered query
+SEQ_LEN = 512
+#: docs per prefix-sum bucket; at 100 TB bump so the bucket table stays
+#: ~thousands of rows (its cumsum is the only single-partition step)
+BUCKET_DOCS = 128
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Assign every document a [start_bin, end_bin] span of training
+    sequences via a distributed prefix sum over whitespace-token counts.
+
+    Returns one row per (doc_id, seq_id) with the token count that doc
+    contributes to that sequence.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("tok"),
+        F.expr(f"doc_id div {BUCKET_DOCS}").alias("bucket"),
+    )
+    # pass 1: per-bucket totals (tiny), exclusive cumsum over buckets
+    bucket_tot = toks.groupBy("bucket").agg(F.sum("tok").alias("btok"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_off = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("btok").over(w_b), F.lit(0)).alias("boff")
+    )
+    # pass 2: within-bucket exclusive cumsum, shifted by the bucket offset
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = toks.join(F.broadcast(bucket_off), "bucket").select(
+        "doc_id",
+        "tok",
+        (F.coalesce(F.sum("tok").over(w_in), F.lit(0)) + F.col("boff")).alias("off"),
+    )
+    spans = offs.select(
+        "doc_id",
+        "tok",
+        "off",
+        F.expr(f"off div {seq_len}").alias("start_bin"),
+        F.expr(f"(off + tok - 1) div {seq_len}").alias("end_bin"),
+    )
+    return spans.select(
+        "doc_id",
+        "off",
+        "tok",
+        F.explode(F.sequence("start_bin", "end_bin")).alias("seq_id"),
+    ).select(
+        "doc_id",
+        "seq_id",
+        (
+            F.least(F.col("off") + F.col("tok"), (F.col("seq_id") + 1) * seq_len)
+            - F.greatest(F.col("off"), F.col("seq_id") * seq_len)
+        ).alias("seq_tokens"),
+    )
+
+
+def query_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence packing summary: how many docs feed each training
+    sequence and the doc-id range it covers (boundary docs count in both
+    neighbours)."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("seq_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS tok
+    FROM documents
+),
+offs AS (
+    SELECT doc_id, tok,
+           COALESCE(SUM(tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM toks
+),
+spans AS (
+    SELECT doc_id, tok, CAST(off AS BIGINT) AS off,
+           CAST(off // {SEQ_LEN} AS BIGINT) AS start_bin,
+           CAST((off + tok - 1) // {SEQ_LEN} AS BIGINT) AS end_bin
+    FROM offs
+),
+exploded AS (
+    SELECT doc_id, off, tok,
+           unnest(generate_series(start_bin, end_bin)) AS seq_id
+    FROM spans
+),
+scored AS (
+    SELECT doc_id, seq_id,
+           least(off + tok, (seq_id + 1) * {SEQ_LEN})
+             - greatest(off, seq_id * {SEQ_LEN}) AS seq_tokens
+    FROM exploded
+)
+SELECT seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(seq_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM scored
+GROUP BY seq_id
+"""
+
+#: mixture weight numerators: domain ``src{i}`` gets weight (i+1)/210
+_W_DENOM = 210.0
+
+
+def query_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture subsample of `documents` by `source`.
+
+    Target weight for domain ``src{i}`` is (i+1)/210 (sum of 1..20); the
+    feasible total is capped by the scarcest domain relative to its
+    weight, then each domain keeps its floor(w*T) docs with the smallest
+    md5(doc_id) — a replay-stable sample independent of partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    weighted = counts.select(
+        "source",
+        "n",
+        (
+            (F.regexp_extract("source", r"src(\d+)", 1).cast("int") + 1) / F.lit(_W_DENOM)
+        ).alias("w"),
+    )
+    cap = weighted.agg(F.min(F.col("n") / F.col("w")).alias("cap"))
+    keep = weighted.crossJoin(F.broadcast(cap)).select(
+        "source", F.floor(F.col("w") * F.col("cap")).alias("keep_n")
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w_rank).alias("rnk")
+    )
+    return (
+        ranked.join(F.broadcast(keep), "source")
+        .filter(F.col("rnk") <= F.col("keep_n"))
+        .select("doc_id", "source")
+    )
+
+
+ORACLE_DOMAIN_MIXTURE = f"""
+WITH c AS (
+    SELECT source, COUNT(*) AS n,
+           (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) + 1) / {_W_DENOM} AS w
+    FROM documents
+    GROUP BY source
+),
+t AS (SELECT MIN(n / w) AS cap FROM c),
+k AS (SELECT source, CAST(floor(w * cap) AS BIGINT) AS keep_n FROM c, t),
+r AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+    FROM documents
+)
+SELECT r.doc_id, r.source
+FROM r JOIN k USING (source)
+WHERE rnk <= keep_n
+"""

@@ -1,0 +1,79 @@
+"""Funnel/retention monotonicity; Gram vs numpy; PageRank vs numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.operators.funnel import (
+    query_events_funnel,
+    query_retention_cohort,
+)
+from bigdata_project_spark.operators.graph import (
+    DAMPING,
+    coactivity_edges,
+    pagerank,
+    query_emb_gram_matrix,
+)
+from bigdata_project_spark.sources.readers import load_table
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    rows = sorted(query_events_funnel(spark, sf_dir).collect(), key=lambda r: r["stage_no"])
+    assert [r["stage"] for r in rows] == ["view", "click", "purchase"]
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0]["conv_from_prev"] == 1.0
+    for r in rows[1:]:
+        assert 0.0 <= r["conv_from_prev"] <= 1.0
+
+
+def test_retention_offset_zero_covers_cohort(spark, sf_dir):
+    """Every user is active in their own first week."""
+    rows = query_retention_cohort(spark, sf_dir).collect()
+    zero = {r["cohort_week"]: r["n_users"] for r in rows if r["week_offset"] == 0}
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd").alias("w")
+    )
+    cohort_sizes = {
+        r["w"]: r["n"] for r in firsts.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert zero == cohort_sizes
+    assert all(r["week_offset"] >= 0 for r in rows)
+
+
+def test_gram_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    X = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    X6 = np.floor(X * 1e6 + 0.5) / 1e6  # round_portable
+    G = X6.T @ X6
+    got = {(r["i"], r["j"]): r["gram"] for r in query_emb_gram_matrix(spark, sf_dir).collect()}
+    d = X.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert abs(v - G[i - 1, j - 1]) < 1e-5, (i, j, v, G[i - 1, j - 1])
+
+
+def test_pagerank_matches_numpy(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    edges = coactivity_edges(ev)
+    e = [(r["src"], r["dst"]) for r in edges.collect()]
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in e:
+        outdeg[idx[u]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(2):
+        nxt = np.full(n, (1.0 - DAMPING) / n)
+        for u, v in e:
+            nxt[idx[v]] += DAMPING * pr[idx[u]] / outdeg[idx[u]]
+        pr = nxt
+    got = {r["id"]: r["pr"] for r in pagerank(edges).collect()}
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert abs(got[u] - pr[idx[u]]) < 1e-9, u
+    # rank leaks through dangling nodes only: total mass bounded by 1
+    assert sum(got.values()) <= 1.0 + 1e-9

@@ -1,0 +1,98 @@
+"""Sequence packing + domain mixture: conservation and determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdata_project_spark.operators.packing import (
+    SEQ_LEN,
+    pack_sequences,
+    query_domain_mixture,
+    query_pack_sequences,
+)
+from bigdata_project_spark.functions.text import tokens
+from bigdata_project_spark.sources.readers import load_table
+
+
+def test_pack_conserves_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    total_tok = docs.select(F.sum(F.size(tokens(F.col("text"))))).collect()[0][0]
+    packed_tok = pack_sequences(docs).select(F.sum("seq_tokens")).collect()[0][0]
+    assert packed_tok == total_tok
+
+
+def test_pack_every_bin_full_except_last(spark, sf_dir):
+    out = query_pack_sequences(spark, sf_dir).collect()
+    by_bin = {r["seq_id"]: r["n_tokens"] for r in out}
+    last = max(by_bin)
+    for b, n in by_bin.items():
+        if b != last:
+            assert n == SEQ_LEN, f"bin {b} has {n} tokens"
+    assert 0 < by_bin[last] <= SEQ_LEN
+    # bins are dense 0..last
+    assert sorted(by_bin) == list(range(last + 1))
+
+
+def test_pack_matches_naive_global_window(spark, sf_dir):
+    """The two-pass distributed prefix sum equals the naive (single
+    reducer) unpartitioned-window cumsum."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r["doc_id"]: r["off"]
+        for r in toks.select(
+            "doc_id", F.coalesce(F.sum("tok").over(w), F.lit(0)).alias("off")
+        ).collect()
+    }
+    packed = pack_sequences(docs)
+    starts = {
+        r["doc_id"]: r["seq_id"]
+        for r in packed.groupBy("doc_id").agg(F.min("seq_id").alias("seq_id")).collect()
+    }
+    for doc_id, off in naive.items():
+        assert starts[doc_id] == off // SEQ_LEN
+
+
+def test_mixture_hits_floor_of_weighted_cap(spark, sf_dir):
+    kept = query_domain_mixture(spark, sf_dir)
+    counts = {r["source"]: r["cnt"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r["source"]: r["cnt"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    weights = {s: (int(s[3:]) + 1) / 210.0 for s in totals}
+    cap = min(totals[s] / weights[s] for s in totals)
+    for s, n in counts.items():
+        assert n == int(weights[s] * cap)
+        assert n <= totals[s]
+
+
+def test_mixture_stable_across_layouts(spark, sf_dir):
+    a = {tuple(r) for r in query_domain_mixture(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").repartition(13)
+    from bigdata_project_spark.operators import packing
+
+    # same query body over a repartitioned scan
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    weighted = counts.select(
+        "source", "n",
+        ((F.regexp_extract("source", r"src(\d+)", 1).cast("int") + 1) / F.lit(packing._W_DENOM)).alias("w"),
+    )
+    cap = weighted.agg(F.min(F.col("n") / F.col("w")).alias("cap"))
+    keep = weighted.crossJoin(F.broadcast(cap)).select(
+        "source", F.floor(F.col("w") * F.col("cap")).alias("keep_n")
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    b = {
+        tuple(r)
+        for r in docs.select("doc_id", "source", F.row_number().over(w_rank).alias("rnk"))
+        .join(F.broadcast(keep), "source")
+        .filter(F.col("rnk") <= F.col("keep_n"))
+        .select("doc_id", "source")
+        .collect()
+    }
+    assert a == b

@@ -23,8 +23,15 @@ def _plan(spark, sf_dir, name: str) -> str:
 # deliberate tiny-side cross joins: 1-row broadcast query vector
 # (sim_cosine_topk) and crosses of 1-row aggregate results
 # (agg_approx_distinct / agg_approx_quantiles — Expand-free sketch-vs-
-# exact contracts, see their docstrings)
-_CROSS_JOIN_OK = {"sim_cosine_topk", "agg_approx_distinct", "agg_approx_quantiles"}
+# exact contracts; pipeline_domain_mixture's feasible-total cap and
+# graph_pagerank's 1/N node-count scalar are the same shape)
+_CROSS_JOIN_OK = {
+    "sim_cosine_topk",
+    "agg_approx_distinct",
+    "agg_approx_quantiles",
+    "pipeline_domain_mixture",
+    "graph_pagerank",
+}
 
 
 def test_no_cartesian_products_anywhere(spark, sf_dir):
