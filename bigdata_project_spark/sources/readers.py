@@ -47,9 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            # integer division: ns epochs (~1.7e18) overflow double precision
+            # integer division: ns epochs (~1.7e18) overflow double precision.
+            # Unit detected by magnitude (ns > 1e17 for any modern date, µs
+            # < 1e17 until year ~5138) — see streaming/windows.py
+            us = F.when(
+                F.col("ts") > F.lit(100_000_000_000_000_000),
+                F.expr("ts div 1000"),
+            ).otherwise(F.col("ts"))
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                "ts", F.timestamp_micros(us).cast("timestamp_ntz")
             )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -38,8 +38,18 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    # The long-typed scan yields epoch integers whose unit depends on how
+    # the fixture was generated (TIMESTAMP(NANOS) → ns via nanosAsLong;
+    # TIMESTAMP(MICROS) → µs directly). Normalize by magnitude: any
+    # modern date is > 1e17 as ns and < 1e17 as µs (µs won't reach 1e17
+    # until year ~5138), so the branch is unambiguous. Getting this wrong
+    # compresses event time 1000× and silently floods interval joins —
+    # caught by the stream-vs-batch equality tests.
+    us = F.when(
+        F.col("ts") > F.lit(100_000_000_000_000_000), F.expr("ts div 1000")
+    ).otherwise(F.col("ts"))
     # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.timestamp_micros(us))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
