@@ -311,3 +311,58 @@ SELECT doc_id,
        ) AS fingerprint
 FROM documents
 """
+
+
+# ------------------------------------------------------ hashing trick --
+
+#: fixed feature dimensionality for the hashed bag-of-ngrams
+HASH_DIM = 64
+
+
+def query_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: token bigrams hashed into a fixed
+    HASH_DIM-dimensional count vector, emitted in sparse long form
+    (doc_id, dim, n) — the fastText/Vowpal-Wabbit input representation,
+    and the feature stage ahead of any linear quality classifier over
+    the corpus.
+
+    Spark-first shape: build the bigram array per row with ``zip_with``
+    over the token array and its tail (no self-join), explode, hash with
+    the engine-portable md5-based word hash, ONE combiner-friendly
+    aggregate on (doc_id, dim). Output rows ≤ docs × HASH_DIM regardless
+    of text length; the hash space is fixed, so downstream feature
+    tables never reshape as the corpus grows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    exploded = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    return (
+        exploded.select(
+            "doc_id", F.pmod(word_hash16(F.col("bg")), F.lit(HASH_DIM)).alias("dim")
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_HASHING_FEATURES = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+),
+bigrams AS (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bg
+    FROM toks
+)
+SELECT doc_id,
+       CAST({WORD_HASH16_SQL.format(w="bg")} % {HASH_DIM} AS INT) AS dim,
+       COUNT(*) AS n
+FROM bigrams
+GROUP BY doc_id, dim
+"""
