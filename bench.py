@@ -12,6 +12,15 @@ is rolled up into ``queries.others = {"n": N, "sum": S}``, and the FULL
 per-query timing dict is written to ``BENCH_DETAIL.json`` next to this
 file (committed per round; BASELINE.md's tables are built from it).
 
+Constant-overhead policy (decided r5): every timing deliberately
+includes Spark's fixed per-query planning/scheduling floor (~0.2-0.5 s
+on local[32]). Queries whose DuckDB oracle is sub-second (the sim_*
+family, agg_cube/rollup, …) are bounded by that constant, not by plan
+shape — it is a per-query constant, not a scale term, and disappears
+into the work at 100 TB. We do NOT cache fixture DataFrames across
+queries to mask it: the DuckDB baseline pays its cold scan per query,
+so masking ours would make the ratio non-comparable.
+
 Env:
     SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local parallelism (default all cores)

@@ -7,11 +7,14 @@
   the i ≤ j pair blowup happens after the exchange), one hash aggregate
   on (i, j) — output is d(d+1)/2 rows regardless of corpus size. Float
   parity follows the centroid contract (embedding_stats.py): inputs
-  portable-rounded to 6 dp, products summed as DECIMAL(27,12). At
-  100 TB the same result comes cheaper from per-partition BLAS partials
-  (``mapInPandas`` computing XᵀX per Arrow batch, then summing d² rows
-  per partition); the relational form is kept as the checked query
-  because it is decimal-exact and engine-portable.
+  portable-rounded to 6 dp, products summed as DECIMAL(27,12).
+
+- **Gram matrix, production path** (``emb_gram_blas``): the same result
+  from per-Arrow-batch XᵀX partials (``mapInPandas``) + one d²-row
+  aggregate — integer-scaled so it stays bit-identical to the
+  relational form and shares its oracle (see the function docstring).
+  Both are registered: the relational form is the cross-engine
+  anchor, the BLAS form is what you run at 100 TB.
 
 - **PageRank** (``graph_pagerank``): two unrolled power iterations over
   a co-activity graph derived from `events` (edge u→v when v's event
@@ -72,6 +75,66 @@ SELECT a.pos AS i, b.pos AS j,
 FROM long a JOIN long b ON a.vec_id = b.vec_id AND a.pos <= b.pos
 GROUP BY a.pos, b.pos
 """
+
+GRAM_DIM = 64
+
+
+def query_emb_gram_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path Gram matrix: per-Arrow-batch XᵀX partials via
+    ``mapInPandas``, then one d²-row aggregate — the 100-TB shape the
+    relational form's docstring promises.
+
+    Shuffle volume is d(d+1)/2 rows *per Arrow batch* (2 080 for d=64)
+    regardless of how many vectors the batch holds, vs rows×dim for the
+    relational self-join — at 100 TB that is the difference between
+    shuffling kilobytes per task and shuffling the corpus.
+
+    Exactness (bit-identical to ``emb_gram_matrix`` and its DuckDB
+    oracle, no float tolerance needed): each value is scaled to the
+    integer ``floor(v·1e6 + 0.5)`` — the ``round_portable(·, 6)`` twin —
+    so a partial MᵀM in int64 is exactly ``1e12 · Σ v6ᵢ·v6ⱼ``, the same
+    integer the oracle's DECIMAL(27,12) sum carries. The final
+    rescale runs in DECIMAL, so no double-rounding can creep in.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def batches(it):
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        tri_i, tri_j = np.triu_indices(GRAM_DIM)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            scaled = np.floor(m * 1e6 + 0.5).astype("int64")
+            partial = scaled.T @ scaled  # exact: int64 products/sums
+            yield pd.DataFrame(
+                {
+                    "i": (tri_i + 1).astype("int32"),
+                    "j": (tri_j + 1).astype("int32"),
+                    # exact shift back to scale 12 — d² Decimal objects
+                    # per batch, nothing row-count-proportional
+                    "partial": [
+                        Decimal(int(v)).scaleb(-12) for v in partial[tri_i, tri_j]
+                    ],
+                }
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        batches, schema=f"i int, j int, partial {_DEC_GRAM}"
+    )
+    return (
+        parts.groupBy("i", "j")
+        .agg(round_portable(F.sum("partial").cast("double"), 6).alias("gram"))
+        .select("i", "j", "gram")
+    )
+
+
+#: exact same result contract → exact same oracle
+ORACLE_EMB_GRAM_BLAS = ORACLE_EMB_GRAM_MATRIX
 
 
 def coactivity_edges(ev: DataFrame) -> DataFrame:

@@ -62,7 +62,12 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
         "doc_id",
         F.size(tokens(F.col("text"))).cast("long").alias("tok"),
         F.expr(f"doc_id div {BUCKET_DOCS}").alias("bucket"),
-    )
+        # tok == 0 would make end_bin = start_bin - 1: F.sequence walks it
+        # DESCENDING (2 spurious rows) where generate_series returns empty.
+        # tokens('') yields [''] (size 1) so it can't happen on whitespace
+        # tokenization, but don't lean on that invariant — zero-token docs
+        # contribute no sequence tokens either way.
+    ).filter(F.col("tok") > 0)
     # pass 1: per-bucket totals (tiny), exclusive cumsum over buckets
     bucket_tot = toks.groupBy("bucket").agg(F.sum("tok").alias("btok"))
     w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -118,9 +123,11 @@ def query_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PACK_SEQUENCES = f"""
 WITH toks AS (
-    SELECT doc_id,
-           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS tok
-    FROM documents
+    SELECT * FROM (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS tok
+        FROM documents
+    ) WHERE tok > 0
 ),
 offs AS (
     SELECT doc_id, tok,
@@ -166,7 +173,12 @@ def query_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight, then each domain keeps its floor(w*T) docs with the smallest
     md5(doc_id) — a replay-stable sample independent of partitioning.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # Explicit domain-name contract: a source not matching src<i> would
+    # produce a NULL weight here but a CAST error in the DuckDB oracle —
+    # filter it on BOTH engines so failure modes can't diverge.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").rlike(r"src(\d+)")
+    )
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     weighted = counts.select(
         "source",
@@ -193,10 +205,14 @@ def query_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DOMAIN_MIXTURE = f"""
-WITH c AS (
+WITH d AS (
+    SELECT doc_id, source FROM documents
+    WHERE regexp_matches(source, 'src(\\d+)')
+),
+c AS (
     SELECT source, COUNT(*) AS n,
            (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) + 1) / {_W_DENOM} AS w
-    FROM documents
+    FROM d
     GROUP BY source
 ),
 t AS (SELECT MIN(n / w) AS cap FROM c),
@@ -206,7 +222,7 @@ r AS (
            ROW_NUMBER() OVER (
                PARTITION BY source
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
-    FROM documents
+    FROM d
 )
 SELECT r.doc_id, r.source
 FROM r JOIN k USING (source)

@@ -99,28 +99,89 @@ def write_zordered(
     )
 
 
+def distributed_ntile(
+    df: DataFrame, n_buckets: int, order_cols: list[str], n_parts: int = 32
+) -> DataFrame:
+    """``ntile(n_buckets) OVER (ORDER BY order_cols)`` without the global
+    single-task window.
+
+    Classic distributed ranking, the same boundary-sampling idea
+    ``repartitionByRange`` uses, made branch-deterministic: sampled cut
+    points on the leading order column are collected ONCE driver-side
+    (``approxQuantile``, a handful of doubles), so the range-partition
+    id is a *pure function of the row*. A per-range ``row_number``
+    window (partitioned — parallel) plus the exclusive cumsum of the
+    tiny per-range count table turns local row numbers into exact
+    global ranks. Every window here runs over either a partition-local
+    frame or the ≤``n_parts``-row count table — no
+    ``WindowExec: No Partition Defined`` path anywhere, and no reliance
+    on exchange reuse or checkpointing for cross-branch consistency.
+
+    Bucket assignment then replays SQL ntile's exact semantics (first
+    ``n mod N`` buckets one row larger), so results — and the oracle —
+    are identical to the serial window form. Requires the order key to
+    be unique overall (true here: it ends in the lineitem primary key);
+    ties on the *leading* column are fine because equal leading values
+    always land in the same range."""
+    lead = order_cols[0]
+    probs = [i / n_parts for i in range(1, n_parts)]
+    cuts = sorted(set(df.stat.approxQuantile(lead, probs, 0.001)))
+    pid: Column = F.lit(0)
+    for c in cuts:
+        pid = pid + (F.col(lead) > F.lit(c)).cast("int")
+    keyed = df.withColumn("__pid", pid)
+    # per-range counts → exclusive cumsum, driver-side: ≤ n_parts rows,
+    # the same k-bounded collect budget as ivf/pq centroid pulls
+    counts = dict(
+        keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
+    )
+    n = sum(counts.values())
+    offs, acc = {}, 0
+    for p in sorted(counts):
+        offs[p] = acc
+        acc += counts[p]
+    off_map = F.create_map(
+        *[F.lit(x) for p in sorted(offs) for x in (p, offs[p])]
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    ranked = keyed.withColumn(
+        "__rank", F.row_number().over(w_local) + off_map[F.col("__pid")]
+    )
+    # SQL ntile over n rows: q = n div N, rem = n mod N; the first rem
+    # buckets hold q+1 rows, the rest q.
+    q, rem = divmod(n, n_buckets)
+    big = rem * (q + 1)  # rows covered by the q+1-sized buckets
+    if q == 0:
+        bucket = F.floor((F.col("__rank") - 1) / max(q + 1, 1)) + 1
+    else:
+        bucket = F.when(
+            F.col("__rank") <= F.lit(big),
+            F.floor((F.col("__rank") - 1) / (q + 1)) + 1,
+        ).otherwise(F.lit(rem) + F.floor((F.col("__rank") - 1 - big) / q) + 1)
+    return ranked.withColumn("bucket", bucket.cast("int")).drop("__pid", "__rank")
+
+
 def query_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering quality of the z-order layout: bucket lineitem into
     N_BUCKETS contiguous z-ranges (what repartitionByRange produces) and
     report each bucket's row count and min/max extent in BOTH dims.
     Tight extents in both columns = 2-D pruning works.
 
-    The global ntile window is a deliberately serial *diagnostic* (it
-    mirrors what the oracle can express); at 100 TB you run it over a
-    sample, while the production path — ``write_zordered`` — uses
-    repartitionByRange, which samples boundaries and never funnels rows
-    through one task."""
+    Bucketing runs through :func:`distributed_ntile` — exact SQL-ntile
+    semantics with no global window, so the plan scales like any range
+    exchange while the oracle keeps its plain ``ntile``."""
     li = load_table(spark, sf_dir, "lineitem")
     lo_x, hi_x, lo_y, hi_y = li.agg(
         F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
     ).first()
     x = scaled(F.col("l_partkey"), lo_x, hi_x)
     y = scaled(F.col("l_suppkey"), lo_y, hi_y)
-    w = Window.orderBy("z", "l_orderkey", "l_linenumber")
-    return (
+    zed = (
         li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
         .withColumn("z", zvalue(x, y))
-        .withColumn("bucket", F.ntile(N_BUCKETS).over(w))
+    )
+    return (
+        distributed_ntile(zed, N_BUCKETS, ["z", "l_orderkey", "l_linenumber"])
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -26,7 +26,9 @@ Scale notes:
   bounded by per-key row counts.
 - Both dimension joins broadcast (customer/supplier dims ≪ fact).
 - ILIKE-join is implemented as equality on lower() keys → hash join, not
-  BNLJ (SURVEY.md §7.4 decision).
+  BNLJ (SURVEY.md §7.4 decision), guarded by a wildcard probe on the
+  pattern dim that falls back to faithful theta ILIKE when `%`/`_`
+  appear (see :func:`ilike_name_join`).
 """
 
 from __future__ import annotations
@@ -40,6 +42,26 @@ from bigdata_project_spark.functions.scalars import (
 )
 from bigdata_project_spark.operators.distinct_on import distinct_on
 from bigdata_project_spark.sources.readers import load_table
+
+
+def ilike_name_join(fact: DataFrame, name_col: str, dim: DataFrame, pattern_col: str) -> DataFrame:
+    """J1 faithful ILIKE left join (reference silver/ine/ine_empresas.py:38-39).
+
+    The reference joins ``a.nombre ILIKE m.nombre``. When the pattern side
+    carries no LIKE wildcards, ILIKE degenerates to case-insensitive
+    equality — a broadcast HASH join, the scalable reading (SURVEY §7.4).
+    That rewrite is only sound while the dim is wildcard-free, so probe
+    the (broadcast-sized) pattern side ONCE for ``%``/``_``: if any row
+    carries one, fall back to the faithful theta ILIKE
+    (broadcast-nested-loop over the dim — reference semantics preserved
+    at dim-scan-per-row cost). The probe is a LIMIT-1 count on the dim,
+    negligible next to its broadcast."""
+    has_wildcard = dim.filter(F.col(pattern_col).rlike("[%_]")).limit(1).count() > 0
+    if has_wildcard:
+        cond = F.ilike(F.col(name_col), F.col(pattern_col))
+    else:
+        cond = F.lower(F.col(name_col)) == F.lower(F.col(pattern_col))
+    return fact.join(F.broadcast(dim), cond, "left")
 
 
 def _bronze_ine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,11 +157,7 @@ def query_ine_empresas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     joined = (
-        one.join(
-            F.broadcast(muni),
-            F.lower(F.col("municipio")) == F.lower(F.col("m_nombre")),
-            "left",
-        )
+        ilike_name_join(one, "municipio", muni, "m_nombre")
         .join(
             F.broadcast(cross),
             F.col("m_codigo") % 100 == F.col("municipio_ine"),
@@ -206,11 +224,7 @@ def query_ine_poblacion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("s_suppkey") % 5 == 1, F.concat(F.lit("G"), F.col("s_suppkey"))).alias("gau_mitma"),
     )
     joined = (
-        flat.join(
-            F.broadcast(muni),
-            F.lower(F.col("nombre")) == F.lower(F.col("m_nombre")),
-            "left",
-        )
+        ilike_name_join(flat, "nombre", muni, "m_nombre")
         .join(
             F.broadcast(cross),
             F.col("m_codigo") % 100 == F.col("municipio_ine"),

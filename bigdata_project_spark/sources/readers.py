@@ -45,20 +45,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        path = f"{sf_dir}/{name}.parquet"
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            # integer division: ns epochs (~1.7e18) overflow double precision.
-            # Unit detected by magnitude (ns > 1e17 for any modern date, µs
-            # < 1e17 until year ~5138) — see streaming/windows.py
-            us = F.when(
-                F.col("ts") > F.lit(100_000_000_000_000_000),
-                F.expr("ts div 1000"),
-            ).otherwise(F.col("ts"))
+            # The nanosAsLong conf surfaces TIMESTAMP(NANOS) as raw int64.
+            # Detect the unit ONCE per table from the parquet logical type
+            # (footer read, no data scan) — a per-row magnitude heuristic
+            # would misclassify pre-1973 nanos epochs as micros and mix
+            # units within one table. Integer division throughout: ns
+            # epochs (~1.7e18) overflow double precision.
+            unit = _parquet_ts_unit(path, "ts")
+            if unit is None:
+                # plain-int64 column (no logical type): one table-level
+                # max() probe — ns > 1e17 for any modern date, µs < 1e17
+                # until year ~5138. Table-level, so units can't mix.
+                mx = df.agg(F.max("ts")).first()[0]
+                unit = "ns" if mx is not None and mx > 100_000_000_000_000_000 else "us"
+            divisor = {"ns": 1000, "us": 1, "ms": -1000, "s": -1_000_000}[unit]
+            if divisor == 1:
+                us = F.col("ts")
+            elif divisor > 0:
+                us = F.expr(f"ts div {divisor}")
+            else:
+                us = F.expr(f"ts * {-divisor}")
             df = df.withColumn(
                 "ts", F.timestamp_micros(us).cast("timestamp_ntz")
             )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _parquet_ts_unit(path: str, col: str) -> str | None:
+    """Timestamp unit ('ns'/'us'/...) of ``col`` from the parquet footer.
+
+    Reads schema metadata only — at 100 TB this is one footer fetch per
+    file listed, the same cost class as Spark's own schema resolution.
+    Returns None when the column isn't a timestamp (already-normalized
+    fixtures) or the footer can't be read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        parts = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if not parts:
+            return None
+        p = os.path.join(p, parts[0])
+    try:
+        field = pq.read_schema(p).field(col)
+    except (OSError, KeyError):
+        return None
+    return getattr(field.type, "unit", None)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -77,3 +77,36 @@ def test_pagerank_matches_numpy(spark, sf_dir):
         assert abs(got[u] - pr[idx[u]]) < 1e-9, u
     # rank leaks through dangling nodes only: total mass bounded by 1
     assert sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_gram_blas_exactly_matches_relational(spark, sf_dir):
+    """The mapInPandas XᵀX path must be bit-identical to the relational
+    decimal form — integer-scaled partials, no float tolerance."""
+    from bigdata_project_spark.operators.graph import (
+        query_emb_gram_blas,
+        query_emb_gram_matrix,
+    )
+
+    a = {(r["i"], r["j"]): r["gram"] for r in query_emb_gram_matrix(spark, sf_dir).collect()}
+    b = {(r["i"], r["j"]): r["gram"] for r in query_emb_gram_blas(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_pca_builder_targets_fixture_and_orders_variance(spark, duck, sf_dir):
+    """Oracle-builder twin of test_bpe: the VALUES-literal weight SQL is
+    regenerated per fixture and runs in DuckDB; projections put more
+    variance on pc1 than pc2."""
+    from bigdata_project_spark.operators.pca import (
+        N_COMPONENTS,
+        oracle_emb_pca_sql,
+        query_emb_pca_project,
+    )
+
+    assert N_COMPONENTS == 2
+    sql = oracle_emb_pca_sql(sf_dir)
+    n_oracle = len(duck.execute(sql).fetchall())
+    n_emb = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert n_oracle == n_emb
+    pdf = query_emb_pca_project(spark, sf_dir).toPandas()
+    assert len(pdf) == n_emb
+    assert pdf["pc1"].var() >= pdf["pc2"].var() - 1e-9

@@ -75,3 +75,17 @@ def test_approx_distinct_accuracy(spark, sf_dir):
     assert approx["orders_within_eps"] and approx["parts_within_eps"]
     assert approx["exact_orders"] == exact["n_orders"]
     assert approx["exact_parts"] == exact["n_parts"]
+
+
+def test_hashing_features_dims_bounded(spark, sf_dir):
+    from bigdata_project_spark.operators.text_analysis import (
+        HASH_DIM,
+        query_hashing_features,
+    )
+
+    out = query_hashing_features(spark, sf_dir)
+    r = out.agg(F.min("dim"), F.max("dim"), F.min("n"), F.count(F.lit(1))).first()
+    assert r[0] >= 0
+    assert r[1] < HASH_DIM
+    assert r[2] >= 1
+    assert r[3] > 0

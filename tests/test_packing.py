@@ -96,3 +96,33 @@ def test_mixture_stable_across_layouts(spark, sf_dir):
         .collect()
     }
     assert a == b
+
+
+def test_pack_ignores_null_text_and_keeps_empty_string(spark):
+    """tok == 0 guard: a null-text doc contributes nothing (and produces
+    no descending F.sequence artifacts); '' still tokenizes to [''] and
+    packs one token."""
+    rows = [(1, "alpha beta gamma"), (2, ""), (3, None), (4, "delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(docs).collect()
+    assert all(r["seq_tokens"] > 0 for r in out)
+    ids = {r["doc_id"] for r in out}
+    assert 3 not in ids
+    assert {1, 2, 4} <= ids
+
+
+def test_mixture_drops_nonconforming_source_on_both_engines(spark, duck):
+    """A source that doesn't match src<i> is filtered, not NULL-weighted
+    (Spark) / CAST-errored (DuckDB)."""
+    from bigdata_project_spark.operators.packing import ORACLE_DOMAIN_MIXTURE
+
+    assert "regexp_matches" in ORACLE_DOMAIN_MIXTURE
+    rows = [(i, f"src{i % 3}", "x y z") for i in range(30)] + [(99, "weird", "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = (
+        docs.filter(F.col("source").rlike(r"src(\d+)"))
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert {r["source"] for r in kept} == {"src0", "src1", "src2"}

@@ -161,3 +161,35 @@ def test_exact_quantile_windows_stay_bounded(spark, sf_dir):
     # window input is post-aggregate (bucket counts / one bucket's
     # distinct values), never the raw scan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_ilike_join_wildcard_fallback(spark):
+    """J1 guard: a wildcard-free pattern dim takes the hash-join reading;
+    any `%`/`_` row switches to faithful theta ILIKE semantics."""
+    from bigdata_project_spark.plans.silver_ine import ilike_name_join
+
+    fact = spark.createDataFrame(
+        [(1, "madrid"), (2, "barcelona"), (3, "sevilla")], "id long, name string"
+    )
+    dim_plain = spark.createDataFrame(
+        [("MADRID", 10), ("VALENCIA", 30)], "m_nombre string, code long"
+    )
+    plain = ilike_name_join(fact, "name", dim_plain, "m_nombre")
+    assert {(r["id"], r["code"]) for r in plain.collect()} == {
+        (1, 10),
+        (2, None),
+        (3, None),
+    }
+    # hash-join reading: no nested loop in the plan
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    dim_wild = spark.createDataFrame(
+        [("MA%", 10), ("_EVILLA", 20)], "m_nombre string, code long"
+    )
+    wild = ilike_name_join(fact, "name", dim_wild, "m_nombre")
+    assert {(r["id"], r["code"]) for r in wild.collect()} == {
+        (1, 10),
+        (2, None),
+        (3, 20),
+    }

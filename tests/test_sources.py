@@ -182,3 +182,30 @@ def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
     a = {(r["doc_id"], r["lang"], r["meta"]["n_chars"]) for r in docs.collect()}
     b = {(r["doc_id"], r["lang"], r["meta"]["n_chars"]) for r in back.collect()}
     assert a == b
+
+
+def test_parquet_ts_unit_footer_detection(sf_dir):
+    from bigdata_project_spark.sources.readers import _parquet_ts_unit
+
+    # the events fixture carries a real timestamp logical type
+    assert _parquet_ts_unit(f"{sf_dir}/events.parquet", "ts") in ("ns", "us", "ms")
+    # a non-timestamp column has no unit
+    assert _parquet_ts_unit(f"{sf_dir}/events.parquet", "user_id") is None
+    # unreadable path degrades to None, not an exception
+    assert _parquet_ts_unit("/nonexistent/x.parquet", "ts") is None
+
+
+def test_drop_schema_cascade(spark):
+    from bigdata_project_spark.sources.sinks import drop_schema_cascade
+
+    spark.sql("CREATE SCHEMA IF NOT EXISTS tmp_reset")
+    spark.createDataFrame([(1,)], "a long").write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable("tmp_reset.t1")
+    spark.createDataFrame([(2,)], "a long").write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable("tmp_reset.t2")
+    drop_schema_cascade(spark, "tmp_reset")
+    assert not spark.catalog.databaseExists("tmp_reset")
+    # idempotent on a missing schema
+    drop_schema_cascade(spark, "tmp_reset")

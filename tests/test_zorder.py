@@ -63,3 +63,28 @@ def test_write_zordered_file_extents_prunable(spark, sf_dir, tmp_path):
     mean_sk = (per_file["mx_sk"] - per_file["mn_sk"]).mean()
     assert mean_pk < glob_pk * 0.7
     assert mean_sk < glob_sk * 0.7
+
+
+def test_distributed_ntile_matches_serial_window(spark, sf_dir):
+    """The rank-decomposed ntile (sampled cuts + per-range row_number +
+    offsets) reproduces the serial global-window ntile exactly, ties on
+    the leading column included."""
+    from pyspark.sql import Window
+
+    from bigdata_project_spark.operators.zorder import distributed_ntile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    # modulus forces heavy ties on the leading order column
+    zed = li.withColumn("z", (F.col("l_partkey") % 101).cast("bigint"))
+    order = ["z", "l_orderkey", "l_linenumber"]
+    got = distributed_ntile(zed, 7, order, n_parts=5).select(
+        "l_orderkey", "l_linenumber", "bucket"
+    )
+    w = Window.orderBy(*order)
+    want = zed.withColumn("bucket", F.ntile(7).over(w)).select(
+        "l_orderkey", "l_linenumber", "bucket"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
