@@ -155,3 +155,57 @@ SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_week,
 FROM activity
 GROUP BY cohort_day, week_offset
 """
+
+
+def query_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the behavioral prior behind session synthesis and curriculum
+    ordering of interaction data.
+
+    Per user, events ordered by (ts, event_id) yield (prev → next)
+    event-type transitions; counts aggregate globally and each row
+    carries P(dst | src). Scale shape: one LAG window PARTITIONED by
+    user_id (parallel, no global order), one combiner-friendly hash
+    aggregate on the tiny (src, dst) key space, and a probability
+    window partitioned by src — every frame is either per-user or
+    per-event-type, never global.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    trans = seq.groupBy(
+        F.col("prev").alias("src_event"), F.col("event_type").alias("dst_event")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_src = Window.partitionBy("src_event")
+    return trans.select(
+        "src_event",
+        "dst_event",
+        "n",
+        round_portable((F.col("n") * F.lit(1.0)) / F.sum("n").over(w_src), 6).alias(
+            "p"
+        ),
+    )
+
+
+ORACLE_EVENTS_TRANSITIONS = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+t AS (
+    SELECT prev AS src_event, event_type AS dst_event, COUNT(*) AS n
+    FROM seq
+    WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+)
+SELECT src_event, dst_event, n,
+       {round_portable_sql("(n * 1.0) / SUM(n) OVER (PARTITION BY src_event)", 6)} AS p
+FROM t
+"""

@@ -55,10 +55,13 @@ def _pca_weights(gram_rows: list[tuple[int, int, float]]) -> list[tuple[int, flo
 
 
 def query_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdata_project_spark.operators.graph import query_emb_gram_matrix
+    # the BLAS partial-sum form is bit-identical to the relational Gram
+    # (tests/test_graph_funnel.py) at a fraction of the shuffle — use it
+    # for the weight derivation
+    from bigdata_project_spark.operators.graph import query_emb_gram_blas
 
     gram_rows = [
-        (r["i"], r["j"], r["gram"]) for r in query_emb_gram_matrix(spark, sf_dir).collect()
+        (r["i"], r["j"], r["gram"]) for r in query_emb_gram_blas(spark, sf_dir).collect()
     ]
     weights = spark.createDataFrame(
         _pca_weights(gram_rows), "pos int, w1 double, w2 double"

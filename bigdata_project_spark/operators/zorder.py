@@ -100,36 +100,56 @@ def write_zordered(
 
 
 def distributed_ntile(
-    df: DataFrame, n_buckets: int, order_cols: list[str], n_parts: int = 32
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list[str],
+    n_parts: int = 32,
+    lead_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """``ntile(n_buckets) OVER (ORDER BY order_cols)`` without the global
     single-task window.
 
-    Classic distributed ranking, the same boundary-sampling idea
-    ``repartitionByRange`` uses, made branch-deterministic: sampled cut
-    points on the leading order column are collected ONCE driver-side
-    (``approxQuantile``, a handful of doubles), so the range-partition
-    id is a *pure function of the row*. A per-range ``row_number``
-    window (partitioned — parallel) plus the exclusive cumsum of the
-    tiny per-range count table turns local row numbers into exact
-    global ranks. Every window here runs over either a partition-local
-    frame or the ≤``n_parts``-row count table — no
+    Classic distributed ranking, the same boundary idea
+    ``repartitionByRange`` uses, made branch-deterministic: the
+    range-partition id is a *pure function of the row*. When the
+    leading column's domain is known statically (``lead_range`` —
+    z-values always are: [0, 4^bits)), the id is one integer division;
+    otherwise sampled cut points are collected ONCE driver-side
+    (``approxQuantile``). A per-range ``row_number`` window
+    (partitioned — parallel) plus the exclusive cumsum of the tiny
+    per-range count table turns local row numbers into exact global
+    ranks. Every window here runs over either a partition-local frame
+    or the ≤``n_parts``-row count table — no
     ``WindowExec: No Partition Defined`` path anywhere, and no reliance
     on exchange reuse or checkpointing for cross-branch consistency.
+
+    The projection is persisted (memory-and-disk) across the two
+    inherent passes — counts, then rank — so the order-key expression
+    is evaluated once; rank decomposition is a multi-pass algorithm and
+    this is the standard cache point for one.
 
     Bucket assignment then replays SQL ntile's exact semantics (first
     ``n mod N`` buckets one row larger), so results — and the oracle —
     are identical to the serial window form. Requires the order key to
     be unique overall (true here: it ends in the lineitem primary key);
     ties on the *leading* column are fine because equal leading values
-    always land in the same range."""
+    always land in the same range (uniform-width ranges only skew
+    parallelism under data skew, never correctness)."""
+    from pyspark import StorageLevel
+
     lead = order_cols[0]
-    probs = [i / n_parts for i in range(1, n_parts)]
-    cuts = sorted(set(df.stat.approxQuantile(lead, probs, 0.001)))
-    pid: Column = F.lit(0)
-    for c in cuts:
-        pid = pid + (F.col(lead) > F.lit(c)).cast("int")
-    keyed = df.withColumn("__pid", pid)
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if lead_range is not None:
+        lo, hi = lead_range
+        span = max(hi - lo + 1, 1)
+        pid: Column = F.expr(f"CAST((({lead} - {lo}) * {n_parts}) div {span} AS INT)")
+    else:
+        probs = [i / n_parts for i in range(1, n_parts)]
+        cuts = sorted(set(cached.stat.approxQuantile(lead, probs, 0.001)))
+        pid = F.lit(0)
+        for c in cuts:
+            pid = pid + (F.col(lead) > F.lit(c)).cast("int")
+    keyed = cached.withColumn("__pid", pid)
     # per-range counts → exclusive cumsum, driver-side: ≤ n_parts rows,
     # the same k-bounded collect budget as ivf/pq centroid pulls
     counts = dict(
@@ -181,7 +201,12 @@ def query_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("z", zvalue(x, y))
     )
     return (
-        distributed_ntile(zed, N_BUCKETS, ["z", "l_orderkey", "l_linenumber"])
+        distributed_ntile(
+            zed,
+            N_BUCKETS,
+            ["z", "l_orderkey", "l_linenumber"],
+            lead_range=(0, 4**Z_BITS - 1),
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -89,3 +89,55 @@ def test_hashing_features_dims_bounded(spark, sf_dir):
     assert r[1] < HASH_DIM
     assert r[2] >= 1
     assert r[3] > 0
+
+
+def test_cms_estimates_upper_bound_exact_counts(spark, sf_dir):
+    """CMS point estimates are upward-biased: est_n >= the exact count
+    for every reported heavy hitter."""
+    from bigdata_project_spark.functions.text import tokens
+    from bigdata_project_spark.operators.sketches import query_cms_heavy_hitters
+    from bigdata_project_spark.sources.readers import load_table
+
+    top = query_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(top) > 0
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["tok"]: r["n"]
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in top:
+        assert r["est_n"] >= exact[r["tok"]]
+    # the sketch can't invent mass: estimates are bounded by the stream size
+    total = sum(exact.values())
+    assert all(r["est_n"] <= total for r in top)
+
+
+def test_transitions_probabilities_sum_to_one(spark, sf_dir):
+    from bigdata_project_spark.operators.funnel import query_events_transitions
+
+    rows = query_events_transitions(spark, sf_dir).collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["src_event"], []).append(r)
+    for src, grp in by_src.items():
+        assert abs(sum(g["p"] for g in grp) - 1.0) < 1e-4, src
+        assert all(0 < g["p"] <= 1 for g in grp)
+
+
+def test_int8_quantize_codes_bounded(spark, sf_dir):
+    from bigdata_project_spark.operators.embedding_stats import (
+        query_emb_int8_quantize,
+    )
+
+    out = query_emb_int8_quantize(spark, sf_dir).collect()
+    assert len(out) == 64
+    for r in out:
+        # |code| <= 127 per value => |code_sum| <= 127 * n_vals
+        assert abs(r["code_sum"]) <= 127 * r["n_vals"]
+        # reconstruction error bounded by half a quantization step
+        assert r["avg_abs_err"] <= (r["amax"] / 127.0) / 2 + 1e-9
+        assert r["amax"] >= 0
