@@ -3,13 +3,15 @@
 The frequency question every corpus curation loop asks — "which tokens
 dominate?" — answered the way it has to be answered at 100 TB: with a
 MERGEABLE FIXED-SIZE sketch (Cormode & Muthukrishnan 2005), not an
-exact count table. The sketch here is D×W = 4×256 counters built
-directly from the token stream: each partition folds its tokens into
-≤ D·W partial cells map-side (a combiner-friendly hash aggregate on
-(d, cell)), and the exchange moves at most D·W rows per partition no
-matter how many tokens the corpus holds. Estimation then probes the
-broadcast sketch: est(t) = min over d of cell(d, hash_d(t)) — the
-classic upward-biased point estimate.
+exact count table. The sketch is D×W = 4×256 counters; counter updates
+are sums, and sums merge, so the counters can be folded from the raw
+stream (map-side combine to ≤ D·W partial cells per partition — the
+oracle's construction) or from any partition-local pre-aggregation
+(the registered plan folds the per-token count table, tokenizing and
+shuffling the corpus exactly once) — identical sketches either way.
+Estimation probes the broadcast sketch:
+est(t) = min over d of cell(d, hash_d(t)) — the classic upward-biased
+point estimate.
 
 Everything is integer arithmetic on the engine-portable md5 hash
 (functions/text.py), so the DuckDB oracle reproduces the sketch — and
@@ -50,25 +52,25 @@ def query_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
 
-    # sketch build: token stream → (d, cell) partial counts, map-side
-    # combined down to ≤ D·W rows per partition before the exchange
-    stream_cells = toks.select(
-        F.posexplode(
-            F.array(*[_cell(F.col("tok"), d) for d in range(CMS_DEPTH)])
-        ).alias("d", "cell")
-    )
-    sketch = stream_cells.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+    # One corpus pass: partition-local token pre-aggregation. Folding a
+    # pre-aggregated (tok, n) table into the counters yields the SAME
+    # sketch as folding the raw stream — counter updates are sums, and
+    # sums merge; that mergeability is the whole CMS contract. This also
+    # doubles as the candidate set, so the corpus is tokenized and
+    # shuffled exactly once.
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
 
-    # estimate every candidate token against the broadcast sketch
-    cand = toks.distinct()
-    cand_cells = cand.select(
+    cells = counts.select(
         "tok",
+        "n",
         F.posexplode(
             F.array(*[_cell(F.col("tok"), d) for d in range(CMS_DEPTH)])
         ).alias("d", "cell"),
     )
+    sketch = cells.groupBy("d", "cell").agg(F.sum("n").alias("cnt"))
+
     est = (
-        cand_cells.join(F.broadcast(sketch), ["d", "cell"])
+        cells.join(F.broadcast(sketch), ["d", "cell"])
         .groupBy("tok")
         .agg(F.min("cnt").alias("est_n"))
     )

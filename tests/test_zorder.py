@@ -88,3 +88,9 @@ def test_distributed_ntile_matches_serial_window(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+    # static-domain path (integer-division range ids) must agree too
+    got_static = distributed_ntile(
+        zed, 7, order, n_parts=5, lead_range=(0, 100)
+    ).select("l_orderkey", "l_linenumber", "bucket")
+    assert got_static.exceptAll(want).count() == 0
+    assert want.exceptAll(got_static).count() == 0
