@@ -207,3 +207,43 @@ SELECT user_id, event_type,
                 '%Y-%m-%d %H:%M:%S') AS valid_to
 FROM changes
 """
+
+
+def query_feature_binning_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-DEPTH (quantile) histogram of ``l_extendedprice`` — the
+    quantile-binning / calibration preprocessing twin of the equal-width
+    ``feature_binning``: every bucket holds the same row count (±1), so
+    bucket edges ARE the empirical deciles.
+
+    Exact SQL-ntile bucketing with no global window, by reusing
+    :func:`bigdata_project_spark.operators.zorder.distributed_ntile`
+    (sampled-cut range ids + per-range ranks + driver-side offsets) —
+    here through its ``approxQuantile`` branch, since a price column has
+    no statically-known domain. One corpus pass cached across the two
+    inherent rank passes, then a tiny per-bucket aggregate."""
+    from bigdata_project_spark.operators.zorder import distributed_ntile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("price")
+    )
+    binned = distributed_ntile(
+        li, 10, ["price", "l_orderkey", "l_linenumber"]
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )
+
+
+ORACLE_FEATURE_BINNING_EQUIDEPTH = """
+WITH b AS (
+    SELECT l_extendedprice AS price,
+           ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+    FROM lineitem
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       MIN(price) AS min_price, MAX(price) AS max_price
+FROM b
+GROUP BY bucket
+"""

@@ -8,11 +8,14 @@ the reference's own roadmap.
 the table a dashboard would read instead of re-scanning silver.
 
 Scale: one hash aggregate on low-cardinality keys over the silver plan
-(itself scan + broadcast semi-join, see plans/silver_od.py) — map-side
-partial aggregation shrinks the shuffle to |days × zone_levels × 2| rows
-per task; the COUNT(DISTINCT) adds the standard two-phase expand, still
-keyed by the same tiny group space. Sums run through DECIMAL so the
-partition-parallel reduction is exact and engine-portable.
+(itself scan + broadcast semi-join, see plans/silver_od.py); the exact
+COUNT(DISTINCT origin_id) uses Catalyst's native two-pass distinct
+plan. The manual pre-aggregate-on-(group, origin) rewrite was measured
+SLOWER here (3.1 s vs 2.2 s at sf0.1): origins are near-unique within a
+group, so pre-aggregation shuffles the full table for no combine
+benefit — the classic rewrite only pays when the distinct key repeats
+heavily per group. Sums run through DECIMAL so the partition-parallel
+reduction is exact and engine-portable.
 """
 
 from __future__ import annotations

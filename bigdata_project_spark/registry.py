@@ -88,6 +88,13 @@ def _load() -> None:
         embedding_stats.query_emb_int8_quantize,
         embedding_stats.ORACLE_EMB_INT8_QUANTIZE,
     )
+    from bigdata_project_spark.operators import profiling
+
+    register(
+        "feature_binning_equidepth",
+        profiling.query_feature_binning_equidepth,
+        profiling.ORACLE_FEATURE_BINNING_EQUIDEPTH,
+    )
     register(
         "emb_pca_project",
         pca.query_emb_pca_project,
@@ -234,14 +241,14 @@ def _load() -> None:
     from bigdata_project_spark.plans import asof_range, event_windows
     from bigdata_project_spark.streaming import windows as stream_windows
 
-    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
-    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
     register(
         "stream_upsert_sink",
         stream_windows.query_stream_upsert_sink,
         stream_windows.ORACLE_STREAM_UPSERT,
     )
+    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
     # ---------------- 50-query driver window ends here -------------------
+    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
 
     # ---- past the window: driver-green in r4, unchanged ------------------
     from bigdata_project_spark.operators import bucketing, dedup_cluster, ivf, pq, skew
