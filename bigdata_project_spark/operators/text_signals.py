@@ -353,3 +353,84 @@ FROM (
 )
 WHERE v < CASE {_threshold_case} ELSE {_DEFAULT_THRESHOLD} END
 """
+
+
+# ------------------------------------------------------------ URL domains --
+
+
+def query_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL statistics — the input to domain-level blocklists
+    and source-mix audits in corpus curation. URLs are planted
+    deterministically (the fixture corpus is word soup, same technique
+    as ``text_pii_redact``); what's verified is the extract → host-parse
+    → aggregate chain.
+
+    Scale shape: regexp extraction is map-side, the explode inflates
+    only actual matches, and the one hash aggregate keys on the
+    low-cardinality host domain (count-distinct via Catalyst's native
+    two-pass plan) — shuffle volume is match count, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" https://host"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" http://mirror"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".example.org/x"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(planted, F.lit(_RE_URL), F.lit(0))
+        ).alias("url"),
+    )
+    return (
+        urls.select(
+            "doc_id",
+            F.lower(F.regexp_extract("url", "https?://([^/]+)", 1)).alias("host"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+ORACLE_TEXT_URL_DOMAINS = f"""
+WITH with_urls AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' https://host' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example/p/' || CAST(doc_id AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ' http://mirror' || CAST(doc_id % 3 AS VARCHAR)
+                        || '.example.org/x' || CAST(doc_id AS VARCHAR)
+                   ELSE '' END AS t
+    FROM documents
+),
+urls AS (
+    SELECT doc_id, unnest(regexp_extract_all(t, '{_RE_URL}')) AS url
+    FROM with_urls
+)
+SELECT lower(regexp_extract(url, 'https?://([^/]+)', 1)) AS host,
+       COUNT(*) AS n_urls,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM urls
+GROUP BY host
+"""

@@ -88,12 +88,17 @@ def _load() -> None:
         embedding_stats.query_emb_int8_quantize,
         embedding_stats.ORACLE_EMB_INT8_QUANTIZE,
     )
-    from bigdata_project_spark.operators import profiling
+    from bigdata_project_spark.operators import profiling, text_signals
 
     register(
         "feature_binning_equidepth",
         profiling.query_feature_binning_equidepth,
         profiling.ORACLE_FEATURE_BINNING_EQUIDEPTH,
+    )
+    register(
+        "text_url_domains",
+        text_signals.query_text_url_domains,
+        text_signals.ORACLE_TEXT_URL_DOMAINS,
     )
     register(
         "emb_pca_project",
