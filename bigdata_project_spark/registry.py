@@ -50,13 +50,16 @@ def _load() -> None:
     """Registration order is part of the driver contract: the driver's
     correctness harness checks the FIRST 50 registered queries. Every
     round rotates so each query's last driver row stays fresh. Round 5
-    fronts: (A) queries new or behavior-touched this round (PCA +
-    hashing-trick registrations, the BLAS Gram path, the gold rollup,
-    the de-serialized z-order ntile, the packing/mixture edge-case
-    guards, the ILIKE wildcard guard); (B) the 35 queries whose last
-    driver row is round 3; (C) a sample of event-timestamp consumers
-    covering the reader's footer-based unit detection. The remainder
-    (driver-green in r4, unchanged) take the local-harness turn."""
+    fronts: (A) queries new or behavior-touched this round — the CMS
+    heavy-hitter sketch, Markov transitions, int8 quantization,
+    equi-depth binning, URL domain stats, the PCA + hashing-trick
+    registrations, the BLAS Gram path, the gold rollup, the
+    de-serialized z-order ntile, the packing/mixture edge-case guards,
+    and the ILIKE-wildcard-guarded silver_ine pair; (B) the 35 queries
+    whose last driver row is round 3; (C) stream_upsert_sink covering
+    the reader's footer-based timestamp-unit detection under streaming.
+    The remainder (driver-green in r4, unchanged) take the
+    local-harness turn."""
     if _QUERIES:
         return
 
