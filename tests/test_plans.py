@@ -193,3 +193,14 @@ def test_ilike_join_wildcard_fallback(spark):
         (2, None),
         (3, 20),
     }
+
+
+def test_rank_decomposition_windows_are_partitioned(spark, sf_dir):
+    """The distributed-ntile consumers must plan a PARTITIONED window
+    (windowspecdefinition leading with __pid) over a hash exchange on
+    __pid — never a global ntile window funneling into one task."""
+    for name in ["layout_zorder_extents", "feature_binning_equidepth"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "ntile" not in plan, name
+        assert "windowspecdefinition(__pid" in plan, name
+        assert "hashpartitioning(__pid" in plan, name
