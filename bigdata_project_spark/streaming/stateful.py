@@ -60,3 +60,55 @@ def events_after_threshold(events: DataFrame, threshold: int = 3) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- Markov transitions --
+
+TRANSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("src_event", T.StringType()),
+        T.StructField("dst_event", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_type", T.StringType())]
+)
+
+
+def _emit_transitions(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last = state.get[0] if state.exists else None
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, r in pdf.iterrows():
+            et = r["event_type"]
+            if last is not None:
+                rows.append((last, et, key[0]))
+            last = et
+    state.update((last,))
+    if rows:
+        yield pd.DataFrame(rows, columns=["src_event", "dst_event", "user_id"])
+
+
+def transitions_stateful(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/funnel.query_events_transitions``:
+    per-user state carries only the LAST event type, and each micro-batch
+    emits its (src → dst) transition records incrementally — the LAG
+    window a batch engine uses is inexpressible in a stream, so this is
+    exactly the applyInPandasWithState pattern slot. State is one string
+    per live user, partitioned by the grouping key across executors;
+    equality with the batch LAG form is asserted in
+    tests/test_streaming.py."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _emit_transitions,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -40,14 +40,24 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The long-typed scan yields epoch integers whose unit depends on how
     # the fixture was generated (TIMESTAMP(NANOS) → ns via nanosAsLong;
-    # TIMESTAMP(MICROS) → µs directly). Normalize by magnitude: any
-    # modern date is > 1e17 as ns and < 1e17 as µs (µs won't reach 1e17
-    # until year ~5138), so the branch is unambiguous. Getting this wrong
-    # compresses event time 1000× and silently floods interval joins —
-    # caught by the stream-vs-batch equality tests.
-    us = F.when(
-        F.col("ts") > F.lit(100_000_000_000_000_000), F.expr("ts div 1000")
-    ).otherwise(F.col("ts"))
+    # TIMESTAMP(MICROS) → µs directly). Prefer the parquet footer's
+    # logical type — one metadata read per table, same as the batch
+    # reader — and keep the magnitude heuristic (ns > 1e17 for any
+    # modern date, µs < 1e17 until year ~5138) only as the fallback for
+    # footers without a timestamp type. Getting this wrong compresses
+    # event time 1000× and silently floods interval joins — caught by
+    # the stream-vs-batch equality tests.
+    from bigdata_project_spark.sources.readers import _parquet_ts_unit
+
+    unit = _parquet_ts_unit(f"{sf_dir}/events.parquet", "ts")
+    if unit == "ns":
+        us = F.expr("ts div 1000")
+    elif unit == "us":
+        us = F.col("ts")
+    else:
+        us = F.when(
+            F.col("ts") > F.lit(100_000_000_000_000_000), F.expr("ts div 1000")
+        ).otherwise(F.col("ts"))
     # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
     return raw.withColumn("ts", F.timestamp_micros(us))
 

@@ -169,3 +169,31 @@ def test_rocksdb_state_store_provider_runs(spark, sf_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stateful_transitions_match_batch(spark, sf_dir):
+    """The per-user stateful transition stream aggregates to exactly the
+    batch LAG-window transition counts."""
+    from bigdata_project_spark.operators.funnel import query_events_transitions
+    from bigdata_project_spark.streaming.stateful import transitions_stateful
+
+    stream = transitions_stateful(read_event_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["src_event"], r["dst_event"]): r["n"]
+        for r in spark.sql(
+            "SELECT src_event, dst_event, COUNT(*) AS n FROM trans_stream GROUP BY 1, 2"
+        ).collect()
+    }
+    want = {
+        (r["src_event"], r["dst_event"]): r["n"]
+        for r in query_events_transitions(spark, sf_dir).collect()
+    }
+    assert got == want
