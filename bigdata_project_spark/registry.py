@@ -86,6 +86,13 @@ def _load() -> None:
         funnel.query_events_transitions,
         funnel.ORACLE_EVENTS_TRANSITIONS,
     )
+    from bigdata_project_spark.streaming import stateful as stream_stateful
+
+    register(
+        "stream_transitions",
+        stream_stateful.query_stream_transitions,
+        funnel.ORACLE_EVENTS_TRANSITIONS,
+    )
     register(
         "emb_int8_quantize",
         embedding_stats.query_emb_int8_quantize,

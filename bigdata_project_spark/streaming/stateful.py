@@ -112,3 +112,45 @@ def transitions_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def query_stream_transitions(spark: DataFrame, sf_dir: str) -> DataFrame:
+    """Driver-visible CORRECTNESS query for :func:`transitions_stateful`:
+    run the stateful stream to completion over the events fixture, then
+    aggregate the emitted transition records into the batch twin's exact
+    output — (src, dst, n, P(dst|src)) — so it shares
+    ``ORACLE_EVENTS_TRANSITIONS`` with the LAG-window form. A streaming
+    operator with a full value-hash oracle, not just a rows-only check:
+    the stream must converge to the batch answer exactly."""
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.functions.scalars import round_portable
+    from bigdata_project_spark.streaming.windows import read_event_stream
+
+    qname = f"trans_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        transitions_stateful(read_event_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rec = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    trans = rec.groupBy("src_event", "dst_event").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("src_event")
+    return trans.select(
+        "src_event",
+        "dst_event",
+        "n",
+        round_portable((F.col("n") * F.lit(1.0)) / F.sum("n").over(w), 6).alias("p"),
+    )
