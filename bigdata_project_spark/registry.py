@@ -51,15 +51,14 @@ def _load() -> None:
     correctness harness checks the FIRST 50 registered queries. Every
     round rotates so each query's last driver row stays fresh. Round 5
     fronts: (A) queries new or behavior-touched this round — the CMS
-    heavy-hitter sketch, Markov transitions, int8 quantization,
-    equi-depth binning, URL domain stats, the PCA + hashing-trick
-    registrations, the BLAS Gram path, the gold rollup, the
-    de-serialized z-order ntile, the packing/mixture edge-case guards,
-    and the ILIKE-wildcard-guarded silver_ine pair; (B) the 35 queries
-    whose last driver row is round 3; (C) stream_upsert_sink covering
-    the reader's footer-based timestamp-unit detection under streaming.
-    The remainder (driver-green in r4, unchanged) take the
-    local-harness turn."""
+    heavy-hitter sketch, Markov transitions (batch LAG form and the
+    stateful streaming twin), int8 quantization, equi-depth binning,
+    URL domain stats, the PCA + hashing-trick registrations, the BLAS
+    Gram path, the gold rollup, the de-serialized z-order ntile, the
+    packing/mixture edge-case guards, and the ILIKE-wildcard-guarded
+    silver_ine pair; then (B) the 35 queries whose last driver row is
+    round 3 fill the window. The remainder (driver-green in r4,
+    unchanged) take the local-harness turn."""
     if _QUERIES:
         return
 

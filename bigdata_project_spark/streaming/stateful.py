@@ -114,7 +114,7 @@ def transitions_stateful(events: DataFrame) -> DataFrame:
     )
 
 
-def query_stream_transitions(spark: DataFrame, sf_dir: str) -> DataFrame:
+def query_stream_transitions(spark, sf_dir: str) -> DataFrame:
     """Driver-visible CORRECTNESS query for :func:`transitions_stateful`:
     run the stateful stream to completion over the events fixture, then
     aggregate the emitted transition records into the batch twin's exact
