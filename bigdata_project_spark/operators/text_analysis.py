@@ -366,3 +366,129 @@ SELECT doc_id,
 FROM bigrams
 GROUP BY doc_id, dim
 """
+
+
+# ---------------------------------------------------- n-gram novelty --
+
+
+def query_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's DISTINCT word trigrams
+    whose first corpus occurrence (minimum doc_id) is this document —
+    the dedup-adjacent freshness signal used to down-weight boilerplate
+    when ordering/weighting training data.
+
+    Two combiner-friendly aggregates: distinct (doc, trigram) pairs,
+    a min-agg per trigram for first-occurrence, then a count-agg per
+    doc after a broadcast-free equi-join on the trigram key (both sides
+    already hash-partitioned by it — Catalyst reuses the exchange).
+    Docs with fewer than three tokens have no trigrams and drop out on
+    both engines alike.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n3 = F.greatest(F.size(toks) - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, n3),
+            F.slice(toks, 2, n3),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(toks, 3, n3),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    doc_tris = (
+        docs.select("doc_id", F.explode(tri).alias("tri")).distinct()
+    )
+    firsts = doc_tris.groupBy("tri").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        doc_tris.join(firsts, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            round_portable(
+                (F.col("n_novel") * F.lit(1.0)) / F.col("n_tri"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+ORACLE_TEXT_NGRAM_NOVELTY = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+),
+doc_tris AS (
+    SELECT DISTINCT doc_id,
+           unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                   for i in range(1, len(t) - 1)]) AS tri
+    FROM toks
+),
+firsts AS (SELECT tri, MIN(doc_id) AS first_doc FROM doc_tris GROUP BY tri)
+SELECT d.doc_id,
+       COUNT(*) AS n_tri,
+       CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       {round_portable_sql("SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", 6)} AS novelty
+FROM doc_tris d JOIN firsts f USING (tri)
+GROUP BY d.doc_id
+"""
+
+
+# ------------------------------------------------ linear quality scorer --
+
+#: weight lattice size: w(dim) = (hash16('w:'||dim) % 2001 - 1000) milli-units
+_W_SPAN = 2001
+
+
+def query_text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (fastText-style) classifier scoring over the hashed bigram
+    features: score(doc) = Σ_dim n(doc, dim) · w(dim) — the inference
+    stage of any bag-of-ngrams quality model, with deterministic
+    engine-portable weights w(dim) ∈ [-1, 1] derived from the md5 hash
+    of the dimension index (a stand-in for trained weights; the plan is
+    what a real model would run).
+
+    Integer milli-unit weights keep the whole score in exact BIGINT
+    arithmetic — no float tolerance anywhere; the double `score` column
+    is one exact division at the end. One hash aggregate on doc_id over
+    the feature table; the weight is a per-row expression, not a join.
+    """
+    feats = query_hashing_features(spark, sf_dir)
+    w_milli = (
+        F.pmod(
+            word_hash16(F.concat(F.lit("w:"), F.col("dim").cast("string"))),
+            F.lit(_W_SPAN),
+        )
+        - 1000
+    )
+    return (
+        feats.groupBy("doc_id")
+        .agg(F.sum(F.col("n") * w_milli).alias("score_milli"))
+        .select(
+            "doc_id",
+            F.col("score_milli").cast("bigint").alias("score_milli"),
+            (F.col("score_milli") / F.lit(1000.0)).alias("score"),
+        )
+    )
+
+
+ORACLE_TEXT_QUALITY_LINEAR = f"""
+WITH feats AS ({ORACLE_HASHING_FEATURES}),
+scored AS (
+    SELECT doc_id,
+           SUM(n * (({WORD_HASH16_SQL.format(w="'w:' || CAST(dim AS VARCHAR)")}) % {_W_SPAN} - 1000)) AS score_milli
+    FROM feats
+    GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(score_milli AS BIGINT) AS score_milli,
+       score_milli / 1000.0 AS score
+FROM scored
+"""

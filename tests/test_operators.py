@@ -141,3 +141,35 @@ def test_int8_quantize_codes_bounded(spark, sf_dir):
         # reconstruction error bounded by half a quantization step
         assert r["avg_abs_err"] <= (r["amax"] / 127.0) / 2 + 1e-9
         assert r["amax"] >= 0
+
+
+def test_ngram_novelty_bounds(spark, sf_dir):
+    from bigdata_project_spark.operators.text_analysis import query_text_ngram_novelty
+
+    out = query_text_ngram_novelty(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_novel"] <= r["n_tri"]
+        assert 0.0 <= r["novelty"] <= 1.0
+    # every trigram's first occurrence belongs to exactly one doc, so
+    # total novel trigrams == number of distinct trigrams in the corpus
+    assert sum(r["n_novel"] for r in out) > 0
+
+
+def test_quality_linear_score_bounded_by_feature_mass(spark, sf_dir):
+    from bigdata_project_spark.operators.text_analysis import (
+        query_hashing_features,
+        query_text_quality_linear,
+    )
+
+    feats = {
+        r["doc_id"]: r["mass"]
+        for r in query_hashing_features(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("mass"))
+        .collect()
+    }
+    for r in query_text_quality_linear(spark, sf_dir).collect():
+        # |Σ n·w| ≤ Σn · max|w| = mass · 1000 milli-units
+        assert abs(r["score_milli"]) <= feats[r["doc_id"]] * 1000
+        assert abs(r["score"] - r["score_milli"] / 1000.0) < 1e-12
