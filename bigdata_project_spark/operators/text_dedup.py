@@ -688,3 +688,73 @@ ORACLE_DEDUP_FUZZY_LEV = _ORACLE_DEDUP_FUZZY_LEV_T.format(
     simhash_corpus=_SIMHASH_SQL_T.format(src="corpus"),
     band_pair_nibs=_band_pair_nibs,
 )
+
+
+# ----------------------------------------------- paragraph-level dedup --
+
+
+def query_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level deduplication (Wenzek et al. 2020,
+    the preprocessing behind CCNet/LLaMA web corpora): split each doc
+    into '. '-delimited paragraphs, keep only each paragraph's FIRST
+    corpus occurrence (ordered by doc_id, then position — replay-stable),
+    and reassemble every document from its surviving paragraphs.
+
+    Scale shape: one window partitioned by the paragraph key (the same
+    single shuffle exact-dedup pays — parallel across paragraph hash
+    space, no global frame), then one hash aggregate per doc that
+    rebuilds the kept text with an order-pinned array sort. A doc whose
+    every paragraph was seen before yields NULL text on both engines.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("pos0", "para"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
+    w = Window.partitionBy("para").orderBy("doc_id", "pos")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("para"))
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.nullif(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["para"],
+                    ),
+                    ". ",
+                ),
+                F.lit(""),
+            ).alias("text_kept"),
+        )
+    )
+
+
+ORACLE_DEDUP_PARAGRAPH = """
+WITH paras AS (
+    SELECT doc_id,
+           generate_subscripts(l, 1) AS pos,
+           unnest(l) AS para
+    FROM (SELECT doc_id, string_split_regex(text, '\\. ') AS l FROM documents)
+),
+ranked AS (
+    SELECT doc_id, pos, para,
+           ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+    FROM paras
+)
+SELECT doc_id,
+       COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       string_agg(para, '. ' ORDER BY pos) FILTER (WHERE rn = 1) AS text_kept
+FROM ranked
+GROUP BY doc_id
+"""

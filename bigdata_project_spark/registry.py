@@ -56,12 +56,12 @@ def _load() -> None:
     URL domain stats, the PCA + hashing-trick registrations, the BLAS
     Gram path, the gold rollup, the de-serialized z-order ntile, the
     packing/mixture edge-case guards, and the ILIKE-wildcard-guarded
-    silver_ine pair; then (B) 33 of the 35 queries whose last driver
-    row is round 3 fill the window. The two yielded slots are
-    multimodal_frame_sample / multimodal_features — untouched since
-    their green r3 rows and the lowest-drift-risk stale pair; they
-    rotate in next round. The remainder (driver-green in r4,
-    unchanged) take the local-harness turn."""
+    silver_ine pair; then (B) 32 of the 35 queries whose last driver
+    row is round 3 fill the window. The three yielded slots are the
+    multimodal_* trio — untouched since their green r3 rows and the
+    lowest-drift-risk stale set; they rotate in next round. The
+    remainder (driver-green in r4, unchanged) take the local-harness
+    turn."""
     if _QUERIES:
         return
 
@@ -121,6 +121,13 @@ def _load() -> None:
         "text_quality_linear",
         text_analysis.query_text_quality_linear,
         text_analysis.ORACLE_TEXT_QUALITY_LINEAR,
+    )
+    from bigdata_project_spark.operators import text_dedup
+
+    register(
+        "dedup_paragraph",
+        text_dedup.query_dedup_paragraph,
+        text_dedup.ORACLE_DEDUP_PARAGRAPH,
     )
     register(
         "emb_pca_project",
@@ -198,7 +205,6 @@ def _load() -> None:
         text_signals.query_text_decontaminate,
         text_signals.ORACLE_TEXT_DECONTAMINATE,
     )
-    register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
     register("silver_people_day", silver_people_day.query, silver_people_day.ORACLE)
     register(
         "silver_overnights",
@@ -279,6 +285,7 @@ def _load() -> None:
     from bigdata_project_spark.operators import bucketing, dedup_cluster, ivf, pq, skew
     from bigdata_project_spark.plans import analytics, silver_od
 
+    register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
     register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
     register("multimodal_features", binary_ops.query_features, binary_ops.ORACLE_FEATURES)
     register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
