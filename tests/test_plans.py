@@ -204,3 +204,10 @@ def test_rank_decomposition_windows_are_partitioned(spark, sf_dir):
         assert "ntile" not in plan, name
         assert "windowspecdefinition(__pid" in plan, name
         assert "hashpartitioning(__pid" in plan, name
+
+
+def test_round5_ops_broadcast_small_sides(spark, sf_dir):
+    """The new ops' small sides (1024-cell sketch, 64-row dim stats,
+    64-row PCA weights) must broadcast, never shuffle-join."""
+    for name in ["sketch_cms_topk", "emb_int8_quantize", "emb_pca_project"]:
+        assert "BroadcastHashJoin" in _plan(spark, sf_dir, name), name
