@@ -223,3 +223,50 @@ def frame_sample_fake(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "frame_hash",
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("frame_idx").cast("string"))),
     )
+
+
+def query_multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary media payloads by content hash — the first
+    pass of any multimodal curation pipeline (identical images/audio
+    re-crawled under different ids). One combiner-friendly hash
+    aggregate on the md5 key; at 100 TB the hash is computed map-side
+    next to the bytes and only (hash, id) pairs shuffle, never payloads.
+
+    The fixture corpus has no exact raw duplicates, so every 50th doc's
+    payload is replaced with one of 7 canned blobs (deterministic, same
+    planting technique as ``text_pii_redact``) — what's verified is the
+    hash → group → keeper chain on real duplicate groups. Output: one
+    row per duplicated payload with its copy count and the
+    deterministic keeper (lowest doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.when(
+        F.col("doc_id") % 50 == 0,
+        F.concat(F.lit("CANNED-BLOB-"), (F.col("doc_id") % 7).cast("string")),
+    ).otherwise(F.col("text"))
+    payload = docs.select("doc_id", F.encode(blob, "UTF-8").alias("payload"))
+    return (
+        payload.select("doc_id", F.md5("payload").alias("payload_md5"))
+        .groupBy("payload_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+ORACLE_MULTIMODAL_DEDUP_BINARY = """
+WITH payloads AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 50 = 0
+                THEN 'CANNED-BLOB-' || CAST(doc_id % 7 AS VARCHAR)
+                ELSE text END AS payload
+    FROM documents
+)
+SELECT md5(payload) AS payload_md5,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id
+FROM payloads
+GROUP BY md5(payload)
+HAVING COUNT(*) > 1
+"""

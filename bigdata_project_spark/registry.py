@@ -359,6 +359,13 @@ def _load() -> None:
     register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, ivf.ORACLE_IVF_KMEANS_TOPK)
     register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
     register("agg_approx_distinct", analytics.query_approx_distinct, analytics.ORACLE_APPROX_DISTINCT)
+    # new late in round 5, past the window: parity-covered in pytest now,
+    # rotates into the round-6 driver window with the multimodal trio
+    register(
+        "multimodal_dedup_binary",
+        binary_ops.query_multimodal_dedup_binary,
+        binary_ops.ORACLE_MULTIMODAL_DEDUP_BINARY,
+    )
 
 
 def queries() -> dict[str, QueryFn]:
