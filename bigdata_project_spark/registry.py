@@ -56,12 +56,14 @@ def _load() -> None:
     URL domain stats, the PCA + hashing-trick registrations, the BLAS
     Gram path, the gold rollup, the de-serialized z-order ntile, the
     packing/mixture edge-case guards, and the ILIKE-wildcard-guarded
-    silver_ine pair; then (B) 32 of the 35 queries whose last driver
-    row is round 3 fill the window. The three yielded slots are the
-    multimodal_* trio — untouched since their green r3 rows and the
-    lowest-drift-risk stale set; they rotate in next round. The
-    remainder (driver-green in r4, unchanged) take the local-harness
-    turn."""
+    silver_ine pair — plus the session-2 additions (CDC snapshot diff,
+    exact correlation matrix, group-wise OLS); then (B) the queries
+    whose last driver row is round 3 fill the window. The yielded
+    slots are the multimodal_* trio plus feature_binning /
+    emb_label_centroids / pipeline_sample_stratified — untouched since
+    their green r3 rows and the lowest-drift-risk stale set; they
+    rotate in next round. The remainder (driver-green in r4,
+    unchanged) take the local-harness turn."""
     if _QUERIES:
         return
 
@@ -76,8 +78,24 @@ def _load() -> None:
         text_analysis,
         zorder,
     )
+    from bigdata_project_spark.operators import cdc, stats
     from bigdata_project_spark.plans import gold, silver_ine
 
+    register(
+        "cdc_snapshot_diff",
+        cdc.query_cdc_snapshot_diff,
+        cdc.ORACLE_CDC_SNAPSHOT_DIFF,
+    )
+    register(
+        "feature_corr_matrix",
+        stats.query_feature_corr_matrix,
+        stats.ORACLE_FEATURE_CORR_MATRIX,
+    )
+    register(
+        "ml_group_ols",
+        stats.query_ml_group_ols,
+        stats.ORACLE_ML_GROUP_OLS,
+    )
     register(
         "sketch_cms_topk",
         sketches.query_cms_heavy_hitters,
