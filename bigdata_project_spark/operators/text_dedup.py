@@ -758,3 +758,123 @@ SELECT doc_id,
 FROM ranked
 GROUP BY doc_id
 """
+
+
+# ----------------------------------------------------- duplicated spans --
+
+#: window width (tokens) for duplicated-span detection
+SPAN_W = 8
+
+
+def query_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal):
+    slide a SPAN_W-token window over every doc, hash each window, and
+    mark a window *duplicated* when its hash occurs ≥2 times anywhere in
+    the corpus (within- or cross-document). Per doc, adjacent duplicated
+    windows merge into maximal spans (gaps-and-islands), giving
+    ``n_dup_spans`` — the count of removable repeated substrings — and
+    ``dup_ratio``, the fraction of windows that are duplicated.
+
+    Scale shape: window construction is a per-row projection (no
+    shuffle); the corpus-wide occurrence count is ONE hash aggregate on
+    the 128-bit window hash (combiner-friendly, uniform keys, skew-
+    safe); the flag join shuffles (hash → count≥2) pairs only; the span
+    merge is a per-doc window — partitioned, never global. At 100 TB
+    the suffix-array construction of the paper is replaced by exactly
+    this banded plan; window hashes would move to a rolling 128-bit
+    hash inside mapInPandas only if the HOF projection ever dominated
+    (measured fine here: the HOF builds L windows per doc in one pass).
+    """
+    from pyspark.sql import Window
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    toks = corpus.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= SPAN_W
+    )
+    wins = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {SPAN_W} + 1),"
+                    f" i -> md5(encode(array_join(slice(t, i, {SPAN_W}), ' '), 'UTF-8')))"
+                )
+            ).alias("pos0", "gh"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+        # consumed twice (occurrence count + flag join): truncate lineage
+        # so the tokenize+window explode runs once, as in shingle_rows
+        .localCheckpoint(eager=False)
+    )
+
+    counts = wins.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+    flagged = wins.join(counts, "gh").withColumn("dup", F.col("c") >= 2)
+
+    dups = flagged.filter(F.col("dup")).withColumn(
+        "isl",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    per_doc_dup = dups.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.count_distinct("isl").alias("n_dup_spans"),
+    )
+    per_doc = toks.select(
+        "doc_id", (F.size("t") - SPAN_W + 1).cast("bigint").alias("n_windows")
+    )
+    return (
+        per_doc.join(per_doc_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            round_portable(
+                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+ORACLE_TEXT_DUP_SPANS = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM corpus
+),
+eligible AS (
+    SELECT doc_id, t, CAST(len(t) - {SPAN_W} + 1 AS BIGINT) AS nw
+    FROM toks WHERE len(t) >= {SPAN_W}
+),
+idx AS (
+    -- scalar range() + unnest: generate_series table-function can't take
+    -- a lateral column parameter in DuckDB
+    SELECT doc_id, t, CAST(unnest(range(1, nw + 1)) AS BIGINT) AS i
+    FROM eligible
+),
+wins AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(list_slice(t, i, i + {SPAN_W} - 1), ' ')) AS gh
+    FROM idx
+),
+counts AS (SELECT gh, COUNT(*) AS c FROM wins GROUP BY gh),
+dups AS (
+    SELECT w.doc_id, w.pos,
+           w.pos - ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS isl
+    FROM wins w JOIN counts USING (gh)
+    WHERE c >= 2
+),
+per_doc_dup AS (
+    SELECT doc_id, COUNT(*) AS n_dup_windows, COUNT(DISTINCT isl) AS n_dup_spans
+    FROM dups GROUP BY doc_id
+)
+SELECT e.doc_id,
+       e.nw AS n_windows,
+       COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+       {round_portable_sql('CAST(COALESCE(d.n_dup_windows, 0) AS DOUBLE) / CAST(e.nw AS DOUBLE)', 6)} AS dup_ratio
+FROM eligible e LEFT JOIN per_doc_dup d USING (doc_id)
+"""

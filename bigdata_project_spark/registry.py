@@ -81,6 +81,13 @@ def _load() -> None:
     from bigdata_project_spark.operators import cdc, stats
     from bigdata_project_spark.plans import gold, silver_ine
 
+    from bigdata_project_spark.operators import text_dedup as _td
+
+    register(
+        "text_dup_spans",
+        _td.query_text_dup_spans,
+        _td.ORACLE_TEXT_DUP_SPANS,
+    )
     register(
         "cdc_snapshot_diff",
         cdc.query_cdc_snapshot_diff,

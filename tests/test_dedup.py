@@ -107,3 +107,18 @@ def test_dedup_cluster_planted_triangles(spark, sf_dir):
     assert canon["cluster_id"].is_unique
     assert (canon["doc_id"] == canon["cluster_id"]).all()
     assert set(out["cluster_id"]) == set(canon["cluster_id"])
+
+
+def test_dup_spans_planted_duplicates_fully_covered(spark, sf_dir):
+    from bigdata_project_spark.operators.text_dedup import query_text_dup_spans
+
+    out = query_text_dup_spans(spark, sf_dir)
+    planted = out.filter(F.col("doc_id") >= 1_000_000).collect()
+    assert planted, "planted duplicate docs must survive the length filter"
+    for r in planted:
+        # an exact copy of another doc: every window duplicated, one span
+        assert r["dup_ratio"] == 1.0
+        assert r["n_dup_windows"] == r["n_windows"]
+        assert r["n_dup_spans"] == 1
+    originals = {r["doc_id"] for r in out.filter((F.col("doc_id") < 50) & (F.col("dup_ratio") == 1.0)).collect()}
+    assert {r["doc_id"] - 1_000_000 for r in planted} <= originals
