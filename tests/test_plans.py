@@ -211,3 +211,34 @@ def test_round5_ops_broadcast_small_sides(spark, sf_dir):
     64-row PCA weights) must broadcast, never shuffle-join."""
     for name in ["sketch_cms_topk", "emb_int8_quantize", "emb_pca_project"]:
         assert "BroadcastHashJoin" in _plan(spark, sf_dir, name), name
+
+
+def test_moment_stats_never_shuffle_rows(spark, sf_dir):
+    """feature_corr_matrix / ml_group_ols reduce the fact table to a
+    handful of decimal moments: the plan must be scan → partial
+    HashAggregate → ONE exchange of the tiny partials → final agg.
+    Any second exchange means row-level data crossed the wire."""
+    for name in ["feature_corr_matrix", "ml_group_ols"]:
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("HashAggregate") >= 2, name  # partial + final
+        n_exchanges = plan.count("Exchange ")
+        assert n_exchanges <= 1, f"{name}: {n_exchanges} exchanges"
+        assert "Window" not in plan, name
+
+
+def test_cdc_diff_is_single_pass(spark, sf_dir):
+    """cdc_snapshot_diff folds both snapshots into one conditional
+    aggregate: one scan of lineitem, one shuffle on the key, no join."""
+    plan = _plan(spark, sf_dir, "cdc_snapshot_diff")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dup_spans_windows_are_partitioned(spark, sf_dir):
+    """The gaps-and-islands merge must run per-doc, never as a global
+    window (the WindowExec single-partition trap)."""
+    plan = _plan(spark, sf_dir, "text_dup_spans")
+    assert "windowspecdefinition(doc_id" in plan
+    # the occurrence-count flag join keys on the uniform md5 hash
+    assert "hashpartitioning(gh" in plan or "BroadcastHashJoin" in plan
