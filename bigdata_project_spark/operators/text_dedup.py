@@ -878,3 +878,118 @@ SELECT e.doc_id,
        {round_portable_sql('CAST(COALESCE(d.n_dup_windows, 0) AS DOUBLE) / CAST(e.nw AS DOUBLE)', 6)} AS dup_ratio
 FROM eligible e LEFT JOIN per_doc_dup d USING (doc_id)
 """
+
+
+def query_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of the Lee et al. 2022 exact-substring pipeline
+    (``text_dup_spans`` is the detection half): every SPAN_W-token
+    window keeps only its FIRST corpus occurrence (ordered by doc_id,
+    then position — replay-stable); tokens covered by any non-first
+    occurrence are deleted and each document is reassembled from its
+    surviving tokens. An exact-copy doc collapses to NULL text; its
+    original survives untouched.
+
+    Scale shape, all linear in corpus tokens and always partitioned:
+    window ranking shuffles on the uniform 128-bit window hash; coverage
+    expansion is a per-row explode of SPAN_W positions; the kept-token
+    anti-join and the reassembly aggregate both key on (doc_id, pos).
+    No global window, no join wider than the token stream.
+    """
+    from pyspark.sql import Window
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    # consumed three times (token stream, window build, totals): truncate
+    # lineage so tokenization runs once
+    toks = corpus.select("doc_id", tokens(F.col("text")).alias("t")).localCheckpoint(
+        eager=False
+    )
+    tok_rows = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "tok")
+
+    wins = toks.filter(F.size("t") >= SPAN_W).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {SPAN_W} + 1),"
+                f" i -> md5(encode(array_join(slice(t, i, {SPAN_W}), ' '), 'UTF-8')))"
+            )
+        ).alias("pos0", "gh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+
+    w = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    repeats = wins.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
+    # no distinct: left_anti is multiset-invariant on its right side,
+    # so deduping the coverage explode would only add a shuffle
+    removed = repeats.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_W - 1))).alias("p"),
+    )
+
+    kept = tok_rows.join(removed, ["doc_id", "p"], "left_anti")
+    kept_struct = F.struct(F.col("p"), F.col("tok"))
+    per_doc_kept = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda x: x["tok"]),
+            " ",
+        ).alias("text_kept"),
+    )
+    totals = toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    return totals.join(per_doc_kept, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+        "text_kept",
+    )
+
+
+ORACLE_DEDUP_SPAN_REMOVAL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM corpus
+),
+tok_rows AS (
+    SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT) AS p, unnest(t) AS tok
+    FROM toks
+),
+eligible AS (
+    SELECT doc_id, t, CAST(len(t) - {SPAN_W} + 1 AS BIGINT) AS nw
+    FROM toks WHERE len(t) >= {SPAN_W}
+),
+idx AS (
+    SELECT doc_id, t, CAST(unnest(range(1, nw + 1)) AS BIGINT) AS i
+    FROM eligible
+),
+wins AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(list_slice(t, i, i + {SPAN_W} - 1), ' ')) AS gh
+    FROM idx
+),
+repeats AS (
+    SELECT doc_id, pos
+    FROM (SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+          FROM wins)
+    WHERE rn > 1
+),
+removed AS (
+    SELECT doc_id, CAST(unnest(range(pos, pos + {SPAN_W})) AS BIGINT) AS p
+    FROM repeats
+),
+kept AS (
+    SELECT tr.doc_id, tr.p, tr.tok
+    FROM tok_rows tr ANTI JOIN removed r ON tr.doc_id = r.doc_id AND tr.p = r.p
+),
+per_doc_kept AS (
+    SELECT doc_id, COUNT(*) AS n_tokens_kept,
+           string_agg(tok, ' ' ORDER BY p) AS text_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       COALESCE(k.n_tokens_kept, 0) AS n_tokens_kept,
+       k.text_kept
+FROM toks t LEFT JOIN per_doc_kept k USING (doc_id)
+"""

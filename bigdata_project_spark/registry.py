@@ -89,6 +89,11 @@ def _load() -> None:
         _td.ORACLE_TEXT_DUP_SPANS,
     )
     register(
+        "dedup_span_removal",
+        _td.query_dedup_span_removal,
+        _td.ORACLE_DEDUP_SPAN_REMOVAL,
+    )
+    register(
         "cdc_snapshot_diff",
         cdc.query_cdc_snapshot_diff,
         cdc.ORACLE_CDC_SNAPSHOT_DIFF,

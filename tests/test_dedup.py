@@ -122,3 +122,34 @@ def test_dup_spans_planted_duplicates_fully_covered(spark, sf_dir):
         assert r["n_dup_spans"] == 1
     originals = {r["doc_id"] for r in out.filter((F.col("doc_id") < 50) & (F.col("dup_ratio") == 1.0)).collect()}
     assert {r["doc_id"] - 1_000_000 for r in planted} <= originals
+
+
+def test_span_removal_deletes_copies_keeps_originals(spark, sf_dir):
+    from bigdata_project_spark.operators.text_dedup import query_dedup_span_removal
+
+    out = query_dedup_span_removal(spark, sf_dir)
+    planted = out.filter(F.col("doc_id") >= 1_000_000).collect()
+    assert planted
+    for r in planted:
+        # exact copies: every window is a repeat -> all tokens removed
+        assert r["n_tokens_kept"] == 0 and r["text_kept"] is None
+    # the fixture corpus carries natural cross-doc 8-gram repeats, so
+    # originals may lose tokens too — assert the structural invariants:
+    # kept text is a subsequence of the normalized original with exactly
+    # n_tokens_kept tokens, and doc 0 (globally first) keeps at least
+    # one window's worth (nothing precedes it except its own repeats).
+    originals = {
+        r["doc_id"]: r for r in out.filter(F.col("doc_id") < 50).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    for d in docs.select("doc_id", "text").collect():
+        r = originals[d["doc_id"]]
+        norm = d["text"].lower().strip().split()
+        assert 0 <= r["n_tokens_kept"] <= r["n_tokens"] == len(norm)
+        kept = r["text_kept"].split(" ") if r["text_kept"] else []
+        assert len(kept) == r["n_tokens_kept"]
+        it = iter(norm)
+        assert all(tok in it for tok in kept), "kept text must be a subsequence"
+    assert originals[0]["n_tokens_kept"] > 0
