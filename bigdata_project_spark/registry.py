@@ -56,13 +56,14 @@ def _load() -> None:
     URL domain stats, the PCA + hashing-trick registrations, the BLAS
     Gram path, the gold rollup, the de-serialized z-order ntile, the
     packing/mixture edge-case guards, and the ILIKE-wildcard-guarded
-    silver_ine pair — plus the session-2 additions (CDC snapshot diff,
-    exact correlation matrix, group-wise OLS); then (B) the queries
-    whose last driver row is round 3 fill the window. The yielded
-    slots are the multimodal_* trio plus feature_binning /
-    emb_label_centroids / pipeline_sample_stratified — untouched since
-    their green r3 rows and the lowest-drift-risk stale set; they
-    rotate in next round. The remainder (driver-green in r4,
+    silver_ine pair — plus the session-2 additions (duplicated-span
+    profile + span-removal dedup, CDC snapshot diff, exact correlation
+    matrix, group-wise OLS); then (B) the queries whose last driver
+    row is round 3 fill the window. The yielded slots are the
+    multimodal_* trio plus profile_columns / scd2_event_type /
+    feature_binning / emb_label_centroids / pipeline_sample_stratified
+    — untouched since their green r3 rows and the lowest-drift-risk
+    stale set; they rotate in next round. The remainder (driver-green in r4,
     unchanged) take the local-harness turn."""
     if _QUERIES:
         return
