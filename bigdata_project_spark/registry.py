@@ -82,8 +82,60 @@ def _load() -> None:
     from bigdata_project_spark.operators import cdc, stats
     from bigdata_project_spark.plans import gold, silver_ine
 
+    from bigdata_project_spark.operators import corpus_quality, timeseries
     from bigdata_project_spark.operators import text_dedup as _td
 
+    from bigdata_project_spark.plans import event_windows as _ew
+    from bigdata_project_spark.plans import starjoins
+
+    register(
+        "agg_shipping_priority",
+        starjoins.query_shipping_priority,
+        starjoins.ORACLE_SHIPPING_PRIORITY,
+    )
+    register(
+        "agg_region_revenue",
+        starjoins.query_region_revenue,
+        starjoins.ORACLE_REGION_REVENUE,
+    )
+    from bigdata_project_spark.streaming import windows as _sw
+
+    register(
+        "stream_interval_join",
+        _sw.query_stream_interval_join,
+        _ew.ORACLE_INTERVAL_JOIN_CLICKS,
+    )
+    register(
+        "ts_gapfill_ffill",
+        timeseries.query_ts_gapfill_ffill,
+        timeseries.ORACLE_TS_GAPFILL_FFILL,
+    )
+    register(
+        "events_anomaly_zscore",
+        timeseries.query_events_anomaly_zscore,
+        timeseries.ORACLE_EVENTS_ANOMALY_ZSCORE,
+    )
+    register(
+        "ts_ewma_hourly",
+        timeseries.query_ts_ewma_hourly,
+        timeseries.ORACLE_TS_EWMA_HOURLY,
+    )
+
+    register(
+        "text_bigram_perplexity",
+        corpus_quality.query_text_bigram_perplexity,
+        corpus_quality.ORACLE_TEXT_BIGRAM_PERPLEXITY,
+    )
+    register(
+        "text_oov_rate",
+        corpus_quality.query_text_oov_rate,
+        corpus_quality.ORACLE_TEXT_OOV_RATE,
+    )
+    register(
+        "pipeline_quality_funnel",
+        corpus_quality.query_pipeline_quality_funnel,
+        corpus_quality.ORACLE_PIPELINE_QUALITY_FUNNEL,
+    )
     register(
         "text_dup_spans",
         _td.query_text_dup_spans,

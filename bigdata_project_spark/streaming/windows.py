@@ -237,6 +237,40 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def query_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible CORRECTNESS query for :func:`join_clicks_purchases`:
+    run the watermarked stream-stream interval join to completion over
+    the events fixture and emit the batch twin's exact output columns,
+    sharing ``plans.event_windows.ORACLE_INTERVAL_JOIN_CLICKS``. An
+    inner interval join emits matches as both sides arrive, so draining
+    the stream converges to the batch join exactly — the full value-hash
+    oracle holds, not just a rows-only check."""
+    import uuid
+
+    qname = f"ssj_{uuid.uuid4().hex[:8]}"
+    joined = join_clicks_purchases(read_event_stream(spark, sf_dir))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rec = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return rec.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.date_format("purchase_ts", fmt).alias("purchase_ts"),
+        F.date_format("click_ts", fmt).alias("click_ts"),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drain all available input synchronously into a memory sink table."""
     q = (

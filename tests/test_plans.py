@@ -31,6 +31,8 @@ _CROSS_JOIN_OK = {
     "agg_approx_quantiles",
     "pipeline_domain_mixture",
     "graph_pagerank",
+    # 1-row vocabulary-size scalar crossed into the LM score
+    "text_bigram_perplexity",
 }
 
 
@@ -242,3 +244,46 @@ def test_dup_spans_windows_are_partitioned(spark, sf_dir):
     assert "windowspecdefinition(doc_id" in plan
     # the occurrence-count flag join keys on the uniform md5 hash
     assert "hashpartitioning(gh" in plan or "BroadcastHashJoin" in plan
+
+
+def test_corpus_quality_plan_shapes(spark, sf_dir):
+    """OOV: the token stream joins the top-K vocab via broadcast (never a
+    shuffle of the exploded tokens). Funnel: single scan, conditional
+    aggregation, no join of the corpus. Perplexity: the unigram LM side
+    is broadcast; the bigram join is the only row-level shuffle join."""
+    oov = _plan(spark, sf_dir, "text_oov_rate")
+    assert "BroadcastHashJoin" in oov
+    assert "SortMergeJoin" not in oov
+
+    funnel = _plan(spark, sf_dir, "pipeline_quality_funnel")
+    assert "Join" not in funnel
+    assert funnel.count("Scan parquet") == 1
+    assert funnel.count("HashAggregate") >= 2  # partial + final
+
+    ppl = _plan(spark, sf_dir, "text_bigram_perplexity")
+    assert "BroadcastHashJoin" in ppl
+    assert "SortMergeJoin" not in ppl
+
+
+def test_timeseries_windows_are_partitioned(spark, sf_dir):
+    """Gap-fill ffill and EWMA must window PARTITION BY event_type over
+    the dense grid — never a global single-partition window — and the
+    z-score's per-key moment frame joins back by broadcast."""
+    for name in ["ts_gapfill_ffill", "ts_ewma_hourly"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "windowspecdefinition(event_type" in plan, name
+    z = _plan(spark, sf_dir, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in z
+    assert "Window" not in z
+
+
+def test_star_joins_broadcast_dimensions(spark, sf_dir):
+    """Q3/Q5 shapes: every dimension side broadcasts; the fact scan keeps
+    its pushed filter; top-10 is a heap, not a global sort."""
+    q3 = _plan(spark, sf_dir, "agg_shipping_priority")
+    assert q3.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in q3
+    assert "TakeOrderedAndProject" in q3
+    q5 = _plan(spark, sf_dir, "agg_region_revenue")
+    assert q5.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in q5
