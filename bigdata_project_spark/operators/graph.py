@@ -243,3 +243,77 @@ pr2 AS (
 SELECT id AS user_id, {round_portable_sql("pr", 12)} AS pagerank
 FROM pr2
 """
+
+
+# ------------------------------------------------------------ triangles --
+
+
+def query_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count over the undirected co-activity graph.
+
+    Canonical form: edges oriented low→high (a < b) and deduped, then
+    the textbook two-join enumeration — (a,b)⋈(b,c)⋈(a,c) with a<b<c —
+    counts each triangle exactly once. Each triangle credits all three
+    corners via one explode, one hash aggregate.
+
+    Scale: both joins are equi-joins on a vertex key (shuffle
+    partitioned by vertex); the classic skew refinement — orient edges
+    by degree instead of id so high-degree hubs don't fan out — drops
+    in by swapping the (a<b) predicate for a (deg, id) ordering, same
+    plan shape. Output is O(nodes-in-triangles).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = coactivity_edges(ev)
+    und = (
+        d.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    corners = tris.select(
+        F.explode(F.array("x", "y", "z")).alias("user_id")
+    )
+    return corners.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH seq AS (
+    SELECT event_type, ts, event_id, user_id,
+           LAG(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user
+    FROM events
+),
+dedges AS (
+    SELECT DISTINCT prev_user AS src, user_id AS dst
+    FROM seq WHERE prev_user IS NOT NULL AND prev_user <> user_id
+),
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM dedges WHERE src <> dst
+),
+tris AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+corners AS (
+    SELECT x AS user_id FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris
+)
+SELECT user_id, COUNT(*) AS n_triangles FROM corners GROUP BY user_id
+"""

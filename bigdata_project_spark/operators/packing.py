@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
 from bigdata_project_spark.functions.text import tokens
 from bigdata_project_spark.sources.readers import load_table
 
@@ -70,7 +71,16 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
     ).filter(F.col("tok") > 0)
     # pass 1: per-bucket totals (tiny), exclusive cumsum over buckets
     bucket_tot = toks.groupBy("bucket").agg(F.sum("tok").alias("btok"))
-    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # single-value partition key (bucket % 1 — non-foldable, so it
+    # survives the optimizer): the frame is the per-bucket rollup, tiny
+    # by construction, and one task is intended. A bare orderBy would
+    # execute identically but spam the WindowExec single-partition
+    # warning over a deliberately bounded frame.
+    w_b = (
+        Window.partitionBy(F.col("bucket") % 1)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     bucket_off = bucket_tot.select(
         "bucket", F.coalesce(F.sum("btok").over(w_b), F.lit(0)).alias("boff")
     )
@@ -227,4 +237,54 @@ r AS (
 SELECT r.doc_id, r.source
 FROM r JOIN k USING (source)
 WHERE rnk <= keep_n
+"""
+
+
+# ------------------------------------------------- domain reweighting --
+
+
+def query_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain importance weights for a uniform target mixture
+    (DoReMi-style reweighting, the sampling-weight precursor to
+    ``query_domain_mixture``'s hard subsample): weight_s = target_share
+    / observed_share = N / (S · n_s). Emits per-domain observed share,
+    the resampling weight, and the effective epoch document count
+    n_s · weight (uniform by construction — the oracle pins the
+    algebra, not just the shares).
+
+    One hash aggregate on `source` + a broadcast of the 1-row (N, S)
+    totals: O(domains) work after the scan at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("double").alias("nn"),
+        F.count(F.lit(1)).cast("double").alias("ss"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        round_portable(F.col("n_docs") / F.col("nn"), 6).alias("share"),
+        round_portable(F.col("nn") / (F.col("ss") * F.col("n_docs")), 6).alias(
+            "weight"
+        ),
+        round_portable(
+            F.col("n_docs") * (F.col("nn") / (F.col("ss") * F.col("n_docs"))), 6
+        ).alias("effective_n"),
+    )
+
+
+ORACLE_DOMAIN_REWEIGHT = f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_docs) AS DOUBLE) AS nn, CAST(COUNT(*) AS DOUBLE) AS ss
+    FROM counts
+)
+SELECT source, n_docs,
+       {round_portable_sql("n_docs / nn", 6)} AS share,
+       {round_portable_sql("nn / (ss * n_docs)", 6)} AS weight,
+       {round_portable_sql("n_docs * (nn / (ss * n_docs))", 6)} AS effective_n
+FROM counts, tot
 """

@@ -407,7 +407,15 @@ def query_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bck = dist.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
     cumb = bck.withColumn(
-        "cum", F.sum("bcnt").over(W.orderBy("b").rowsBetween(W.unboundedPreceding, 0))
+        # ~1k bucket-count rows: the single-value partition key (b % 1,
+        # non-foldable) marks the one task as intended and silences the
+        # WindowExec single-partition warning
+        "cum",
+        F.sum("bcnt").over(
+            W.partitionBy(F.col("b") % 1)
+            .orderBy("b")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
     )
     n = li.count()
 

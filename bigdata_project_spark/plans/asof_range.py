@@ -144,6 +144,112 @@ SELECT p.event_id, p.user_id,
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward as-of join: attach the EARLIEST ``right`` row with
+    ``right.ts >= left.ts`` per key — the mirror of :func:`asof_join`
+    (same union + one partitioned window, state per task is one row).
+    Among equal-ts right rows the SMALLEST tiebreak wins (the first one
+    the forward scan meets); left rows at the same ts still match
+    (right sorts after left at equal ts via the side flag)."""
+    lcols = [c for c in left.columns if c not in (key, ts)]
+    tb_r = F.col(tiebreak) if tiebreak else F.lit(0)
+    tagged_r = right.select(
+        key,
+        ts,
+        F.lit(1).alias("__side"),
+        tb_r.alias("__tb"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+    )
+    tb_type = dict(right.dtypes)[tiebreak] if tiebreak else "int"
+    tagged_l = left.select(
+        key,
+        ts,
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(tb_type).alias("__tb"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        *lcols,
+    )
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_last())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    enriched = tagged_r.withColumn("__r_ts", F.col(ts)).unionByName(
+        tagged_l.withColumn("__r_ts", F.lit(None).cast(dict(right.dtypes)[ts]))
+    )
+    filled = enriched.select(
+        "*",
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in right_cols
+        ],
+        F.first("__r_ts", ignorenulls=True).over(w).alias("__asof_ts"),
+    )
+    return (
+        filled.filter(F.col("__side") == 0)
+        .select(
+            key,
+            ts,
+            *lcols,
+            *[F.col(f"__asof_{c}").alias(f"right_{c}") for c in right_cols],
+            F.col("__asof_ts").alias("right_ts"),
+        )
+    )
+
+
+def query_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward twin of ``join_asof``: for every click, the user's next
+    purchase at-or-after it (NULLs where none follows)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join_forward(
+        clicks, purchases, key="user_id", ts="ts", right_cols=["value"], tiebreak="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").alias("click_value"),
+        F.unix_micros(F.col("right_ts").cast("timestamp")).alias("purchase_ts_us"),
+        F.col("right_value").alias("purchase_value"),
+    )
+
+
+ORACLE_ASOF_FORWARD = """
+WITH p AS (
+    -- one purchase per (user_id, ts): min-event_id wins, mirroring the
+    -- engine's forward tiebreak
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           arg_min(value, event_id) AS value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+),
+c AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS ts_us,
+       c.value AS click_value,
+       epoch_us(p.ts) AS purchase_ts_us,
+       p.value AS purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 # ------------------------------------------------------------ range join --
 
 _N_BANDS = 20

@@ -50,21 +50,27 @@ def _load() -> None:
     """Registration order is part of the driver contract: the driver's
     correctness harness checks the FIRST 50 registered queries. Every
     round rotates so each query's last driver row stays fresh. Round 5
-    fronts: (A) queries new or behavior-touched this round — the CMS
-    heavy-hitter sketch, Markov transitions (batch LAG form and the
-    stateful streaming twin), int8 quantization, equi-depth binning,
-    URL domain stats, the PCA + hashing-trick registrations, the BLAS
-    Gram path, the gold rollup, the de-serialized z-order ntile, the
-    packing/mixture edge-case guards, and the ILIKE-wildcard-guarded
-    silver_ine pair — plus the session-2 additions (duplicated-span
-    profile + span-removal dedup, CDC snapshot diff, exact correlation
-    matrix, group-wise OLS); then (B) the queries whose last driver
-    row is round 3 fill the window. The yielded slots are the
-    multimodal_* trio plus profile_columns / scd2_event_type /
-    feature_binning / emb_label_centroids / pipeline_sample_stratified
-    — untouched since their green r3 rows and the lowest-drift-risk
-    stale set; they rotate in next round. The remainder (driver-green in r4,
-    unchanged) take the local-harness turn."""
+    fronts, in priority order: (A) the session-3 additions (forward
+    as-of, domain reweight, RAG chunking, partition pruning, ORC
+    round-trip, triangles, TPC-H Q3/Q5 star joins, the drained
+    stream-stream interval join, gap-fill/ffill + anomaly z-score +
+    exact EWMA, bigram-LM perplexity, OOV rate, quality funnel), plus
+    events_funnel / agg_approx_quantiles whose bounded-frame windows
+    were re-keyed this session; (B) the earlier round-5 additions (span
+    dedup pair, CDC diff, corr matrix, group OLS, CMS, transitions
+    batch+stream, int8 quantize, equi-depth bins, URL domains, ngram
+    novelty, linear quality, paragraph dedup, PCA/hashing
+    registrations, BLAS gram, gold rollup, de-serialized z-order,
+    packing/mixture guards, guarded silver_ine pair); (C) as many
+    r3-stale queries as fit (the text_* family + silver_people_day).
+    Still r3-stale past the window — first in line for round 6:
+    silver_overnights/zones/zones_wkt/distances, bronze_merge_keyed,
+    silver_ine_renta, bronze_holidays_json, dedup_exact/simhash/
+    embedding_cosine, pipeline_train_val_split, the sim_* trio,
+    spatial_point_in_zone, the multimodal trio, profile_columns,
+    scd2_event_type, feature_binning, emb_label_centroids,
+    pipeline_sample_stratified. Everything else is driver-green in r4
+    and unchanged."""
     if _QUERIES:
         return
 
@@ -85,8 +91,42 @@ def _load() -> None:
     from bigdata_project_spark.operators import corpus_quality, timeseries
     from bigdata_project_spark.operators import text_dedup as _td
 
+    from bigdata_project_spark.operators import chunking, layout_scan
     from bigdata_project_spark.plans import event_windows as _ew
     from bigdata_project_spark.plans import starjoins
+
+    from bigdata_project_spark.plans import asof_range as _ar
+
+    register(
+        "join_asof_forward",
+        _ar.query_asof_next_purchase,
+        _ar.ORACLE_ASOF_FORWARD,
+    )
+    register(
+        "pipeline_domain_reweight",
+        packing.query_domain_reweight,
+        packing.ORACLE_DOMAIN_REWEIGHT,
+    )
+    register(
+        "pipeline_chunk_docs",
+        chunking.query_pipeline_chunk_docs,
+        chunking.ORACLE_PIPELINE_CHUNK_DOCS,
+    )
+    register(
+        "layout_partition_pruning",
+        layout_scan.query_layout_partition_pruning,
+        layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
+    )
+    register(
+        "source_orc_roundtrip",
+        layout_scan.query_source_orc_roundtrip,
+        layout_scan.ORACLE_SOURCE_ORC_ROUNDTRIP,
+    )
+    register(
+        "graph_triangles",
+        graph.query_graph_triangles,
+        graph.ORACLE_GRAPH_TRIANGLES,
+    )
 
     register(
         "agg_shipping_priority",
@@ -119,6 +159,17 @@ def _load() -> None:
         "ts_ewma_hourly",
         timeseries.query_ts_ewma_hourly,
         timeseries.ORACLE_TS_EWMA_HOURLY,
+    )
+    # behavior-touched this session (bounded-frame windows now carry an
+    # explicit single-value partition key): fresh driver rows required
+    from bigdata_project_spark.operators import funnel as _fu
+    from bigdata_project_spark.plans import analytics as _an
+
+    register("events_funnel", _fu.query_events_funnel, _fu.ORACLE_EVENTS_FUNNEL)
+    register(
+        "agg_approx_quantiles",
+        _an.query_approx_quantiles,
+        _an.ORACLE_APPROX_QUANTILES,
     )
 
     register(
@@ -372,7 +423,6 @@ def _load() -> None:
     register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
     register("multimodal_features", binary_ops.query_features, binary_ops.ORACLE_FEATURES)
     register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
-    register("events_funnel", funnel.query_events_funnel, funnel.ORACLE_EVENTS_FUNNEL)
     register("join_asof", asof_range.query_asof_click_before_purchase, asof_range.ORACLE_ASOF)
     register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
     register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
@@ -411,11 +461,6 @@ def _load() -> None:
         bucketing.ORACLE_BUCKETED_JOIN,
     )
     register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
-    register(
-        "agg_approx_quantiles",
-        analytics.query_approx_quantiles,
-        analytics.ORACLE_APPROX_QUANTILES,
-    )
     register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
     register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
     register(

@@ -287,3 +287,26 @@ def test_star_joins_broadcast_dimensions(spark, sf_dir):
     q5 = _plan(spark, sf_dir, "agg_region_revenue")
     assert q5.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in q5
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """The day-range predicate must prune hive partitions at the scan
+    (PartitionFilters), so only the matching day directories are read."""
+    from bigdata_project_spark.operators.layout_scan import (
+        PRUNE_HI,
+        PRUNE_LO,
+        partition_pruned_daily,
+    )
+
+    out = partition_pruned_daily(spark, sf_dir, str(tmp_path / "pp"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+    days = [r["event_date"] for r in out.collect()]
+    assert days and all(PRUNE_LO <= d <= PRUNE_HI for d in days)
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunk generation is map-side only: no exchange anywhere."""
+    plan = _plan(spark, sf_dir, "pipeline_chunk_docs")
+    assert "Exchange" not in plan
