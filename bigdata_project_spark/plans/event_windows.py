@@ -217,3 +217,49 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM with_id
 GROUP BY user_id, session_seq
 """
+
+
+def query_win_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling sum per user via a RANGE window frame (the
+    value-based frame family, complementing the ROWS frames elsewhere):
+    daily per-user totals first (hash aggregate — the frame input is
+    O(users × days)), then `rangeBetween(-6, 0)` over the integer day
+    ordinal, so a sparse user's frame spans calendar days, not rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day_no")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).alias("day_value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day_no")
+        .rangeBetween(-6, W.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format(F.date_from_unix_date("day_no"), "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.sum("n_events").over(w).alias("n_7d"),
+        F.sum("day_value").over(w).cast("double").alias("value_7d"),
+    )
+
+
+ORACLE_WIN_RANGE_7D = """
+WITH daily AS (
+    SELECT user_id,
+           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_no,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       strftime(DATE '1970-01-01' + to_days(CAST(day_no AS INTEGER)), '%Y-%m-%d') AS day,
+       n_events,
+       CAST(SUM(n_events) OVER w AS BIGINT) AS n_7d,
+       CAST(SUM(day_value) OVER w AS DOUBLE) AS value_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day_no
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""

@@ -97,6 +97,18 @@ def _load() -> None:
 
     from bigdata_project_spark.plans import asof_range as _ar
 
+    from bigdata_project_spark.streaming import windows as _sw0
+
+    register(
+        "stream_sessionize",
+        _sw0.query_stream_sessionize,
+        _sw0.ORACLE_STREAM_SESSIONIZE,
+    )
+    register(
+        "win_range_7d",
+        _ew.query_win_range_7d,
+        _ew.ORACLE_WIN_RANGE_7D,
+    )
     register(
         "join_asof_forward",
         _ar.query_asof_next_purchase,

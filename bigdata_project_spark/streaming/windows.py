@@ -271,6 +271,82 @@ def query_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def query_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible CORRECTNESS query for :func:`session_windows`:
+    drain the watermarked native-session-window stream and emit one row
+    per closed session with its value rollup. The oracle is the batch
+    gaps-and-islands sessionizer (plans/event_windows.py) minus its
+    session_seq ordinal — merge semantics agree except for gaps of
+    EXACTLY the 30-minute threshold (session_window merges `< gap`,
+    the batch flag starts new on `> gap`), which cannot occur on the
+    micro-timestamped fixture; an exact tie would surface here as a
+    driver-row failure, not silently."""
+    import uuid
+
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    # complete mode: append would hold back every session inside the
+    # final watermark horizon (the last hour of the fixture) — complete
+    # emits the full merged session state each trigger, so the drained
+    # table is the whole answer
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rec = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return rec.select(
+        "user_id",
+        F.date_format("first_ts", fmt).alias("session_start"),
+        F.date_format("last_ts", fmt).alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+
+
+ORACLE_STREAM_SESSIONIZE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+with_id AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM with_id
+GROUP BY user_id, session_seq
+"""
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drain all available input synchronously into a memory sink table."""
     q = (

@@ -33,6 +33,8 @@ _CROSS_JOIN_OK = {
     "graph_pagerank",
     # 1-row vocabulary-size scalar crossed into the LM score
     "text_bigram_perplexity",
+    # 1-row (N, S) totals crossed into the per-domain weights
+    "pipeline_domain_reweight",
 }
 
 
