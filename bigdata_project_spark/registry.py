@@ -135,6 +135,11 @@ def _load() -> None:
         layout_scan.ORACLE_SOURCE_ORC_ROUNDTRIP,
     )
     register(
+        "source_text_logs",
+        layout_scan.query_source_text_logs,
+        layout_scan.ORACLE_SOURCE_TEXT_LOGS,
+    )
+    register(
         "graph_triangles",
         graph.query_graph_triangles,
         graph.ORACLE_GRAPH_TRIANGLES,

@@ -131,17 +131,23 @@ def query_stream_transitions(spark, sf_dir: str) -> DataFrame:
     from bigdata_project_spark.streaming.windows import read_event_stream
 
     qname = f"trans_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        transitions_stateful(read_event_stream(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from bigdata_project_spark.streaming.windows import stream_shuffle_partitions
+
+    # 16, not the join queries' 8: the Python stateful worker benefits
+    # from extra partition parallelism (measured flat 8↔16, 4× worse at
+    # the session's 32 — state-store commits dominate there)
+    with stream_shuffle_partitions(spark, 16):
+        q = (
+            transitions_stateful(read_event_stream(spark, sf_dir))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     rec = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
     trans = rec.groupBy("src_event", "dst_event").agg(
