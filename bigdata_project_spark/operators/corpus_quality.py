@@ -12,9 +12,10 @@ CCNet/Gopher-style):
   map-side explode to bigram rows, two hash aggregates for the LM
   tables (bigram + unigram counts), one shuffle join keyed on the
   bigram (both sides hash-partitioned — co-located at any scale), the
-  unigram table broadcast (vocab-sized), then one per-doc hash
-  aggregate. Nothing driver-side; LM tables scale with vocab, not
-  corpus.
+  unigram table broadcast (vocab-sized; at a web-corpus vocab of tens
+  of millions, drop the broadcast hint and it becomes the second
+  shuffle join, same plan otherwise), then one per-doc hash aggregate.
+  Nothing driver-side; LM tables scale with vocab, not corpus.
 
 - **OOV rate** (``text_oov_rate``): fraction of tokens outside the
   top-K corpus vocabulary — the tokenizer-coverage audit. Top-K via

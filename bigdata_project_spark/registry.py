@@ -62,15 +62,16 @@ def _load() -> None:
     novelty, linear quality, paragraph dedup, PCA/hashing
     registrations, BLAS gram, gold rollup, de-serialized z-order,
     packing/mixture guards, guarded silver_ine pair); (C) as many
-    r3-stale queries as fit (the text_* family + silver_people_day).
+    r3-stale queries as fit (text_token_stats … text_repetition).
     Still r3-stale past the window — first in line for round 6:
-    silver_overnights/zones/zones_wkt/distances, bronze_merge_keyed,
-    silver_ine_renta, bronze_holidays_json, dedup_exact/simhash/
-    embedding_cosine, pipeline_train_val_split, the sim_* trio,
-    spatial_point_in_zone, the multimodal trio, profile_columns,
-    scd2_event_type, feature_binning, emb_label_centroids,
-    pipeline_sample_stratified. Everything else is driver-green in r4
-    and unchanged."""
+    text_pii_redact/bigram_lm/bpe_merges/decontaminate,
+    silver_people_day, silver_overnights/zones/zones_wkt/distances,
+    bronze_merge_keyed, silver_ine_renta, bronze_holidays_json,
+    dedup_exact/simhash/embedding_cosine, pipeline_train_val_split,
+    the sim_* trio, spatial_point_in_zone, the multimodal trio,
+    profile_columns, scd2_event_type, feature_binning,
+    emb_label_centroids, pipeline_sample_stratified. Everything else
+    is driver-green in r4 and unchanged."""
     if _QUERIES:
         return
 
