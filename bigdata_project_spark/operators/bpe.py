@@ -170,3 +170,110 @@ def oracle_bpe_merges_sql(sf_dir: str | None = None) -> str | None:
             sf_dir,
         )
         return None
+
+
+# ------------------------------------------------------------- encode --
+#
+# Applying one merge (l, r) to the space-delimited symbol string is a
+# LITERAL replace of " l r " with " lr ". A single left-to-right
+# non-overlapping pass can miss occurrences that share a boundary space
+# with a just-consumed match (" a b a b " → the second pair keeps no
+# leading space) — but any two occurrences left unmerged by a pass are
+# separated by a merged symbol, so they can't share boundaries anymore:
+# TWO passes of the same replace are exactly exhaustive. And a merge can
+# never create a fresh occurrence of its own pair (that would need
+# l+r == l or l+r == r, i.e. an empty symbol), so two passes equal the
+# reference BPE "apply until none left". Java's String.replace and
+# DuckDB's replace() share the scan-original-left-to-right semantics,
+# which makes the chain engine-exact with zero float involvement.
+
+
+def _encode_word_expr(merges: "list[tuple[int, str, str, int]]"):
+    """Column expr: word → number of BPE symbols after applying merges."""
+    w = F.col("w")
+    s = F.concat(
+        F.lit(" "), F.regexp_replace(w, "(.)", "$1 "), F.lit(END_OF_WORD + " ")
+    )
+    for _rank, left, right, _cnt in merges:
+        pat, rep = F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+        s = F.replace(F.replace(s, pat, rep), pat, rep)
+    return F.size(F.split(F.trim(s), " "))
+
+
+def query_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-learned merge table back to the corpus: per-doc
+    whitespace-word count vs BPE-token count — the learn→tokenize
+    round trip (what SentencePiece's encode step does after training).
+
+    The merge table is learned exactly as in :func:`query_bpe_merges`
+    (bounded driver collect + deterministic loop); encoding itself is a
+    pure per-row expression chain — 2·N_MERGES literal replaces inside
+    whole-stage codegen, no shuffle beyond the final per-doc aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pruned = (
+        count_words(docs)
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(VOCAB_CAP)
+    )
+    counted = [(r["w"], r["cnt"]) for r in pruned.collect()]
+    counted.sort()
+    merges = train_merges(counted)
+
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    per_word = words.select("doc_id", _encode_word_expr(merges).alias("n_sym"))
+    return per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def oracle_bpe_encode_sql(sf_dir: str | None = None) -> str | None:
+    """Same builder strategy as :func:`oracle_bpe_merges_sql`: DuckDB
+    counts the words, the pinned Python loop learns the merges, and the
+    replace chain is emitted inline so DuckDB re-encodes the corpus with
+    its own string engine."""
+    if sf_dir is None:
+        sf_dir = DRIVER_CHECK_SF_DIR
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        counted = con.execute(
+            _WORD_COUNT_SQL.format(path=f"{sf_dir}/documents.parquet")
+            + f" ORDER BY cnt DESC, w LIMIT {VOCAB_CAP}"
+        ).fetchall()
+        merges = train_merges(sorted((w, int(c)) for w, c in counted))
+
+        def esc(s: str) -> str:
+            return s.replace("'", "''")
+
+        expr = f"' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '{END_OF_WORD} '"
+        for _rank, left, right, _cnt in merges:
+            pat, rep = esc(f" {left} {right} "), esc(f" {left}{right} ")
+            expr = f"replace(replace({expr}, '{pat}', '{rep}'), '{pat}', '{rep}')"
+        return f"""
+WITH words AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM read_parquet('{sf_dir}/documents.parquet')
+    ) WHERE w <> ''
+),
+encoded AS (
+    SELECT doc_id, len(string_split(trim({expr}), ' ')) AS n_sym FROM words
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+FROM encoded GROUP BY doc_id
+"""
+    except Exception as exc:  # noqa: BLE001 — missing fixture → rows-only
+        log.warning(
+            "bpe encode oracle builder: %s: %s — rows-only fallback for %s",
+            type(exc).__name__,
+            exc,
+            sf_dir,
+        )
+        return None

@@ -29,3 +29,74 @@ def test_bpe_counts_monotone_nonincreasing_and_deterministic(spark, sf_dir):
     # positive counts and unique (left, right) pairs instead.
     assert all(r["pair_count"] > 0 for r in a)
     assert len({(r["left"], r["right"]) for r in a}) == len(a)
+
+
+def test_bpe_encode_two_pass_replace_is_exhaustive(spark):
+    """The boundary-sharing case: a run of identical pairs ('a a a a')
+    leaves every other occurrence unmerged after one literal pass; the
+    second pass must catch them — matching reference BPE exactly."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.operators.bpe import _encode_word_expr
+
+    # merge rank 0: ('a', 'a') -> 'aa'
+    merges = [(0, "a", "a", 99)]
+    df = spark.createDataFrame(
+        [("aaaa",), ("aaa",), ("a",), ("ab",)], "w string"
+    ).select("w", _encode_word_expr(merges).alias("n_sym"))
+    got = {r["w"]: r["n_sym"] for r in df.collect()}
+    # 'aaaa' -> a a a a </w> -> aa aa </w> = 3 symbols (two passes needed)
+    assert got["aaaa"] == 3
+    # 'aaa' -> aa a </w> = 3
+    assert got["aaa"] == 3
+    assert got["a"] == 2  # a </w>
+    assert got["ab"] == 3  # a b </w> (pair (a,b) not merged)
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """Cross-check the expression chain against a plain-Python BPE apply
+    on a sample of fixture words."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.functions.text import tokens as tok
+    from bigdata_project_spark.operators.bpe import (
+        END_OF_WORD,
+        _encode_word_expr,
+        count_words,
+        train_merges,
+    )
+    from bigdata_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = sorted(
+        (r["w"], r["cnt"]) for r in count_words(docs).collect()
+    )
+    merges = train_merges(counted)
+
+    def py_encode(word: str) -> int:
+        syms = list(word) + [END_OF_WORD]
+        for _rank, left, right, _cnt in merges:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    words = (
+        docs.select(F.explode(tok(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .limit(200)
+    )
+    got = {
+        r["w"]: r["n"]
+        for r in words.select("w", _encode_word_expr(merges).alias("n")).collect()
+    }
+    for w, n in got.items():
+        assert n == py_encode(w), w
