@@ -434,3 +434,72 @@ SELECT lower(regexp_extract(url, 'https?://([^/]+)', 1)) AS host,
 FROM urls
 GROUP BY host
 """
+
+
+# ------------------------------------------------------ URL-canonical dedup --
+
+
+def query_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the web-corpus first pass (CC-style: the
+    same page crawled as http/https, with/without ``www.``, with
+    tracking params, is ONE document). URLs are planted with those exact
+    variants (scheme by doc_id%2, ``www.`` by %3, ``?utm=`` by %4) over
+    a (host, path) space small enough to collide; verified is the
+    canonicalize → group → keep-min chain.
+
+    Canonicalization is two map-side regexp_replaces (strip scheme +
+    ``www.``, strip query string); the dedup is one hash aggregate keyed
+    on the canonical URL — shuffle carries (canonical, doc_id) pairs
+    only, never document payloads, the same contract as content-hash
+    dedup (text_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("host"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example/page/"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm=x"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(url, r"^https?://(www\.)?", ""), r"\?.*$", ""
+    )
+    return (
+        docs.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+ORACLE_DEDUP_URL_CANONICAL = """
+WITH urls AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+           || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+           || 'host' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example/page/' || CAST(doc_id % 37 AS VARCHAR)
+           || (CASE WHEN doc_id % 4 = 0 THEN '?utm=x' || CAST(doc_id AS VARCHAR) ELSE '' END)
+           AS url
+    FROM documents
+),
+canon AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(url, '^https?://(www\\.)?', ''),
+                          '\\?.*$', '') AS canonical_url
+    FROM urls
+)
+SELECT canonical_url,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_docs
+FROM canon
+GROUP BY canonical_url
+"""

@@ -62,9 +62,9 @@ def _load() -> None:
     novelty, linear quality, paragraph dedup, PCA/hashing
     registrations, BLAS gram, gold rollup, de-serialized z-order,
     packing/mixture guards, guarded silver_ine pair); (C) as many
-    r3-stale queries as fit (text_token_stats … text_tfidf).
+    r3-stale queries as fit (text_token_stats … text_vocab_topk).
     Still r3-stale past the window — first in line for round 6:
-    text_repetition, text_pii_redact/bigram_lm/bpe_merges/decontaminate,
+    text_tfidf, text_repetition, text_pii_redact/bigram_lm/bpe_merges/decontaminate,
     silver_people_day, silver_overnights/zones/zones_wkt/distances,
     bronze_merge_keyed, silver_ine_renta, bronze_holidays_json,
     dedup_exact/simhash/embedding_cosine, pipeline_train_val_split,
@@ -101,6 +101,13 @@ def _load() -> None:
     from bigdata_project_spark.operators import bpe as _bpe
     from bigdata_project_spark.streaming import windows as _sw0
 
+    from bigdata_project_spark.operators import text_signals as _tsg
+
+    register(
+        "dedup_url_canonical",
+        _tsg.query_dedup_url_canonical,
+        _tsg.ORACLE_DEDUP_URL_CANONICAL,
+    )
     register(
         "text_bpe_encode",
         _bpe.query_bpe_encode,
