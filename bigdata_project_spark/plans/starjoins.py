@@ -151,3 +151,62 @@ SELECT n_name,
 FROM agg
 ORDER BY rev_dec DESC, n_name ASC
 """
+
+
+Q10_DATE_LO, Q10_DATE_HI = "1997-01-01", "1997-07-01"
+
+
+def query_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returned items per customer over a
+    quarter-ish window — lineitem filtered to returnflag 'R' joins the
+    date-filtered orders (broadcast after its filter) and the customer +
+    nation dims (broadcast), one hash aggregate on the customer, top-20
+    by the exact DECIMAL revenue with a key tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q10_DATE_LO) & (F.col("o_orderdate") < Q10_DATE_HI)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(_revenue()).alias("rev_dec"), F.count(F.lit(1)).alias("n_items")
+    )
+    return (
+        agg.orderBy(F.col("rev_dec").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            round_portable(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+ORACLE_RETURNED_ITEMS = f"""
+WITH agg AS (
+    SELECT c_custkey, c_name, n_name,
+           SUM({_REVENUE_SQL}) AS rev_dec,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{Q10_DATE_LO} 00:00:00'
+      AND o_orderdate < TIMESTAMP '{Q10_DATE_HI} 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+)
+SELECT c_custkey, c_name, n_name,
+       {round_portable_sql("CAST(rev_dec AS DOUBLE)", 2)} AS revenue,
+       n_items
+FROM agg
+ORDER BY rev_dec DESC, c_custkey ASC
+LIMIT 20
+"""

@@ -62,9 +62,9 @@ def _load() -> None:
     novelty, linear quality, paragraph dedup, PCA/hashing
     registrations, BLAS gram, gold rollup, de-serialized z-order,
     packing/mixture guards, guarded silver_ine pair); (C) as many
-    r3-stale queries as fit (text_token_stats … text_vocab_topk).
+    r3-stale queries as fit (text_token_stats … text_quality_score).
     Still r3-stale past the window — first in line for round 6:
-    text_tfidf, text_repetition, text_pii_redact/bigram_lm/bpe_merges/decontaminate,
+    text_fingerprint/vocab_topk/tfidf, text_repetition, text_pii_redact/bigram_lm/bpe_merges/decontaminate,
     silver_people_day, silver_overnights/zones/zones_wkt/distances,
     bronze_merge_keyed, silver_ine_renta, bronze_holidays_json,
     dedup_exact/simhash/embedding_cosine, pipeline_train_val_split,
@@ -169,6 +169,16 @@ def _load() -> None:
         "agg_region_revenue",
         starjoins.query_region_revenue,
         starjoins.ORACLE_REGION_REVENUE,
+    )
+    register(
+        "agg_returned_items",
+        starjoins.query_returned_items,
+        starjoins.ORACLE_RETURNED_ITEMS,
+    )
+    register(
+        "stream_tumbling",
+        _sw0.query_stream_tumbling,
+        _ew.ORACLE_TUMBLING_1H,
     )
     from bigdata_project_spark.streaming import windows as _sw
 

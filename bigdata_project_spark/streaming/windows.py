@@ -297,6 +297,47 @@ def query_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def query_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible CORRECTNESS query for :func:`tumbling_counts`: the
+    canonical watermarked tumbling-window aggregate, drained in complete
+    mode so the final table covers every window (append would hold back
+    the trailing watermark hour) and shares the batch twin's oracle
+    (``plans.event_windows.ORACLE_TUMBLING_1H``) value-exactly."""
+    import uuid
+
+    qname = f"tumb_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rec = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    return rec.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 def query_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible CORRECTNESS query for :func:`session_windows`:
     drain the watermarked native-session-window stream and emit one row
