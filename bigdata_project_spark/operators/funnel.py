@@ -212,3 +212,60 @@ SELECT src_event, dst_event, n,
        {round_portable_sql("(n * 1.0) / SUM(n) OVER (PARTITION BY src_event)", 6)} AS p
 FROM t
 """
+
+
+def query_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product-
+    analytics engagement rollup. WAU must count DISTINCT users over a
+    sliding window, which no window frame can do directly; the
+    distributed form explodes each active (day, user) pair into the 7
+    grid days it contributes to (map-side `sequence`, no range join →
+    no nested loop) and equi-semi-joins the observed-day grid before
+    the distinct re-count. Shuffle volume is ≤7× the (day, user) pair
+    count — pairs, never payloads — and both aggregates are Catalyst's
+    native two-pass distinct plans."""
+    ev = load_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.unix_date(F.to_date("ts")).alias("d"), "user_id"
+    ).distinct()
+    days = day_user.select("d").distinct()
+    dau = day_user.groupBy("d").agg(F.count_distinct("user_id").alias("dau"))
+    contrib = day_user.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("d"),
+    )
+    wau = (
+        contrib.join(F.broadcast(days), "d", "left_semi")
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format(F.date_from_unix_date(F.col("d").cast("int")), "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            round_portable(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+ORACLE_EVENTS_DAU_WAU = f"""
+WITH day_user AS (
+    SELECT DISTINCT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           user_id
+    FROM events
+),
+days AS (SELECT DISTINCT d FROM day_user),
+dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM day_user GROUP BY d),
+wau AS (
+    SELECT days.d, COUNT(DISTINCT du.user_id) AS wau
+    FROM days JOIN day_user du
+      ON du.d <= days.d AND du.d >= days.d - 6
+    GROUP BY days.d
+)
+SELECT strftime(DATE '1970-01-01' + to_days(CAST(dau.d AS INTEGER)), '%Y-%m-%d') AS day,
+       dau, wau,
+       {round_portable_sql("dau * 1.0 / wau", 6)} AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+"""

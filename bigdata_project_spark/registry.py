@@ -62,9 +62,9 @@ def _load() -> None:
     novelty, linear quality, paragraph dedup, PCA/hashing
     registrations, BLAS gram, gold rollup, de-serialized z-order,
     packing/mixture guards, guarded silver_ine pair); (C) as many
-    r3-stale queries as fit (text_token_stats … text_quality_score).
+    r3-stale queries as fit (text_token_stats … text_lang_id).
     Still r3-stale past the window — first in line for round 6:
-    text_fingerprint/vocab_topk/tfidf, text_repetition, text_pii_redact/bigram_lm/bpe_merges/decontaminate,
+    text_quality_score/fingerprint/vocab_topk/tfidf, text_repetition, text_pii_redact/bigram_lm/bpe_merges/decontaminate,
     silver_people_day, silver_overnights/zones/zones_wkt/distances,
     bronze_merge_keyed, silver_ine_renta, bronze_holidays_json,
     dedup_exact/simhash/embedding_cosine, pipeline_train_val_split,
@@ -207,6 +207,9 @@ def _load() -> None:
     from bigdata_project_spark.operators import funnel as _fu
     from bigdata_project_spark.plans import analytics as _an
 
+    register(
+        "events_dau_wau", _fu.query_events_dau_wau, _fu.ORACLE_EVENTS_DAU_WAU
+    )
     register("events_funnel", _fu.query_events_funnel, _fu.ORACLE_EVENTS_FUNNEL)
     register(
         "agg_approx_quantiles",
