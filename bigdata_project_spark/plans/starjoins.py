@@ -210,3 +210,44 @@ FROM agg
 ORDER BY rev_dec DESC, c_custkey ASC
 LIMIT 20
 """
+
+
+Q4_DATE_LO, Q4_DATE_HI = "1997-01-01", "1997-04-01"
+Q4_LATE_DAYS = 60
+
+
+def query_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: per-priority count of orders (in a quarter) that have at
+    least one LATE lineitem — an EXISTS semi-join whose condition
+    correlates both sides (l_shipdate > o_orderdate + 60 days), the
+    step past J4's uncorrelated IN-subquery. Plans as a LeftSemi hash
+    join on the orderkey with the date comparison as residual: one scan
+    of each side, no duplication of matching orders no matter how many
+    late lineitems they have."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q4_DATE_LO) & (F.col("o_orderdate") < Q4_DATE_HI)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q4_LATE_DAYS)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+ORACLE_ORDER_PRIORITY = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{Q4_DATE_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q4_DATE_HI} 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+"""

@@ -61,10 +61,10 @@ def _load() -> None:
     batch+stream, int8 quantize, equi-depth bins, URL domains, ngram
     novelty, linear quality, paragraph dedup, PCA/hashing
     registrations, BLAS gram, gold rollup, de-serialized z-order,
-    packing/mixture guards, guarded silver_ine pair); (C) as many
-    r3-stale queries as fit (text_token_stats … text_lang_id).
+    packing/mixture guards, guarded silver_ine pair); (C) the one
+    r3-stale query that fits (text_token_stats).
     Still r3-stale past the window — first in line for round 6:
-    text_quality_score/fingerprint/vocab_topk/tfidf, text_repetition, text_pii_redact/bigram_lm/bpe_merges/decontaminate,
+    text_lang_id/quality_score/fingerprint/vocab_topk/tfidf, text_repetition, text_pii_redact/bigram_lm/bpe_merges/decontaminate,
     silver_people_day, silver_overnights/zones/zones_wkt/distances,
     bronze_merge_keyed, silver_ine_renta, bronze_holidays_json,
     dedup_exact/simhash/embedding_cosine, pipeline_train_val_split,
@@ -174,6 +174,11 @@ def _load() -> None:
         "agg_returned_items",
         starjoins.query_returned_items,
         starjoins.ORACLE_RETURNED_ITEMS,
+    )
+    register(
+        "agg_order_priority",
+        starjoins.query_order_priority,
+        starjoins.ORACLE_ORDER_PRIORITY,
     )
     register(
         "stream_tumbling",
