@@ -251,3 +251,58 @@ WHERE o_orderdate >= TIMESTAMP '{Q4_DATE_LO} 00:00:00'
   )
 GROUP BY o_orderpriority
 """
+
+
+Q14_DATE_LO, Q14_DATE_HI = "1997-01-01", "1997-02-01"
+
+
+def query_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: share of a month's revenue from PROMO-type parts — the
+    conditional-aggregate-ratio over a fact⋈dim join (the one query
+    family that exercises the `part` dimension). part broadcasts;
+    lineitem streams through with its shipdate filter pushed to the
+    scan; both sums reduce in ONE hash aggregate (no second pass for
+    the conditional numerator)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q14_DATE_LO) & (F.col("l_shipdate") < Q14_DATE_HI)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("promo_dec"),
+        F.sum(_revenue()).alias("total_dec"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        round_portable(F.col("promo_dec").cast("double"), 2).alias("promo_revenue"),
+        round_portable(F.col("total_dec").cast("double"), 2).alias("total_revenue"),
+        round_portable(
+            F.lit(100.0) * F.col("promo_dec").cast("double")
+            / F.col("total_dec").cast("double"),
+            6,
+        ).alias("promo_pct"),
+        "n_items",
+    )
+
+
+ORACLE_PROMO_REVENUE = f"""
+WITH agg AS (
+    SELECT SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL}
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_dec,
+           SUM({_REVENUE_SQL}) AS total_dec,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{Q14_DATE_LO} 00:00:00'
+      AND l_shipdate < TIMESTAMP '{Q14_DATE_HI} 00:00:00'
+)
+SELECT {round_portable_sql("CAST(promo_dec AS DOUBLE)", 2)} AS promo_revenue,
+       {round_portable_sql("CAST(total_dec AS DOUBLE)", 2)} AS total_revenue,
+       {round_portable_sql("100.0 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)", 6)} AS promo_pct,
+       n_items
+FROM agg
+"""

@@ -61,10 +61,11 @@ def _load() -> None:
     batch+stream, int8 quantize, equi-depth bins, URL domains, ngram
     novelty, linear quality, paragraph dedup, PCA/hashing
     registrations, BLAS gram, gold rollup, de-serialized z-order,
-    packing/mixture guards, guarded silver_ine pair); (C) the one
-    r3-stale query that fits (text_token_stats).
-    Still r3-stale past the window — first in line for round 6:
-    text_lang_id/quality_score/fingerprint/vocab_topk/tfidf, text_repetition, text_pii_redact/bigram_lm/bpe_merges/decontaminate,
+    packing/mixture guards, guarded silver_ine pair). The window is
+    exactly filled by this round's new/touched queries — adding more
+    would evict one of them unchecked, so breadth stops here for the
+    round. Still r3-stale past the window — first in line for round 6:
+    the text_* family (token_stats/lang_id/quality_score/fingerprint/vocab_topk/tfidf, text_repetition, text_pii_redact/bigram_lm/bpe_merges/decontaminate,
     silver_people_day, silver_overnights/zones/zones_wkt/distances,
     bronze_merge_keyed, silver_ine_renta, bronze_holidays_json,
     dedup_exact/simhash/embedding_cosine, pipeline_train_val_split,
@@ -179,6 +180,11 @@ def _load() -> None:
         "agg_order_priority",
         starjoins.query_order_priority,
         starjoins.ORACLE_ORDER_PRIORITY,
+    )
+    register(
+        "agg_promo_revenue",
+        starjoins.query_promo_revenue,
+        starjoins.ORACLE_PROMO_REVENUE,
     )
     register(
         "stream_tumbling",
