@@ -7,8 +7,19 @@ the reference's own roadmap.
 (zone_level, day, is_holiday) with an exact origin-cardinality count —
 the table a dashboard would read instead of re-scanning silver.
 
-Scale: one hash aggregate on low-cardinality keys over the silver plan
-(itself scan + broadcast semi-join, see plans/silver_od.py); the exact
+Architecture (fixed round 6 after the r5 audit): the gold tier reads
+the MATERIALIZED silver table, exactly as the tiering contract says —
+a dashboard query must not re-execute the silver scan→union→semi-join
+chain per refresh. ``query_gold_od_daily`` materializes ``silver_od``
+through the same ``replace_table`` path the pipeline runner uses
+(once per session+fixture; CREATE OR REPLACE semantics, so always
+fresh within a process) and rolls up from the stored parquet table.
+On a cluster the runner owns that write and the gold query is only
+the rollup — the guard here just makes the query self-contained for
+the bench/driver harnesses, which call queries in isolation.
+
+Scale: one hash aggregate on low-cardinality keys over a stored,
+zone_level-partitioned parquet table; the exact
 COUNT(DISTINCT origin_id) uses Catalyst's native two-pass distinct
 plan. The manual pre-aggregate-on-(group, origin) rewrite was measured
 SLOWER here (3.1 s vs 2.2 s at sf0.1): origins are near-unique within a
@@ -20,17 +31,43 @@ reduction is exact and engine-portable.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
 from bigdata_project_spark.plans import silver_od
+from bigdata_project_spark.sources.sinks import (
+    drop_table_and_orphan_location,
+    replace_table,
+)
 
 _DEC = "decimal(27,6)"
 
+# session-local memo of fixtures already materialized: keyed by the JVM
+# app id + sf_dir so a fresh session (new warehouse state) re-writes.
+_MATERIALIZED: set[tuple[str, str]] = set()
+
+
+def _silver_table(spark: SparkSession, sf_dir: str) -> str:
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    table = f"silver_od__{tag}"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MATERIALIZED:
+        # a previous PROCESS may have left the managed location behind
+        # with no catalog entry (fresh session, same warehouse dir) —
+        # saveAsTable then refuses with LOCATION_ALREADY_EXISTS
+        drop_table_and_orphan_location(spark, table)
+        replace_table(
+            silver_od.query(spark, sf_dir), table, partition_by=["zone_level"]
+        )
+        _MATERIALIZED.add(key)
+    return table
+
 
 def query_gold_od_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    od = silver_od.query(spark, sf_dir)
+    od = spark.table(_silver_table(spark, sf_dir))
     return (
         od.groupBy(
             "zone_level",
