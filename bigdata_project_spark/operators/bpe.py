@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import logging
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -75,22 +76,41 @@ def train_merges(
         cnt = max(pairs.values())
         left, right = min(p for p, c in pairs.items() if c == cnt)
         merges.append((rank, left, right, cnt))
-        merged = left + right
         new_vocab: dict[tuple[str, ...], int] = {}
         for syms, c in vocab.items():
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            key = tuple(out)
+            key = _apply_one_merge(syms, left, right)
             new_vocab[key] = new_vocab.get(key, 0) + c
         vocab = new_vocab
     return merges
+
+
+def _apply_one_merge(
+    syms: tuple[str, ...], left: str, right: str
+) -> tuple[str, ...]:
+    """Greedy left-to-right application of ONE merge: a matched pair
+    consumes both symbols before the scan continues (so a run of k
+    identical symbols under a self-pair merge becomes floor(k/2) merged
+    symbols plus a trailing remainder) — reference BPE semantics
+    (Sennrich et al. 2016), shared by training and encode."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def encode_len(word: str, merges: "list[tuple[int, str, str, int]]") -> int:
+    """Exact reference-BPE symbol count of one word under the ranked
+    merge list."""
+    syms: tuple[str, ...] = tuple(list(word) + [END_OF_WORD])
+    for _rank, left, right, _cnt in merges:
+        syms = _apply_one_merge(syms, left, right)
+    return len(syms)
 
 
 def query_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,42 +194,35 @@ def oracle_bpe_merges_sql(sf_dir: str | None = None) -> str | None:
 
 # ------------------------------------------------------------- encode --
 #
-# Applying one merge (l, r) to the space-delimited symbol string is a
-# LITERAL replace of " l r " with " lr ". A single left-to-right
-# non-overlapping pass can miss occurrences that share a boundary space
-# with a just-consumed match (" a b a b " → the second pair keeps no
-# leading space) — but any two occurrences left unmerged by a pass are
-# separated by a merged symbol, so they can't share boundaries anymore:
-# TWO passes of the same replace are exactly exhaustive. And a merge can
-# never create a fresh occurrence of its own pair (that would need
-# l+r == l or l+r == r, i.e. an empty symbol), so two passes equal the
-# reference BPE "apply until none left". Java's String.replace and
-# DuckDB's replace() share the scan-original-left-to-right semantics,
-# which makes the chain engine-exact with zero float involvement.
-
-
-def _encode_word_expr(merges: "list[tuple[int, str, str, int]]"):
-    """Column expr: word → number of BPE symbols after applying merges."""
-    w = F.col("w")
-    s = F.concat(
-        F.lit(" "), F.regexp_replace(w, "(.)", "$1 "), F.lit(END_OF_WORD + " ")
-    )
-    for _rank, left, right, _cnt in merges:
-        pat, rep = F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
-        s = F.replace(F.replace(s, pat, rep), pat, rep)
-    return F.size(F.split(F.trim(s), " "))
+# Encode = dictionary join. A literal-replace expression chain (the
+# round-5 design) is NOT equivalent to reference BPE for self-pair
+# merges (left == right): on a run of ≥5 identical symbols the
+# non-overlapping replace scan pairs the wrong occurrences ('aaaaaa'
+# under merge (a,a) → 5 symbols instead of reference-greedy 4), and no
+# replace-until-fixpoint variant converges to the greedy result either
+# (ADVICE r5). The exact semantics need the stateful left-to-right scan
+# in _apply_one_merge — so the corpus-sized stage becomes a broadcast
+# dictionary join instead: the capped vocab (the SAME bounded driver
+# collect training already does) is encoded exactly on the driver and
+# broadcast back as word→n_sym; corpus words stream through a broadcast
+# hash join, all JVM-side. Words beyond VOCAB_CAP (never at fixture
+# scale; the rare tail of an adversarial 100 TB corpus) take an
+# Arrow-batched pandas UDF computing the IDENTICAL function, kept on a
+# separate filtered branch so the Python path evaluates zero batches
+# when the dictionary covers the corpus.
 
 
 def query_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the corpus-learned merge table back to the corpus: per-doc
     whitespace-word count vs BPE-token count — the learn→tokenize
     round trip (what SentencePiece's encode step does after training).
+    Exact reference-greedy BPE for every word, including self-pair
+    merges over runs (see the section comment above)."""
+    from pyspark.sql.functions import pandas_udf
 
-    The merge table is learned exactly as in :func:`query_bpe_merges`
-    (bounded driver collect + deterministic loop); encoding itself is a
-    pure per-row expression chain — 2·N_MERGES literal replaces inside
-    whole-stage codegen, no shuffle beyond the final per-doc aggregate.
-    """
+    def _bpe_len_tail(ws: pd.Series) -> pd.Series:
+        return ws.map(lambda w: encode_len(w, merges))
+
     docs = load_table(spark, sf_dir, "documents")
     pruned = (
         count_words(docs)
@@ -220,10 +233,24 @@ def query_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted.sort()
     merges = train_merges(counted)
 
+    vocab_df = spark.createDataFrame(
+        [(w, encode_len(w, merges)) for w, _ in counted],
+        "w string, n_sym_dict bigint",
+    )
+
+    bpe_len_tail = pandas_udf(_bpe_len_tail, "long")
+
     words = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
     ).filter(F.col("w") != "")
-    per_word = words.select("doc_id", _encode_word_expr(merges).alias("n_sym"))
+    joined = words.join(F.broadcast(vocab_df), "w", "left")
+    matched = joined.filter(F.col("n_sym_dict").isNotNull()).select(
+        "doc_id", F.col("n_sym_dict").alias("n_sym")
+    )
+    tail = joined.filter(F.col("n_sym_dict").isNull()).select(
+        "doc_id", bpe_len_tail(F.col("w")).alias("n_sym")
+    )
+    per_word = matched.unionByName(tail)
     return per_word.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
@@ -232,9 +259,13 @@ def query_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_bpe_encode_sql(sf_dir: str | None = None) -> str | None:
     """Same builder strategy as :func:`oracle_bpe_merges_sql`: DuckDB
-    counts the words, the pinned Python loop learns the merges, and the
-    replace chain is emitted inline so DuckDB re-encodes the corpus with
-    its own string engine."""
+    counts the words, the pinned Python loop learns the merges and
+    encodes every distinct fixture word exactly, and the word→n_sym
+    dictionary is emitted as a VALUES join so DuckDB re-tokenizes the
+    corpus with its own string engine and sums through the same
+    dictionary. (The dictionary covers ALL distinct fixture words —
+    uncapped — mirroring the engine's dict + identical-function
+    fallback, which is exact for every word.)"""
     if sf_dir is None:
         sf_dir = DRIVER_CHECK_SF_DIR
     try:
@@ -246,14 +277,26 @@ def oracle_bpe_encode_sql(sf_dir: str | None = None) -> str | None:
             + f" ORDER BY cnt DESC, w LIMIT {VOCAB_CAP}"
         ).fetchall()
         merges = train_merges(sorted((w, int(c)) for w, c in counted))
+        all_words = [
+            r[0]
+            for r in con.execute(
+                _WORD_COUNT_SQL.format(path=f"{sf_dir}/documents.parquet")
+            ).fetchall()
+        ]
+        if not all_words:
+            log.warning(
+                "bpe encode oracle builder: empty corpus for %s — "
+                "rows-only fallback",
+                sf_dir,
+            )
+            return None
 
         def esc(s: str) -> str:
             return s.replace("'", "''")
 
-        expr = f"' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '{END_OF_WORD} '"
-        for _rank, left, right, _cnt in merges:
-            pat, rep = esc(f" {left} {right} "), esc(f" {left}{right} ")
-            expr = f"replace(replace({expr}, '{pat}', '{rep}'), '{pat}', '{rep}')"
+        rows = ",\n       ".join(
+            f"('{esc(w)}', {encode_len(w, merges)})" for w in sorted(all_words)
+        )
         return f"""
 WITH words AS (
     SELECT doc_id, w FROM (
@@ -262,12 +305,10 @@ WITH words AS (
         FROM read_parquet('{sf_dir}/documents.parquet')
     ) WHERE w <> ''
 ),
-encoded AS (
-    SELECT doc_id, len(string_split(trim({expr}), ' ')) AS n_sym FROM words
-)
+dict(w, n_sym) AS (VALUES {rows})
 SELECT doc_id, COUNT(*) AS n_words,
        CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
-FROM encoded GROUP BY doc_id
+FROM words JOIN dict USING (w) GROUP BY doc_id
 """
     except Exception as exc:  # noqa: BLE001 — missing fixture → rows-only
         log.warning(

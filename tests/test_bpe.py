@@ -31,72 +31,94 @@ def test_bpe_counts_monotone_nonincreasing_and_deterministic(spark, sf_dir):
     assert len({(r["left"], r["right"]) for r in a}) == len(a)
 
 
-def test_bpe_encode_two_pass_replace_is_exhaustive(spark):
-    """The boundary-sharing case: a run of identical pairs ('a a a a')
-    leaves every other occurrence unmerged after one literal pass; the
-    second pass must catch them — matching reference BPE exactly."""
-    from pyspark.sql import functions as F
+def test_bpe_encode_len_self_pair_runs():
+    """Reference-greedy semantics on runs of a self-pair merge — the
+    exact case the r5 literal-replace chain got wrong ('aaaaaa' -> 5
+    symbols instead of greedy 4). encode_len must pair left-to-right,
+    remainder at the end of the run."""
+    from bigdata_project_spark.operators.bpe import encode_len
 
-    from bigdata_project_spark.operators.bpe import _encode_word_expr
-
-    # merge rank 0: ('a', 'a') -> 'aa'
     merges = [(0, "a", "a", 99)]
-    df = spark.createDataFrame(
-        [("aaaa",), ("aaa",), ("a",), ("ab",)], "w string"
-    ).select("w", _encode_word_expr(merges).alias("n_sym"))
-    got = {r["w"]: r["n_sym"] for r in df.collect()}
-    # 'aaaa' -> a a a a </w> -> aa aa </w> = 3 symbols (two passes needed)
-    assert got["aaaa"] == 3
-    # 'aaa' -> aa a </w> = 3
-    assert got["aaa"] == 3
-    assert got["a"] == 2  # a </w>
-    assert got["ab"] == 3  # a b </w> (pair (a,b) not merged)
+    # word -> expected symbols (incl. </w>)
+    expect = {
+        "a": 2,        # a </w>
+        "ab": 3,       # a b </w>
+        "aaa": 3,      # aa a </w>
+        "aaaa": 3,     # aa aa </w>
+        "aaaaa": 4,    # aa aa a </w>
+        "aaaaaa": 4,   # aa aa aa </w>
+        "aaaaaaa": 5,  # aa aa aa a </w>
+    }
+    for w, n in expect.items():
+        assert encode_len(w, merges) == n, w
+    # stacked self-pairs: (a,a) then (aa,aa)
+    merges2 = [(0, "a", "a", 99), (1, "aa", "aa", 9)]
+    assert encode_len("aaaa", merges2) == 2    # aaaa </w>
+    assert encode_len("aaaaaa", merges2) == 3  # aaaa aa </w>
+    assert encode_len("aaaaa", merges2) == 3   # aaaa a </w>
+
+
+def _py_tokens(text: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(r"\s+", text.strip().lower()) if w]
+
+
+def _py_encode_doc_counts(rows, vocab_cap):
+    """Plain-Python replica of query_bpe_encode: count words, cap the
+    vocab, train merges, encode every word reference-greedy."""
+    from bigdata_project_spark.operators.bpe import encode_len, train_merges
+
+    counts: dict[str, int] = {}
+    for _doc_id, text in rows:
+        for w in _py_tokens(text):
+            counts[w] = counts.get(w, 0) + 1
+    capped = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_cap]
+    merges = train_merges(sorted(capped))
+    out: dict[int, tuple[int, int]] = {}
+    for doc_id, text in rows:
+        ws = _py_tokens(text)
+        out[doc_id] = (len(ws), sum(encode_len(w, merges) for w in ws))
+    return out
+
+
+def _fixture_docs(spark, sf_dir):
+    from bigdata_project_spark.sources.readers import load_table
+
+    return [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
 
 
 def test_bpe_encode_matches_python_reference(spark, sf_dir):
-    """Cross-check the expression chain against a plain-Python BPE apply
-    on a sample of fixture words."""
-    from pyspark.sql import functions as F
+    """query_bpe_encode (dictionary-join path) vs a plain-Python
+    reference over the whole fixture corpus."""
+    from bigdata_project_spark.operators.bpe import VOCAB_CAP, query_bpe_encode
 
-    from bigdata_project_spark.functions.text import tokens as tok
-    from bigdata_project_spark.operators.bpe import (
-        END_OF_WORD,
-        _encode_word_expr,
-        count_words,
-        train_merges,
-    )
-    from bigdata_project_spark.sources.readers import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    counted = sorted(
-        (r["w"], r["cnt"]) for r in count_words(docs).collect()
-    )
-    merges = train_merges(counted)
-
-    def py_encode(word: str) -> int:
-        syms = list(word) + [END_OF_WORD]
-        for _rank, left, right, _cnt in merges:
-            out = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        return len(syms)
-
-    words = (
-        docs.select(F.explode(tok(F.col("text"))).alias("w"))
-        .filter(F.col("w") != "")
-        .distinct()
-        .limit(200)
-    )
+    rows = _fixture_docs(spark, sf_dir)
+    expect = _py_encode_doc_counts(rows, VOCAB_CAP)
     got = {
-        r["w"]: r["n"]
-        for r in words.select("w", _encode_word_expr(merges).alias("n")).collect()
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in query_bpe_encode(spark, sf_dir).collect()
     }
-    for w, n in got.items():
-        assert n == py_encode(w), w
+    assert got == expect
+
+
+def test_bpe_encode_tail_fallback_matches(spark, sf_dir, monkeypatch):
+    """With the vocab cap forced tiny, most words miss the broadcast
+    dictionary and take the Arrow pandas-UDF fallback — results must be
+    identical to the same-cap Python reference (the fallback computes
+    the same function as the dictionary)."""
+    import bigdata_project_spark.operators.bpe as bpe_mod
+
+    monkeypatch.setattr(bpe_mod, "VOCAB_CAP", 5)
+    rows = _fixture_docs(spark, sf_dir)
+    expect = _py_encode_doc_counts(rows, 5)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_mod.query_bpe_encode(spark, sf_dir).collect()
+    }
+    assert got == expect
