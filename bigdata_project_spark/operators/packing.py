@@ -183,18 +183,21 @@ def query_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight, then each domain keeps its floor(w*T) docs with the smallest
     md5(doc_id) — a replay-stable sample independent of partitioning.
     """
-    # Explicit domain-name contract: a source not matching src<i> would
-    # produce a NULL weight here but a CAST error in the DuckDB oracle —
-    # filter it on BOTH engines so failure modes can't diverge.
+    # Explicit domain-name contract, anchored and digit-bounded: an
+    # unanchored src(\d+) admits tags like 'xsrc3y' or an overlong
+    # 'src99999999999999' whose INT cast is NULL on Spark (non-ANSI)
+    # but an ERROR on DuckDB — the anchored ^src\d{1,6}$ filter makes
+    # the subsequent cast total on BOTH engines, so failure modes
+    # can't diverge (ADVICE r4/r5).
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("source").rlike(r"src(\d+)")
+        F.col("source").rlike(r"^src\d{1,6}$")
     )
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     weighted = counts.select(
         "source",
         "n",
         (
-            (F.regexp_extract("source", r"src(\d+)", 1).cast("int") + 1) / F.lit(_W_DENOM)
+            (F.regexp_extract("source", r"^src(\d{1,6})$", 1).cast("int") + 1) / F.lit(_W_DENOM)
         ).alias("w"),
     )
     cap = weighted.agg(F.min(F.col("n") / F.col("w")).alias("cap"))
@@ -217,11 +220,11 @@ def query_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOMAIN_MIXTURE = f"""
 WITH d AS (
     SELECT doc_id, source FROM documents
-    WHERE regexp_matches(source, 'src(\\d+)')
+    WHERE regexp_matches(source, '^src\\d{{1,6}}$')
 ),
 c AS (
     SELECT source, COUNT(*) AS n,
-           (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) + 1) / {_W_DENOM} AS w
+           (CAST(regexp_extract(source, '^src(\\d{{1,6}})$', 1) AS INT) + 1) / {_W_DENOM} AS w
     FROM d
     GROUP BY source
 ),

@@ -137,7 +137,11 @@ FROM dense
 
 def query_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event counts per type, z-scored against the type's own
-    mean/std (population). |z| > 2 flags the anomalous days."""
+    mean/std (population). |z| > 2 flags the anomalous days. A
+    degenerate key (one day, or constant counts) has zero variance —
+    there the z-score is NULL and the flag false on BOTH engines
+    (unguarded, Spark's non-ANSI divide returns NULL where DuckDB's
+    IEEE ops return Inf/NaN, a latent cross-engine mismatch)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
@@ -152,7 +156,7 @@ def query_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("x").cast("double")
     mean = sx / nd
     var = (sxx - sx * sx / nd) / nd
-    z = (x - mean) / F.sqrt(var)
+    z = F.when(var > 0, (x - mean) / F.sqrt(var))
     return (
         daily.join(F.broadcast(m), "event_type")
         .select(
@@ -160,15 +164,18 @@ def query_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.col("x").alias("n_events"),
             round_portable(z, 6).alias("zscore"),
-            (F.abs(z) > 2).alias("is_anomaly"),
+            F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_anomaly"),
         )
     )
 
 
+_VAR = (
+    "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    " / CAST(nd AS DOUBLE)) / CAST(nd AS DOUBLE))"
+)
 _Z = (
     "(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))"
-    " / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
-    " / CAST(nd AS DOUBLE)) / CAST(nd AS DOUBLE))"
+    f" / sqrt({_VAR})"
 )
 
 ORACLE_EVENTS_ANOMALY_ZSCORE = f"""
@@ -181,8 +188,8 @@ m AS (
     FROM daily GROUP BY 1
 )
 SELECT daily.event_type, day, x AS n_events,
-       {round_portable_sql(_Z, 6)} AS zscore,
-       abs({_Z}) > 2 AS is_anomaly
+       CASE WHEN {_VAR} > 0 THEN {round_portable_sql(_Z, 6)} END AS zscore,
+       COALESCE(CASE WHEN {_VAR} > 0 THEN abs({_Z}) > 2 END, false) AS is_anomaly
 FROM daily JOIN m ON daily.event_type = m.event_type
 """
 

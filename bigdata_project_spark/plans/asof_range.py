@@ -78,13 +78,19 @@ def asof_join(
     enriched = tagged_r.withColumn("__r_ts", F.col(ts)).unionByName(
         tagged_l.withColumn("__r_ts", F.lit(None).cast(dict(right.dtypes)[ts]))
     )
+    # Fill ONE struct keyed on the right-side marker so every right
+    # field (ts + payload) comes from the SAME matched row — independent
+    # per-column ignorenulls fills would mix rows whenever the matched
+    # row holds a NULL payload column (DuckDB ASOF keeps the row intact).
+    row_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__r_ts").alias("__ts"),
+            *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        ),
+    )
     filled = enriched.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in right_cols
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__asof_ts"),
+        "*", F.last(row_struct, ignorenulls=True).over(w).alias("__asof")
     )
     return (
         filled.filter(F.col("__side") == 1)
@@ -92,8 +98,8 @@ def asof_join(
             key,
             ts,
             *lcols,
-            *[F.col(f"__asof_{c}").alias(f"right_{c}") for c in right_cols],
-            F.col("__asof_ts").alias("right_ts"),
+            *[F.col(f"__asof.{c}").alias(f"right_{c}") for c in right_cols],
+            F.col("__asof.__ts").alias("right_ts"),
         )
     )
 
@@ -185,13 +191,17 @@ def asof_join_forward(
     enriched = tagged_r.withColumn("__r_ts", F.col(ts)).unionByName(
         tagged_l.withColumn("__r_ts", F.lit(None).cast(dict(right.dtypes)[ts]))
     )
+    # Same single-struct fill as the backward form: all right fields
+    # must come from the SAME matched row (see asof_join).
+    row_struct = F.when(
+        F.col("__side") == 1,
+        F.struct(
+            F.col("__r_ts").alias("__ts"),
+            *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        ),
+    )
     filled = enriched.select(
-        "*",
-        *[
-            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in right_cols
-        ],
-        F.first("__r_ts", ignorenulls=True).over(w).alias("__asof_ts"),
+        "*", F.first(row_struct, ignorenulls=True).over(w).alias("__asof")
     )
     return (
         filled.filter(F.col("__side") == 0)
@@ -199,8 +209,8 @@ def asof_join_forward(
             key,
             ts,
             *lcols,
-            *[F.col(f"__asof_{c}").alias(f"right_{c}") for c in right_cols],
-            F.col("__asof_ts").alias("right_ts"),
+            *[F.col(f"__asof.{c}").alias(f"right_{c}") for c in right_cols],
+            F.col("__asof.__ts").alias("right_ts"),
         )
     )
 

@@ -209,3 +209,36 @@ def test_drop_schema_cascade(spark):
     assert not spark.catalog.databaseExists("tmp_reset")
     # idempotent on a missing schema
     drop_schema_cascade(spark, "tmp_reset")
+
+
+def test_load_events_pre_1973_nanos(spark, tmp_path):
+    """A typed TIMESTAMP(NANOS) column whose every value predates 1973
+    (ns epoch ~1e16 < the 1e17 magnitude cutoff) must still be read as
+    nanoseconds: the footer logical type decides the unit, never a
+    per-row or magnitude heuristic (ADVICE r4)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = [
+        datetime.datetime(1970, 6, 1, 12, 0, 0),
+        datetime.datetime(1972, 12, 31, 23, 59, 59),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    from bigdata_project_spark.sources.readers import load_table
+
+    df = load_table(spark, str(tmp_path), "events")
+    got = sorted(r["ts"] for r in df.select("ts").collect())
+    assert got == ts  # misread-as-micros would land in year 1970 + epsilon
