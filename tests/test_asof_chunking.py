@@ -67,3 +67,51 @@ def test_chunking_edges(spark):
     assert rows[(2, 1)]["n_chunk_tokens"] == 33  # tokens 33..65
     assert rows[(2, 2)]["n_chunk_tokens"] == 1  # trailing partial window
     assert rows[(2, 2)]["chunk_start"] == 65
+
+
+def test_asof_null_payload_fields_come_from_matched_row(spark):
+    """ADVICE r5: a matched right row carrying a NULL payload column
+    must NOT have that field back/forward-filled from a DIFFERENT right
+    row — all right-side fields (ts + payloads) come from the single
+    matched row, like DuckDB ASOF."""
+    from bigdata_project_spark.plans.asof_range import asof_join, asof_join_forward
+
+    ts = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 100.0, "a"),
+            # the MATCH for left@10:30 — value is NULL on purpose
+            (1, ts("2024-01-01 10:20:00"), None, "b"),
+            (1, ts("2024-01-01 11:00:00"), 300.0, "c"),
+        ],
+        "user_id int, ts timestamp, value double, tag string",
+    )
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:30:00"), 7)],
+        "user_id int, ts timestamp, ev int",
+    )
+    back = asof_join(
+        left, right, key="user_id", ts="ts", right_cols=["value", "tag"]
+    ).collect()
+    assert len(back) == 1
+    r = back[0]
+    # matched row is 10:20 (most recent <= 10:30): tag 'b', value NULL —
+    # NOT 100.0 filled from the earlier 10:00 row
+    assert r["right_ts"] == ts("2024-01-01 10:20:00")
+    assert r["right_tag"] == "b"
+    assert r["right_value"] is None
+
+    fwd_left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:10:00"), 7)],
+        "user_id int, ts timestamp, ev int",
+    )
+    fwd = asof_join_forward(
+        fwd_left, right, key="user_id", ts="ts", right_cols=["value", "tag"]
+    ).collect()
+    assert len(fwd) == 1
+    r = fwd[0]
+    # matched row is 10:20 (earliest >= 10:10): value NULL, not 300.0
+    # pulled forward from the 11:00 row
+    assert r["right_ts"] == ts("2024-01-01 10:20:00")
+    assert r["right_tag"] == "b"
+    assert r["right_value"] is None

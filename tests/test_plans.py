@@ -280,15 +280,25 @@ def test_timeseries_windows_are_partitioned(spark, sf_dir):
 
 
 def test_star_joins_broadcast_dimensions(spark, sf_dir):
-    """Q3/Q5 shapes: every dimension side broadcasts; the fact scan keeps
-    its pushed filter; top-10 is a heap, not a global sort."""
+    """Q3/Q5 shapes at TOY scale with the default broadcast threshold:
+    the un-hinted fact-side joins (r6 policy — no F.broadcast on
+    orders/customer/supplier/part) must still come out as broadcast
+    hash joins because the OPTIMIZER sizes the filtered sides under the
+    threshold — same local plan as the old hints, without the 100 TB
+    OOM. Top-10 stays a heap, not a global sort. The scale half of the
+    contract (shuffled joins when broadcast is off) is
+    test_star_joins_survive_disabled_auto_broadcast."""
     q3 = _plan(spark, sf_dir, "agg_shipping_priority")
     assert q3.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in q3
     assert "TakeOrderedAndProject" in q3
     q5 = _plan(spark, sf_dir, "agg_region_revenue")
+    # bounded dims broadcast (region->nation, nation->customer, the
+    # supplier compound join); the big orders><customer pair may show
+    # SortMergeJoin in the INITIAL adaptive plan — AQE converts it to
+    # broadcast at runtime when the observed size allows, and a
+    # shuffled join there is exactly the 100 TB-correct fallback.
     assert q5.count("BroadcastHashJoin") >= 3
-    assert "SortMergeJoin" not in q5
 
 
 def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
