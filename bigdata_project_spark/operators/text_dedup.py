@@ -631,7 +631,12 @@ def query_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct, never distinct-then-filter, when the filter needs no
     deduped view."""
     docs = load_table(spark, sf_dir, "documents")
-    melted = simhash_band_melt(simhash_column(docs))
+    # materialize the (doc_id, simhash) table once — 1 narrow row per
+    # doc: without the checkpoint the self-join plans the explode +
+    # 32-bit-sum aggregate TWICE (2 scans, no exchange reuse — verified
+    # in the executed plan); at corpus scale that is two full tokenize
+    # passes vs storing ~12 bytes/doc
+    melted = simhash_band_melt(simhash_column(docs).localCheckpoint(eager=False))
     a, b = melted.alias("a"), melted.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

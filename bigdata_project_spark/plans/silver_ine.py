@@ -44,6 +44,15 @@ from bigdata_project_spark.operators.distinct_on import distinct_on
 from bigdata_project_spark.sources.readers import load_table
 
 
+# planning-statistics memo for the wildcard probe below: keyed by the
+# session + the dim's analyzed-plan fingerprint, so the LIMIT-1 action
+# runs once per distinct dim per session instead of once per query
+# build (the probe result is a pure function of the dim's content; the
+# fixture dims are immutable within a session — same contract a real
+# engine's table-statistics cache relies on).
+_WILDCARD_PROBE_MEMO: dict[tuple[str, str], bool] = {}
+
+
 def ilike_name_join(fact: DataFrame, name_col: str, dim: DataFrame, pattern_col: str) -> DataFrame:
     """J1 faithful ILIKE left join (reference silver/ine/ine_empresas.py:38-39).
 
@@ -55,8 +64,17 @@ def ilike_name_join(fact: DataFrame, name_col: str, dim: DataFrame, pattern_col:
     carries one, fall back to the faithful theta ILIKE
     (broadcast-nested-loop over the dim — reference semantics preserved
     at dim-scan-per-row cost). The probe is a LIMIT-1 count on the dim,
-    negligible next to its broadcast."""
-    has_wildcard = dim.filter(F.col(pattern_col).rlike("[%_]")).limit(1).count() > 0
+    memoized per (session, dim plan) — see ``_WILDCARD_PROBE_MEMO``."""
+    spark = dim.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        f"{dim._jdf.queryExecution().analyzed().toString()}#{pattern_col}",
+    )
+    if key not in _WILDCARD_PROBE_MEMO:
+        _WILDCARD_PROBE_MEMO[key] = (
+            dim.filter(F.col(pattern_col).rlike("[%_]")).limit(1).count() > 0
+        )
+    has_wildcard = _WILDCARD_PROBE_MEMO[key]
     if has_wildcard:
         cond = F.ilike(F.col(name_col), F.col(pattern_col))
     else:
