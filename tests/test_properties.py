@@ -148,3 +148,49 @@ def test_zvalue_interleave_bijective(x, y):
     # and the SQL/Column formula (pure arithmetic) agrees with bitwise
     za = sum((x // (2**j) % 2) * 4**j + (y // (2**j) % 2) * 2 * 4**j for j in range(16))
     assert za == z
+
+
+@given(
+    st.text(alphabet="ab", min_size=1, max_size=24),
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"]),
+                  st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"])),
+        min_size=0,
+        max_size=4,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_encode_len_matches_bruteforce_greedy(word, pairs):
+    """encode_len == a from-scratch greedy reference for arbitrary merge
+    chains over a binary alphabet — including self-pairs over runs, the
+    case the r5 replace chain got wrong."""
+    from bigdata_project_spark.operators.bpe import END_OF_WORD, encode_len
+
+    merges = [(r, l, rt, 1) for r, (l, rt) in enumerate(pairs)]
+
+    syms = list(word) + [END_OF_WORD]
+    for _r, left, right, _c in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    assert encode_len(word, merges) == len(syms)
+
+
+@given(st.text(alphabet="abc", min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_bpe_encode_len_bounds(word):
+    """1 + ceil(len/2) <= n_sym <= len+1 under any single merge chain:
+    merges only ever halve adjacent pairs, and </w> never merges with a
+    letter unless a merge names it."""
+    from bigdata_project_spark.operators.bpe import encode_len
+
+    merges = [(0, "a", "a", 1), (1, "b", "c", 1)]
+    n = encode_len(word, merges)
+    assert n <= len(word) + 1
+    assert n >= 1 + (len(word) + 1) // 2
