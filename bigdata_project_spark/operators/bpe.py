@@ -243,7 +243,14 @@ def query_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
     ).filter(F.col("w") != "")
-    joined = words.join(F.broadcast(vocab_df), "w", "left")
+    # the matched/tail branches below each consume `joined`; without
+    # the checkpoint the union plans the corpus scan + tokenize +
+    # broadcast join TWICE (same finding as dedup_simhash_pairs) — at
+    # corpus scale, materializing the narrow (w, doc_id, n_sym_dict)
+    # rows once beats a second tokenize pass
+    joined = words.join(F.broadcast(vocab_df), "w", "left").localCheckpoint(
+        eager=False
+    )
     matched = joined.filter(F.col("n_sym_dict").isNotNull()).select(
         "doc_id", F.col("n_sym_dict").alias("n_sym")
     )

@@ -185,19 +185,20 @@ def query_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Explicit domain-name contract, anchored and digit-bounded: an
     # unanchored src(\d+) admits tags like 'xsrc3y' or an overlong
-    # 'src99999999999999' whose INT cast is NULL on Spark (non-ANSI)
-    # but an ERROR on DuckDB — the anchored ^src\d{1,6}$ filter makes
-    # the subsequent cast total on BOTH engines, so failure modes
-    # can't diverge (ADVICE r4/r5).
+    # 'src99999999999999999' whose INT cast is NULL on Spark (non-ANSI)
+    # but an ERROR on DuckDB — the anchored ^src\d{1,9}$ filter makes
+    # the subsequent cast total on BOTH engines (9 digits always fit
+    # INT32; 10+ may overflow), so failure modes can't diverge
+    # (ADVICE r4/r5) without narrowing any previously-valid tag.
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("source").rlike(r"^src\d{1,6}$")
+        F.col("source").rlike(r"^src\d{1,9}$")
     )
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     weighted = counts.select(
         "source",
         "n",
         (
-            (F.regexp_extract("source", r"^src(\d{1,6})$", 1).cast("int") + 1) / F.lit(_W_DENOM)
+            (F.regexp_extract("source", r"^src(\d{1,9})$", 1).cast("int") + 1) / F.lit(_W_DENOM)
         ).alias("w"),
     )
     cap = weighted.agg(F.min(F.col("n") / F.col("w")).alias("cap"))
@@ -220,11 +221,11 @@ def query_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOMAIN_MIXTURE = f"""
 WITH d AS (
     SELECT doc_id, source FROM documents
-    WHERE regexp_matches(source, '^src\\d{{1,6}}$')
+    WHERE regexp_matches(source, '^src\\d{{1,9}}$')
 ),
 c AS (
     SELECT source, COUNT(*) AS n,
-           (CAST(regexp_extract(source, '^src(\\d{{1,6}})$', 1) AS INT) + 1) / {_W_DENOM} AS w
+           (CAST(regexp_extract(source, '^src(\\d{{1,9}})$', 1) AS INT) + 1) / {_W_DENOM} AS w
     FROM d
     GROUP BY source
 ),

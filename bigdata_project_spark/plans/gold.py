@@ -31,6 +31,7 @@ reduction is exact and engine-portable.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,8 +52,12 @@ _MATERIALIZED: set[tuple[str, str]] = set()
 
 
 def _silver_table(spark: SparkSession, sf_dir: str) -> str:
+    # readable tag + a hash of the RAW path: sanitization alone is lossy
+    # ('/data/sf0.1' and '/data/sf0_1' would share a table and the memo
+    # would then serve one fixture's rollup for the other)
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
-    table = f"silver_od__{tag}"
+    table = f"silver_od__{tag}_{digest}"
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MATERIALIZED:
         # a previous PROCESS may have left the managed location behind

@@ -45,12 +45,15 @@ from bigdata_project_spark.sources.readers import load_table
 
 
 # planning-statistics memo for the wildcard probe below: keyed by the
-# session + the dim's analyzed-plan fingerprint, so the LIMIT-1 action
-# runs once per distinct dim per session instead of once per query
-# build (the probe result is a pure function of the dim's content; the
-# fixture dims are immutable within a session — same contract a real
-# engine's table-statistics cache relies on).
-_WILDCARD_PROBE_MEMO: dict[tuple[str, str], bool] = {}
+# session + the dim's SEMANTIC plan hash (canonicalized — stable across
+# separate load_table calls on the same source, unlike the analyzed
+# plan string whose expression IDs are freshly allocated per read) +
+# the probed column, so the LIMIT-1 action runs once per distinct dim
+# per session instead of once per query build (the probe result is a
+# pure function of the dim's content; the fixture dims are immutable
+# within a session — same contract a real engine's table-statistics
+# cache relies on).
+_WILDCARD_PROBE_MEMO: dict[tuple[str, int, str], bool] = {}
 
 
 def ilike_name_join(fact: DataFrame, name_col: str, dim: DataFrame, pattern_col: str) -> DataFrame:
@@ -66,10 +69,7 @@ def ilike_name_join(fact: DataFrame, name_col: str, dim: DataFrame, pattern_col:
     at dim-scan-per-row cost). The probe is a LIMIT-1 count on the dim,
     memoized per (session, dim plan) — see ``_WILDCARD_PROBE_MEMO``."""
     spark = dim.sparkSession
-    key = (
-        spark.sparkContext.applicationId,
-        f"{dim._jdf.queryExecution().analyzed().toString()}#{pattern_col}",
-    )
+    key = (spark.sparkContext.applicationId, dim.semanticHash(), pattern_col)
     if key not in _WILDCARD_PROBE_MEMO:
         _WILDCARD_PROBE_MEMO[key] = (
             dim.filter(F.col(pattern_col).rlike("[%_]")).limit(1).count() > 0

@@ -67,10 +67,14 @@ def _load() -> None:
     now reading materialized silver, join_asof_forward's same-row
     struct fill, events_anomaly_zscore's zero-variance guard,
     text_bpe_encode's run-aware self-pair merge,
-    pipeline_domain_mixture's symmetric weight parse); (C) 4 net-new
-    TPC-H shapes (Q7/Q8/Q18/Q19) proving the un-hinted star-join
-    policy on harder join topologies. Everything else is driver-green
-    in r4/r5 and unchanged."""
+    pipeline_domain_mixture's symmetric weight parse, and join_asof —
+    the backward direction shares the same-row struct fill); (C) 3
+    net-new TPC-H shapes (Q7/Q8/Q18) proving the un-hinted star-join
+    policy on harder join topologies. The 4th new shape
+    (agg_bracket_revenue, Q19) exceeds the net-new budget the policy
+    allows this round: it is registered PAST the window
+    (pytest-parity-covered) and is first in line for the round-7
+    window. Everything else is driver-green in r4/r5 and unchanged."""
     if _QUERIES:
         return
 
@@ -237,8 +241,13 @@ def _load() -> None:
         packing.query_domain_mixture,
         packing.ORACLE_DOMAIN_MIXTURE,
     )
+    register(
+        "join_asof",
+        _ar.query_asof_click_before_purchase,
+        _ar.ORACLE_ASOF,
+    )
 
-    # ---- window block C: net-new this round (4 slots left) ---------------
+    # ---- window block C: net-new this round (3 slots left) ---------------
     register(
         "agg_volume_shipping",
         starjoins.query_volume_shipping,
@@ -254,12 +263,13 @@ def _load() -> None:
         starjoins.query_large_orders,
         starjoins.ORACLE_LARGE_ORDERS,
     )
+    # ---------------- 50-query driver window ends here -------------------
+    # past the budget: waits for the round-7 window (see docstring)
     register(
         "agg_bracket_revenue",
         starjoins.query_bracket_revenue,
         starjoins.ORACLE_BRACKET_REVENUE,
     )
-    # ---------------- 50-query driver window ends here -------------------
 
     # ---- past the window: driver-green in r4/r5, unchanged ---------------
     from bigdata_project_spark.operators import (
@@ -484,7 +494,6 @@ def _load() -> None:
     from bigdata_project_spark.plans import analytics, silver_od
 
     register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
-    register("join_asof", asof_range.query_asof_click_before_purchase, asof_range.ORACLE_ASOF)
     register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
     register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
     register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)

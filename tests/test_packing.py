@@ -129,22 +129,24 @@ def test_mixture_drops_nonconforming_source_on_both_engines(spark, duck):
 
 
 def test_domain_mixture_malformed_source_symmetric(spark):
-    """The anchored ^src\\d{1,6}$ guard: malformed / overlong tags are
-    dropped identically by the Spark filter and the DuckDB oracle's
-    regexp (on DuckDB an unguarded overlong tag would be a CAST ERROR,
-    on Spark a silent NULL — the filter makes both engines total)."""
+    """The anchored ^src\\d{1,9}$ guard: malformed tags and tags whose
+    digits could overflow INT32 (10+) are dropped identically by the
+    Spark filter and the DuckDB oracle's regexp (on DuckDB an unguarded
+    overflowing tag would be a CAST ERROR, on Spark a silent NULL — the
+    filter makes both engines total; 9 digits always fit INT32, so no
+    previously-valid tag is narrowed)."""
     import duckdb
     from pyspark.sql import functions as F
 
     tags = [
-        "src0", "src19", "src999999",          # kept
-        "src", "srcX", "xsrc3", "src3y",       # malformed -> dropped
-        "src9999999", "src99999999999999999",  # overlong -> dropped
+        "src0", "src19", "src999999", "src999999999",  # kept (<= 9 digits)
+        "src", "srcX", "xsrc3", "src3y",               # malformed -> dropped
+        "src9999999999", "src99999999999999999",       # 10+ digits -> dropped
     ]
     spark_kept = sorted(
         r["source"]
         for r in spark.createDataFrame([(t,) for t in tags], "source string")
-        .filter(F.col("source").rlike(r"^src\d{1,6}$"))
+        .filter(F.col("source").rlike(r"^src\d{1,9}$"))
         .collect()
     )
     con = duckdb.connect()
@@ -153,15 +155,17 @@ def test_domain_mixture_malformed_source_symmetric(spark):
         r[0]
         for r in con.execute(
             "SELECT source FROM (VALUES " + vals + ") t(source) "
-            "WHERE regexp_matches(source, '^src\\d{1,6}$')"
+            "WHERE regexp_matches(source, '^src\\d{1,9}$')"
         ).fetchall()
     )
-    assert spark_kept == duck_kept == ["src0", "src19", "src999999"]
+    assert spark_kept == duck_kept == [
+        "src0", "src19", "src999999", "src999999999"
+    ]
     # and the weight cast is total on both engines for every kept tag
     w = (
         spark.createDataFrame([(t,) for t in spark_kept], "source string")
         .select(
-            F.regexp_extract("source", r"^src(\d{1,6})$", 1).cast("int").alias("i")
+            F.regexp_extract("source", r"^src(\d{1,9})$", 1).cast("int").alias("i")
         )
         .collect()
     )
