@@ -271,6 +271,62 @@ def _load() -> None:
         starjoins.ORACLE_BRACKET_REVENUE,
     )
 
+    # past the budget: the TPC-H second half (Q2/Q9/Q12/Q13/Q15/Q16/Q17/
+    # Q20/Q21/Q22 shapes) completing all 22 topologies — pytest-parity
+    # now, queued with agg_bracket_revenue for the round-7 window
+    from bigdata_project_spark.plans import starjoins2
+
+    register(
+        "agg_best_supplier",
+        starjoins2.query_best_supplier,
+        starjoins2.ORACLE_BEST_SUPPLIER,
+    )
+    register(
+        "agg_nation_profit",
+        starjoins2.query_nation_profit,
+        starjoins2.ORACLE_NATION_PROFIT,
+    )
+    register(
+        "agg_late_by_class",
+        starjoins2.query_late_by_class,
+        starjoins2.ORACLE_LATE_BY_CLASS,
+    )
+    register(
+        "agg_customer_distribution",
+        starjoins2.query_customer_distribution,
+        starjoins2.ORACLE_CUSTOMER_DISTRIBUTION,
+    )
+    register(
+        "agg_top_supplier",
+        starjoins2.query_top_supplier,
+        starjoins2.ORACLE_TOP_SUPPLIER,
+    )
+    register(
+        "agg_supplier_part_counts",
+        starjoins2.query_supplier_part_counts,
+        starjoins2.ORACLE_SUPPLIER_PART_COUNTS,
+    )
+    register(
+        "agg_small_qty_revenue",
+        starjoins2.query_small_quantity_revenue,
+        starjoins2.ORACLE_SMALL_QUANTITY_REVENUE,
+    )
+    register(
+        "agg_dominant_suppliers",
+        starjoins2.query_dominant_suppliers,
+        starjoins2.ORACLE_DOMINANT_SUPPLIERS,
+    )
+    register(
+        "agg_waiting_suppliers",
+        starjoins2.query_waiting_suppliers,
+        starjoins2.ORACLE_WAITING_SUPPLIERS,
+    )
+    register(
+        "agg_dormant_customers",
+        starjoins2.query_dormant_customers,
+        starjoins2.ORACLE_DORMANT_CUSTOMERS,
+    )
+
     # ---- past the window: driver-green in r4/r5, unchanged ---------------
     from bigdata_project_spark.operators import (
         cdc,

@@ -35,6 +35,8 @@ _CROSS_JOIN_OK = {
     "text_bigram_perplexity",
     # 1-row (N, S) totals crossed into the per-domain weights
     "pipeline_domain_reweight",
+    # Q22: 1-row (sum, cnt) balance aggregate crossed into the cohort
+    "agg_dormant_customers",
 }
 
 
@@ -360,5 +362,50 @@ def test_star_joins_survive_disabled_auto_broadcast(spark, sf_dir):
             # the un-hinted joins fall back to shuffled strategies
             assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
             assert df.count() >= 0  # plan executes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tpch_second_half_survives_disabled_auto_broadcast(spark, sf_dir):
+    """Same scale contract as the first-half star joins, for the
+    Q2/Q9/Q12/Q13/Q15/Q16/Q17/Q20/Q21/Q22 shapes: broadcast hints only
+    on bounded sides (nation/region slices and provably-1-row scalar
+    aggregates), shuffled joins everywhere else when auto-broadcast is
+    off, no cartesian/BNLJ blowups — except Q22's deliberate 1-row
+    scalar cross, which is the textbook scalar-subquery shape."""
+    # query -> (bounded broadcast hints kept, 1-row BNLJ crosses allowed)
+    expected = {
+        "agg_best_supplier": (2, 0),   # region->nation, nation->supplier
+        "agg_nation_profit": (1, 0),   # nation->supplier
+        "agg_late_by_class": (0, 0),
+        "agg_customer_distribution": (0, 0),
+        "agg_top_supplier": (1, 0),    # 1-row max joined on equality
+        "agg_supplier_part_counts": (0, 0),
+        "agg_small_qty_revenue": (0, 0),
+        "agg_dominant_suppliers": (1, 0),  # nation->supplier
+        "agg_waiting_suppliers": (1, 0),   # nation->supplier
+        # nation->customer appears in BOTH the scalar-stats branch and
+        # the cohort branch (2 bounded hints), plus the 1-row avg cross
+        "agg_dormant_customers": (2, 1),
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, (n_hints, n_bnlj) in expected.items():
+            df = registry.queries()[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan, name
+            got_bnlj = plan.count("BroadcastNestedLoopJoin")
+            assert got_bnlj == n_bnlj, (
+                f"{name}: {got_bnlj} BNLJ with auto-broadcast off, "
+                f"expected {n_bnlj}"
+            )
+            got_bhj = plan.count("BroadcastHashJoin")
+            assert got_bhj == n_hints, (
+                f"{name}: {got_bhj} BroadcastHashJoin with auto-broadcast "
+                f"off, expected {n_hints} (a scaling side is hinted?)"
+            )
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+            assert df.count() >= 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
