@@ -285,3 +285,83 @@ UNION ALL SELECT '2_length', CAST(n2 AS BIGINT) FROM m
 UNION ALL SELECT '3_min_tokens', CAST(n3 AS BIGINT) FROM m
 UNION ALL SELECT '4_exact_dedup', CAST(n4 AS BIGINT) FROM m
 """
+
+
+# ------------------------------------------------- character entropy ----
+
+#: ln(2) to full double precision — embedded as the same literal in both
+#: engines so the bits conversion divides by an identical constant
+_LN2 = 0.6931471805599453
+
+
+def query_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon character entropy (bits/char) — the classic
+    gibberish/boilerplate signal: natural text sits ~4.0-4.5 bits,
+    repeated padding collapses toward 0, random bytes push toward 8.
+
+    Float parity: H = ln(n) - (1/n)·Σ c·ln(c) needs two order-dependent
+    float sums, so both ln() terms are scaled to exact integers
+    (floor(ln(·)·1e6 + 0.5), the perplexity trick above) and summed in
+    DECIMAL — the cross-engine reduce is exact; the final
+    subtract/divide chain runs in the same op order on both engines.
+
+    Scale design: explode to characters is map-side; the (doc_id, ch)
+    histogram and the per-doc rollup are two hash aggregates keyed by
+    doc — partials combine map-side, and nothing beyond (doc, char,
+    count) rows ever shuffles. No windows, no driver state."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    hist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    scored = hist.withColumn(
+        "cln_scaled",
+        (
+            F.col("c")
+            * F.floor(F.log(F.col("c").cast("double")) * _LL_SCALE + F.lit(0.5))
+        ).cast(_DEC),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_uniq_chars"),
+        F.sum("cln_scaled").alias("s"),
+    )
+    ln_n_scaled = F.floor(
+        F.log(F.col("n_chars").cast("double")) * _LL_SCALE + F.lit(0.5)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars",
+        "n_uniq_chars",
+        round_portable(
+            (ln_n_scaled - F.col("s").cast("double") / F.col("n_chars"))
+            / F.lit(_LL_SCALE)
+            / F.lit(_LN2),
+            6,
+        ).alias("entropy_bits"),
+    )
+
+
+ORACLE_TEXT_CHAR_ENTROPY = f"""
+WITH chars AS (
+    SELECT doc_id, ch
+    FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+          FROM documents WHERE length(text) > 0)
+    WHERE ch <> ''
+),
+hist AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+per_doc AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_uniq_chars,
+           SUM(CAST(c * floor(ln(CAST(c AS DOUBLE)) * {_LL_SCALE} + 0.5)
+                    AS DECIMAL(19,0))) AS s
+    FROM hist GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_uniq_chars,
+       {round_portable_sql(
+           f"(floor(ln(CAST(n_chars AS DOUBLE)) * {_LL_SCALE} + 0.5)"
+           f" - CAST(s AS DOUBLE) / n_chars) / {_LL_SCALE} / {_LN2}", 6
+       )} AS entropy_bits
+FROM per_doc
+"""

@@ -327,6 +327,24 @@ def _load() -> None:
         starjoins2.ORACLE_DORMANT_CUSTOMERS,
     )
 
+    from bigdata_project_spark.operators import corpus_quality, ordering, semdedup
+
+    register(
+        "dedup_semantic",
+        semdedup.query_dedup_semantic,
+        semdedup.ORACLE_DEDUP_SEMANTIC,
+    )
+    register(
+        "text_char_entropy",
+        corpus_quality.query_text_char_entropy,
+        corpus_quality.ORACLE_TEXT_CHAR_ENTROPY,
+    )
+    register(
+        "pipeline_global_shuffle",
+        ordering.query_global_shuffle,
+        ordering.ORACLE_GLOBAL_SHUFFLE,
+    )
+
     # ---- past the window: driver-green in r4/r5, unchanged ---------------
     from bigdata_project_spark.operators import (
         cdc,
