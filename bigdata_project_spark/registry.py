@@ -74,7 +74,19 @@ def _load() -> None:
     (agg_bracket_revenue, Q19) exceeds the net-new budget the policy
     allows this round: it is registered PAST the window
     (pytest-parity-covered) and is first in line for the round-7
-    window. Everything else is driver-green in r4/r5 and unchanged."""
+    window. Everything else is driver-green in r4/r5 and unchanged.
+
+    Round 7 queue (registered past this round's window, pytest-parity
+    green, never driver-checked — window block A next round):
+    agg_bracket_revenue (Q19), the TPC-H second half
+    (agg_best_supplier/_nation_profit/_late_by_class/
+    _customer_distribution/_top_supplier/_supplier_part_counts/
+    _small_qty_revenue/_dominant_suppliers/_waiting_suppliers/
+    _dormant_customers — Q2/Q9/Q12/Q13/Q15/Q16/Q17/Q20/Q21/Q22), and
+    the round-6 LLM-pipeline additions dedup_semantic,
+    text_char_entropy, pipeline_global_shuffle. That is 14 never-
+    checked queries; the ~36 remaining slots go to the then-stalest
+    r4-checked queries."""
     if _QUERIES:
         return
 
