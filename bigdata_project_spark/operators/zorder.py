@@ -99,6 +99,10 @@ def write_zordered(
     )
 
 
+# see the eviction note inside distributed_ntile
+_PREV_CACHES: list[DataFrame] = []
+
+
 def distributed_ntile(
     df: DataFrame,
     n_buckets: int,
@@ -137,8 +141,19 @@ def distributed_ntile(
     parallelism under data skew, never correctness)."""
     from pyspark import StorageLevel
 
+    # The cache must outlive this call (the returned plan's rank pass
+    # reads it), so it can't be unpersisted here — but a long session
+    # calling rank decompositions repeatedly (the bench, the driver
+    # sweep) would otherwise accumulate one pinned projection per call
+    # until eviction pressure turns MEMORY_AND_DISK into disk churn
+    # (measured: 1.2 s cold → 4 s by the 4th call). Evict the previous
+    # call's cache on entry: at most one stale cache is ever live.
+    while _PREV_CACHES:
+        _PREV_CACHES.pop().unpersist(blocking=False)
+
     lead = order_cols[0]
     cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PREV_CACHES.append(cached)
     if lead_range is not None:
         lo, hi = lead_range
         span = max(hi - lo + 1, 1)
