@@ -768,3 +768,58 @@ WHERE bal_dec * cnt > sum_dec
 GROUP BY nation
 ORDER BY nation
 """
+
+# --------------------------------------------------------------------------
+# Q6 shape: forecast revenue change
+# --------------------------------------------------------------------------
+
+Q6_DATE_LO, Q6_DATE_HI = "1997-01-01", "1998-01-01"
+Q6_DISC_LO, Q6_DISC_HI = "0.02", "0.04"
+Q6_MAX_QTY = 24
+
+
+def query_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: revenue increase from eliminating small discounts — the
+    single-table selective sum, TPC-H's pure scan-predicate benchmark.
+
+    Scale design: all three predicates (ship-year, discount band,
+    quantity cap) push into the parquet reader (PushedFilters), the
+    projection prunes to three columns, and the DECIMAL
+    multiply-and-sum runs entirely inside whole-stage codegen — one
+    scan, one 1-row exchange, nothing else. The discount band compares
+    DECIMAL-cast values against DECIMAL literals so the boundary rows
+    (0.02/0.04 are not exact doubles) judge identically on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast(_DEC)
+    kept = li.filter(
+        (F.col("l_shipdate") >= Q6_DATE_LO)
+        & (F.col("l_shipdate") < Q6_DATE_HI)
+        & (disc >= F.lit(Q6_DISC_LO).cast(_DEC))
+        & (disc <= F.lit(Q6_DISC_HI).cast(_DEC))
+        & (F.col("l_quantity") < Q6_MAX_QTY)
+    )
+    agg = kept.agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC) * disc).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        round_portable(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+        "n_items",
+    )
+
+
+ORACLE_FORECAST_REVENUE = f"""
+SELECT {round_portable_sql("CAST(rev_dec AS DOUBLE)", 2)} AS revenue,
+       n_items
+FROM (
+    SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS rev_dec,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{Q6_DATE_HI} 00:00:00'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+      AND l_quantity < {Q6_MAX_QTY}
+)
+"""

@@ -82,7 +82,8 @@ def _load() -> None:
     (agg_best_supplier/_nation_profit/_late_by_class/
     _customer_distribution/_top_supplier/_supplier_part_counts/
     _small_qty_revenue/_dominant_suppliers/_waiting_suppliers/
-    _dormant_customers — Q2/Q9/Q12/Q13/Q15/Q16/Q17/Q20/Q21/Q22), and
+    _dormant_customers/_forecast_revenue —
+    Q2/Q9/Q12/Q13/Q15/Q16/Q17/Q20/Q21/Q22/Q6), and
     the round-6 LLM-pipeline additions dedup_semantic,
     text_char_entropy, pipeline_global_shuffle. That is 14 never-
     checked queries; the ~36 remaining slots go to the then-stalest
@@ -337,6 +338,11 @@ def _load() -> None:
         "agg_dormant_customers",
         starjoins2.query_dormant_customers,
         starjoins2.ORACLE_DORMANT_CUSTOMERS,
+    )
+    register(
+        "agg_forecast_revenue",
+        starjoins2.query_forecast_revenue,
+        starjoins2.ORACLE_FORECAST_REVENUE,
     )
 
     from bigdata_project_spark.operators import corpus_quality, ordering, semdedup
