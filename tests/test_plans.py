@@ -409,3 +409,18 @@ def test_tpch_second_half_survives_disabled_auto_broadcast(spark, sf_dir):
             assert df.count() >= 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q6_predicates_push_to_scan(spark, sf_dir):
+    """Q6 is the pure scan benchmark: all three predicates must reach
+    the parquet reader and the projection must prune to the three
+    needed columns — a Q6 that filters post-scan is wrong at any scale."""
+    plan = _plan(spark, sf_dir, "agg_forecast_revenue")
+    scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert scan, "no parquet scan with PushedFilters"
+    pushed = scan[0].split("PushedFilters:")[1]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in schema and "l_orderkey" not in schema
+    assert "Exchange" in plan  # exactly the 1-row final aggregate
+    assert plan.count("HashAggregate") == 2  # partial + final, nothing more
