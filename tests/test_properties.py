@@ -194,3 +194,116 @@ def test_bpe_encode_len_bounds(word):
     n = encode_len(word, merges)
     assert n <= len(word) + 1
     assert n >= 1 + (len(word) + 1) // 2
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=200), min_size=1, max_size=30
+    )
+)
+def test_char_entropy_formula_portable_and_accurate(counts):
+    """The scaled-integer entropy formula (corpus_quality) evaluated in
+    DuckDB equals the same IEEE ops in Python, and is within 1e-5 bits
+    of true Shannon entropy for any character histogram."""
+    from bigdata_project_spark.operators.corpus_quality import _LL_SCALE, _LN2
+
+    n = sum(counts)
+    s = sum(c * math.floor(math.log(float(c)) * _LL_SCALE + 0.5) for c in counts)
+    want = (
+        math.floor(math.log(float(n)) * _LL_SCALE + 0.5) - s / n
+    ) / _LL_SCALE / _LN2
+    con = duckdb.connect()
+    vals = ", ".join(f"({c})" for c in counts)
+    got = con.execute(
+        f"""
+        WITH h(c) AS (VALUES {vals}),
+        p AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                     SUM(CAST(c * floor(ln(CAST(c AS DOUBLE)) * {_LL_SCALE} + 0.5)
+                              AS DECIMAL(19,0))) AS s
+              FROM h)
+        SELECT (floor(ln(CAST(n AS DOUBLE)) * {_LL_SCALE} + 0.5)
+                - CAST(s AS DOUBLE) / n) / {_LL_SCALE} / {_LN2}
+        FROM p
+        """
+    ).fetchone()[0]
+    assert got == pytest.approx(want, abs=1e-12)
+    true_h = -sum((c / n) * math.log2(c / n) for c in counts)
+    assert abs(want - true_h) < 1e-5
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_semdedup_cell_kernel_matches_bruteforce(vectors):
+    """The per-cell numpy dup kernel (semdedup.cell_dups logic) agrees
+    with an O(n²) double-loop on the same 1e-6-rounded cosine: same
+    dup set, same lowest-id survivor choice."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_project_spark.operators.semdedup import SEM_TAU
+
+    ids = list(range(len(vectors)))
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": [np.array(v) for v in vectors]})
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+    gram = np.floor((m @ m.T) / np.outer(norms, norms) * 1e6 + 0.5) / 1e6
+    # kernel's vectorized answer
+    hits = gram >= SEM_TAU
+    np.fill_diagonal(hits, False)
+    got = {}
+    for j in range(1, len(ids)):
+        above = np.nonzero(hits[:j, j])[0]
+        if len(above):
+            got[ids[j]] = ids[above[0]]
+    # brute force with scalar math
+    want = {}
+    for j in range(len(ids)):
+        for i in range(j):
+            dot = float(np.dot(m[i], m[j]))
+            cos = dot / (norms[i] * norms[j])
+            if math.floor(cos * 1e6 + 0.5) / 1e6 >= SEM_TAU:
+                want[j] = i
+                break
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40))
+def test_md5_shuffle_order_portable(doc_ids):
+    """The seeded md5 shuffle key produces the identical total order in
+    Python's hashlib and DuckDB's md5 — the portability the
+    pipeline_global_shuffle oracle rests on."""
+    import hashlib
+
+    from bigdata_project_spark.operators.ordering import SHUFFLE_SEED
+
+    ids = sorted(doc_ids)
+    py = sorted(
+        ids,
+        key=lambda d: (
+            hashlib.md5(f"{SHUFFLE_SEED}:{d}".encode()).hexdigest(),
+            d,
+        ),
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"({d})" for d in ids)
+    rows = con.execute(
+        f"""
+        WITH ids(doc_id) AS (VALUES {vals})
+        SELECT doc_id
+        FROM ids
+        ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+        """
+    ).fetchall()
+    assert [r[0] for r in rows] == py
