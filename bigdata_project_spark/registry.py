@@ -85,9 +85,9 @@ def _load() -> None:
     _dormant_customers/_forecast_revenue —
     Q2/Q9/Q12/Q13/Q15/Q16/Q17/Q20/Q21/Q22/Q6), and
     the round-6 LLM-pipeline additions dedup_semantic,
-    text_char_entropy, pipeline_global_shuffle. That is 14 never-
-    checked queries; the ~36 remaining slots go to the then-stalest
-    r4-checked queries."""
+    text_char_entropy, pipeline_global_shuffle, stream_dedup. That is
+    16 never-checked queries; the ~34 remaining slots go to the
+    then-stalest r4-checked queries."""
     if _QUERIES:
         return
 
@@ -361,6 +361,13 @@ def _load() -> None:
         "pipeline_global_shuffle",
         ordering.query_global_shuffle,
         ordering.ORACLE_GLOBAL_SHUFFLE,
+    )
+    from bigdata_project_spark.streaming import windows as _sw0
+
+    register(
+        "stream_dedup",
+        _sw0.query_stream_dedup,
+        _sw0.ORACLE_STREAM_DEDUP,
     )
 
     # ---- past the window: driver-green in r4/r5, unchanged ---------------

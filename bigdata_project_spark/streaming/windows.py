@@ -425,3 +425,68 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
     )
     q.processAllAvailable()
     q.stop()
+
+
+def query_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible CORRECTNESS query for watermarked streaming dedup:
+    every event arrives TWICE (map-side duplication of the stream) and
+    ``dropDuplicatesWithinWatermark`` on the event key must restore
+    exactly-once — the drained output's per-type rollup equals the
+    plain batch rollup of the events table.
+
+    ``dropDuplicatesWithinWatermark`` (not plain dropDuplicates) is the
+    production form: state for a key is evicted once the watermark
+    passes it, so state size is bounded by the watermark horizon ×
+    arrival rate instead of growing with the stream's lifetime key
+    count — the only dedup that survives an unbounded stream. The
+    duplicates here arrive inside one watermark window, the case the
+    operator guarantees; the rollup aggregate runs batch-side on the
+    drained sink (chaining a second stateful aggregate behind dedup in
+    one streaming query is deliberately avoided — multi-stateful
+    chaining restrictions are version-sensitive, and the contract under
+    test is the dedup, not the chain)."""
+    import uuid
+
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir)
+    doubled = ev.withColumn(
+        "__copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("__copy")
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    with stream_shuffle_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rec = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    return (
+        rec.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_id").alias("n_unique"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_unique,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
