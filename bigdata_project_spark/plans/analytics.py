@@ -706,3 +706,61 @@ SELECT c_custkey, 'no_orders' AS status
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
+
+
+def query_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of the pivot above: widen-form
+    lineitem measures (quantity / extendedprice / discount / tax) melt
+    into (measure, value) long form, then roll up per measure per
+    return flag. Long form is the shape feature stores and metric
+    tables want; Spark's native ``unpivot`` is a zero-shuffle
+    projection (each input row fans out map-side), so the only exchange
+    is the final small-key aggregate.
+
+    Decimal-exact: values cast to DECIMAL before the melt so the
+    post-melt sum reduces exactly on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast(_DEC).alias("quantity"),
+        F.col("l_extendedprice").cast(_DEC).alias("extendedprice"),
+        F.col("l_discount").cast(_DEC).alias("discount"),
+        F.col("l_tax").cast(_DEC).alias("tax"),
+    ).unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "value",
+    )
+    return (
+        melted.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value").cast("double").alias("sum_value"),
+            F.max("value").cast("double").alias("max_value"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+ORACLE_UNPIVOT_MEASURES = """
+WITH melted AS (
+    SELECT l_returnflag, measure, value
+    FROM (
+        SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS extendedprice,
+               CAST(l_discount AS DECIMAL(18,2)) AS discount,
+               CAST(l_tax AS DECIMAL(18,2)) AS tax
+        FROM lineitem
+    )
+    UNPIVOT (value FOR measure IN (quantity, extendedprice, discount, tax))
+)
+SELECT l_returnflag, measure,
+       COUNT(*) AS n_rows,
+       CAST(SUM(value) AS DOUBLE) AS sum_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value
+FROM melted
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+"""

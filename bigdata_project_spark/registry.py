@@ -85,9 +85,9 @@ def _load() -> None:
     _dormant_customers/_forecast_revenue —
     Q2/Q9/Q12/Q13/Q15/Q16/Q17/Q20/Q21/Q22/Q6), and
     the round-6 LLM-pipeline additions dedup_semantic,
-    text_char_entropy, pipeline_global_shuffle, stream_dedup. That is
-    16 never-checked queries; the ~34 remaining slots go to the
-    then-stalest r4-checked queries."""
+    text_char_entropy, pipeline_global_shuffle, stream_dedup,
+    agg_unpivot_measures. That is 17 never-checked queries; the ~33
+    remaining slots go to the then-stalest r4-checked queries."""
     if _QUERIES:
         return
 
@@ -368,6 +368,13 @@ def _load() -> None:
         "stream_dedup",
         _sw0.query_stream_dedup,
         _sw0.ORACLE_STREAM_DEDUP,
+    )
+    from bigdata_project_spark.plans import analytics as _an1
+
+    register(
+        "agg_unpivot_measures",
+        _an1.query_unpivot_measures,
+        _an1.ORACLE_UNPIVOT_MEASURES,
     )
 
     # ---- past the window: driver-green in r4/r5, unchanged ---------------
