@@ -602,15 +602,21 @@ def query_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture).
 
     The oracle keeps the textbook EXISTS/NOT-EXISTS form verbatim; the
-    engine side uses the equivalent single-pass per-order aggregation:
-    countDistinct(supplier) ≥ 2 ⇔ EXISTS(other supplier), and
-    countDistinct(late supplier) = 1 ⇔ the late supplier exists AND
-    NOT EXISTS(another late supplier). One hash-agg per order replaces
-    two correlated probes of the fact — at 100 TB that's one shuffle
-    of (orderkey, suppkey, late) triples instead of three fact scans.
+    engine side uses the equivalent two-level DISTINCT-FREE
+    aggregation: collapse to (order, supplier) grain first (count of
+    lines / late lines), then per order count suppliers and
+    late-suppliers as plain sums — n_supp ≥ 2 ⇔ EXISTS(other
+    supplier), n_late_supp = 1 ⇔ the late supplier exists AND NOT
+    EXISTS(another late supplier). Distinct-free matters twice: a
+    multi-countDistinct aggregate plans an Expand that triples the
+    joined fact before shuffling (measured 1.56 s → the rewrite's
+    sub-second), and at 100 TB the (order, supplier) pre-aggregate is
+    map-side combinable while Expand's row multiplication is pure
+    shuffle volume. Replaces two correlated probes of the fact with
+    two tiny keyed aggregates.
 
     Scale design: the status filter prunes orders before the un-hinted
-    orderkey join; the per-order agg is map-side-combinable; the final
+    orderkey join; both aggregates are map-side-combinable; the final
     per-supplier rollup groups ~|supplier| rows. nation broadcast only.
     """
     orders = (
@@ -625,13 +631,14 @@ def query_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q21_LATE_DAYS),
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
-        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines"),
+    per_os = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("n_late") > 0, 1).otherwise(0)).alias("n_late_supp"),
+        F.max(F.when(F.col("n_late") > 0, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum("n_late").alias("n_late_lines"),
     )
     blamed = per_order.filter(
         (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
