@@ -197,3 +197,60 @@ def test_stateful_transitions_match_batch(spark, sf_dir):
         for r in query_events_transitions(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-resume: a checkpointed file-source → file-sink stream,
+    stopped and restarted on the SAME checkpoint, must (1) not
+    reprocess the batch it already committed and (2) pick up exactly
+    the files that arrived while it was down — the offset-log +
+    sink-commit-log contract that makes streaming restarts exactly-once
+    at any scale."""
+    import shutil
+
+    from bigdata_project_spark.streaming.windows import EVENT_SCHEMA
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .parquet(str(src))
+            .select("event_id", "event_type")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    run_once()
+    first = spark.read.parquet(str(out))
+    assert first.count() == n
+    assert first.select("event_id").distinct().count() == n
+
+    # restart with nothing new: committed batch must NOT replay
+    run_once()
+    assert spark.read.parquet(str(out)).count() == n
+
+    # a file arrives while "down"; restart picks up exactly that file
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+    run_once()
+    final = spark.read.parquet(str(out))
+    assert final.count() == 2 * n
+    # every event id appears exactly twice (once per input file)
+    assert (
+        final.groupBy("event_id").count().filter(F.col("count") != 2).count() == 0
+    )
