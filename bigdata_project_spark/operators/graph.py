@@ -317,3 +317,91 @@ corners AS (
 )
 SELECT user_id, COUNT(*) AS n_triangles FROM corners GROUP BY user_id
 """
+
+
+# ------------------------------------------------------------------ BFS --
+
+BFS_MAX_HOPS = 4
+
+
+def query_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the UNDIRECTED co-activity graph: hop
+    distance from the lowest-id user to every node within
+    {BFS_MAX_HOPS} hops — the frontier-expansion iteration class
+    (connected components and label propagation are the same loop with
+    a different merge).
+
+    Spark-first shape: a driver loop of K=BFS_MAX_HOPS fixed
+    supersteps, each one equi-join (frontier ⋈ edges on the vertex
+    key) + one min-aggregate — the exact Pregel/GraphX per-superstep
+    plan. The frontier never exceeds the node set, K is a constant, and
+    distances are small integers, so the whole computation is
+    integer-exact and needs no float-parity machinery. The source
+    vertex is a 1-row driver pull (same bounded-collect budget as the
+    ivf/pq centroid pulls).
+
+    The oracle unrolls the SAME K supersteps as chained CTEs with a
+    per-level MIN merge — NOT a recursive path-enumeration CTE, which
+    on a dense co-activity graph would enumerate O(edges^K) paths;
+    level sets are bounded by the node count on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    directed = coactivity_edges(ev)
+    edges = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    src_id = nodes.agg(F.min("id")).first()[0]
+    reached = spark.createDataFrame([(int(src_id), 0)], "id long, dist int")
+    for _ in range(BFS_MAX_HOPS):
+        frontier = (
+            reached.join(edges, reached.id == edges.src)
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        reached = (
+            reached.unionByName(frontier)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return reached.select(F.col("id").alias("user_id"), "dist").orderBy("user_id")
+
+
+def _bfs_level_sql(k: int) -> str:
+    """reach_{k} = min-merge of reach_{k-1} and its neighbor expansion."""
+    return f"""
+reach_{k} AS (
+    SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM reach_{k - 1}
+        UNION ALL
+        SELECT e.dst AS id, r.dist + 1 AS dist
+        FROM reach_{k - 1} r JOIN und_edges e ON r.id = e.src
+    ) GROUP BY id
+)"""
+
+
+ORACLE_GRAPH_BFS_DISTANCE = f"""
+WITH seq AS (
+    SELECT event_type, ts, event_id, user_id,
+           LAG(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user
+    FROM events
+),
+edges AS (
+    SELECT DISTINCT prev_user AS src, user_id AS dst
+    FROM seq WHERE prev_user IS NOT NULL AND prev_user <> user_id
+),
+und_edges AS (
+    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+nodes AS (SELECT src AS id FROM und_edges UNION SELECT dst FROM und_edges),
+reach_0 AS (SELECT MIN(id) AS id, 0 AS dist FROM nodes),
+{",".join(_bfs_level_sql(k) for k in range(1, BFS_MAX_HOPS + 1))}
+SELECT id AS user_id, CAST(dist AS INTEGER) AS dist
+FROM reach_{BFS_MAX_HOPS}
+ORDER BY user_id
+"""

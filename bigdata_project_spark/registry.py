@@ -86,8 +86,9 @@ def _load() -> None:
     Q2/Q9/Q12/Q13/Q15/Q16/Q17/Q20/Q21/Q22/Q6), and
     the round-6 LLM-pipeline additions dedup_semantic,
     text_char_entropy, pipeline_global_shuffle, stream_dedup,
-    agg_unpivot_measures. That is 17 never-checked queries; the ~33
-    remaining slots go to the then-stalest r4-checked queries."""
+    agg_unpivot_measures, graph_bfs_distance. That is 18 never-checked
+    queries; the ~32 remaining slots go to the then-stalest r4-checked
+    queries."""
     if _QUERIES:
         return
 
@@ -375,6 +376,13 @@ def _load() -> None:
         "agg_unpivot_measures",
         _an1.query_unpivot_measures,
         _an1.ORACLE_UNPIVOT_MEASURES,
+    )
+    from bigdata_project_spark.operators import graph as _gr0
+
+    register(
+        "graph_bfs_distance",
+        _gr0.query_graph_bfs_distance,
+        _gr0.ORACLE_GRAPH_BFS_DISTANCE,
     )
 
     # ---- past the window: driver-green in r4/r5, unchanged ---------------
