@@ -308,7 +308,18 @@ def query_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: explode to characters is map-side; the (doc_id, ch)
     histogram and the per-doc rollup are two hash aggregates keyed by
     doc — partials combine map-side, and nothing beyond (doc, char,
-    count) rows ever shuffles. No windows, no driver state."""
+    count) rows ever shuffles. No windows, no driver state.
+
+    UNICODE CAVEAT (r6 advice): ``F.split(text, "")`` splits per UTF-16
+    code unit in Spark, while DuckDB's ``string_split(text, '')`` splits
+    per Unicode codepoint — a non-BMP character (emoji, rare CJK) counts
+    as TWO surrogate units here and one character there, shifting
+    n_chars / n_uniq_chars / entropy. The fixture corpus is ASCII/BMP,
+    where the two definitions coincide exactly. Before shipping a
+    non-BMP corpus, normalize both sides to codepoints (e.g. explode
+    ``sequence(1, char_length)`` + ``substr`` on both engines, which
+    index by codepoint) — documented here rather than paid for now, as
+    the surrogate-aware explode roughly doubles the map-side work."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     chars = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")

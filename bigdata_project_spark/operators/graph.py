@@ -251,16 +251,27 @@ FROM pr2
 def query_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle count over the undirected co-activity graph.
 
-    Canonical form: edges oriented low→high (a < b) and deduped, then
-    the textbook two-join enumeration — (a,b)⋈(b,c)⋈(a,c) with a<b<c —
-    counts each triangle exactly once. Each triangle credits all three
-    corners via one explode, one hash aggregate.
+    Canonical form: undirected unique edges oriented by the DEGREE
+    total order (deg, id) — every edge points from its lower-degree
+    endpoint to its higher-degree one, ties broken by id — then the
+    textbook two-join enumeration (u→v)⋈(v→w)⋈(u→w) counts each
+    triangle exactly once. Each triangle credits all three corners via
+    one explode, one hash aggregate.
 
-    Scale: both joins are equi-joins on a vertex key (shuffle
-    partitioned by vertex); the classic skew refinement — orient edges
-    by degree instead of id so high-degree hubs don't fan out — drops
-    in by swapping the (a<b) predicate for a (deg, id) ordering, same
-    plan shape. Output is O(nodes-in-triangles).
+    Why degree orientation (the r6 verdict's skew item): under the
+    naive id ordering a celebrity node with degree D fans out into a
+    O(D²) candidate block in the wedge join. Ordering by (deg, id)
+    bounds every node's out-degree by O(√m) (the classic
+    Chiba–Nishizeki / Latapy bound), so the wedge join is O(m^{3/2})
+    worst-case regardless of hubs: a hub has maximal rank, so ALL its
+    edges point toward it and it pivots no wedges. Orientation choice
+    cannot change the result — each triangle's three edges get a
+    consistent acyclic orientation under ANY total order — so the
+    id-ordered DuckDB oracle is unchanged.
+
+    Scale: degree attach + both wedge joins are equi-joins on a vertex
+    key (shuffle partitioned by vertex). Output is
+    O(nodes-in-triangles).
     """
     ev = load_table(spark, sf_dir, "events")
     d = coactivity_edges(ev)
@@ -271,15 +282,25 @@ def query_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    return triangle_counts(und)
+
+
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """Per-corner triangle counts of a unique-undirected edge list
+    (a, b): degree-orient, enumerate, credit corners."""
+    ori = orient_by_degree(und)
+    e1, e2, e3 = ori.alias("e1"), ori.alias("e2"), ori.alias("e3")
     tris = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
             e3,
-            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+            (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
         )
         .select(
-            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+            F.col("e1.src").alias("x"),
+            F.col("e1.dst").alias("y"),
+            F.col("e2.dst").alias("z"),
         )
     )
     corners = tris.select(
@@ -287,6 +308,29 @@ def query_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return corners.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def orient_by_degree(und: DataFrame) -> DataFrame:
+    """Orient unique undirected edges (a, b) by the (degree, id) total
+    order: (src, dst) with rank(src) < rank(dst). Two equi-joins attach
+    endpoint degrees; no collect, no window."""
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     )
 
 
@@ -334,11 +378,15 @@ def query_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first shape: a driver loop of K=BFS_MAX_HOPS fixed
     supersteps, each one equi-join (frontier ⋈ edges on the vertex
     key) + one min-aggregate — the exact Pregel/GraphX per-superstep
-    plan. The frontier never exceeds the node set, K is a constant, and
-    distances are small integers, so the whole computation is
-    integer-exact and needs no float-parity machinery. The source
-    vertex is a 1-row driver pull (same bounded-collect budget as the
-    ivf/pq centroid pulls).
+    plan, with the merged frontier ``localCheckpoint``-ed per superstep
+    (mirroring dedup_cluster's propagation loop) so the physical plan
+    stays one-superstep deep instead of doubling every round. The
+    frontier never exceeds the node set, K is a constant, and distances
+    are small integers, so the whole computation is integer-exact and
+    needs no float-parity machinery. The source vertex is a 1-row
+    driver pull (same bounded-collect budget as the ivf/pq centroid
+    pulls); an empty edge set short-circuits to an empty result, the
+    same rows the NULL-guarded oracle produces.
 
     The oracle unrolls the SAME K supersteps as chained CTEs with a
     per-level MIN merge — NOT a recursive path-enumeration CTE, which
@@ -351,6 +399,7 @@ def query_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
+        .localCheckpoint()
     )
     nodes = (
         edges.select(F.col("src").alias("id"))
@@ -358,6 +407,8 @@ def query_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     src_id = nodes.agg(F.min("id")).first()[0]
+    if src_id is None:  # no co-activity edges at all → empty graph
+        return spark.createDataFrame([], "user_id long, dist int")
     reached = spark.createDataFrame([(int(src_id), 0)], "id long, dist int")
     for _ in range(BFS_MAX_HOPS):
         frontier = (
@@ -368,6 +419,7 @@ def query_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             reached.unionByName(frontier)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
         )
     return reached.select(F.col("id").alias("user_id"), "dist").orderBy("user_id")
 
@@ -399,7 +451,9 @@ und_edges AS (
     SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
 ),
 nodes AS (SELECT src AS id FROM und_edges UNION SELECT dst FROM und_edges),
-reach_0 AS (SELECT MIN(id) AS id, 0 AS dist FROM nodes),
+-- HAVING guard: an empty graph yields an empty reach_0 (not one NULL
+-- row), matching the engine's empty-edge short-circuit
+reach_0 AS (SELECT MIN(id) AS id, 0 AS dist FROM nodes HAVING MIN(id) IS NOT NULL),
 {",".join(_bfs_level_sql(k) for k in range(1, BFS_MAX_HOPS + 1))}
 SELECT id AS user_id, CAST(dist AS INTEGER) AS dist
 FROM reach_{BFS_MAX_HOPS}

@@ -20,10 +20,16 @@ single-task window (the ``row_number() OVER (ORDER BY ...)`` trap):
    hash's leading byte as the free range key (md5 is uniform, so the
    256 ranges are balanced by construction — no skew handling needed).
 
-The count-table collect is ≤256 rows — the same k-bounded driver
-budget as the ivf/pq centroid pulls. One shuffle total (the per-range
-window); md5 emits identical lowercase hex on both engines, and ties
-are impossible (doc_id is unique, and it tiebreaks anyway).
+The offsets are computed IN-PLAN (a window over the ≤256-row count
+table, broadcast-joined back — the one bounded-input unpartitioned
+window this module allows itself) rather than collected driver-side
+between two jobs: everything is one lazy plan, so there is no
+cross-job window in which a rewritten source could hand the count pass
+and the rank pass different row sets (r6 advice — the old two-pass
+form relied on an implicit static-source invariant). One data-sized
+shuffle total (the per-range window); md5 emits identical lowercase
+hex on both engines, and ties are impossible (doc_id is unique, and it
+tiebreaks anyway).
 
 Reference parity: the reference has no ordering/sharding operators —
 beyond-reference LLM-pipeline surface.
@@ -51,19 +57,17 @@ def query_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "__pid", F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
     )
-    # ≤256-row count table → exclusive cumsum, driver-side
-    counts = dict(
-        keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    # ≤256-row count table → exclusive cumsum, in-plan and broadcast
+    counts = keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0)).alias("__off")
     )
-    offs, acc = {}, 0
-    for p in sorted(counts):
-        offs[p] = acc
-        acc += counts[p]
-    off_map = F.create_map(*[F.lit(x) for p in sorted(offs) for x in (p, offs[p])])
     w = Window.partitionBy("__pid").orderBy("shuffle_key", "doc_id")
-    pos = off_map[F.col("__pid")] + F.row_number().over(w) - F.lit(1)
+    pos = F.col("__off") + F.row_number().over(w) - F.lit(1)
     return (
-        keyed.withColumn("position", pos.cast("long"))
+        keyed.join(F.broadcast(offs), "__pid")
+        .withColumn("position", pos.cast("long"))
         .withColumn(
             "shard", F.floor(F.col("position") / F.lit(SHARD_SIZE)).cast("long")
         )

@@ -20,9 +20,17 @@ Scale design: one shuffle keys vectors by cell; each cell's pair block
 is an O(cell²) BLAS matmul at memory-bandwidth speed. At 100 TB the
 operator holds because k scales with corpus size (SemDeDup uses
 k ≈ sqrt(N), keeping cells bounded) — k is the K_CELLS parameter here,
-pinned small only for the fixture. The dup rollup shuffles candidate
-PAIRS (already threshold-pruned), never embeddings; the final left join
-is vec_id-keyed.
+pinned small only for the fixture. A skewed assignment (one giant
+cell) cannot take the whole quadratic block into a single pandas group
+(the r6 verdict's cap item): cells are chunked by vec_id rank into
+≤SEM_CELL_CAP-vector chunks and the cell's Gram matrix is evaluated as
+its upper-triangular CHUNK-PAIR blocks — each applyInPandas group
+holds at most 2·CAP vectors, every block is an independent task, and
+the per-vector replication factor is exactly n_chunks (the inherent
+cost of parallelizing a quadratic search; identical results by the
+blocked-matrix decomposition, property-tested cap-vs-uncapped). The
+dup rollup shuffles candidate PAIRS (already threshold-pruned), never
+embeddings; the final left join is vec_id-keyed.
 
 Reference parity: the reference (JoanFer030/bigdata-project) has no
 embedding operators at all — beyond-reference LLM-pipeline surface.
@@ -41,6 +49,103 @@ from bigdata_project_spark.operators.similarity import _cos_sql
 from bigdata_project_spark.sources.readers import load_table
 
 SEM_TAU = 0.35
+# Per-task block cap: a cell larger than this is searched as chunk-pair
+# blocks of ≤2·CAP vectors each instead of one quadratic pandas group.
+SEM_CELL_CAP = 4096
+
+
+def _semantic_dups(assigned: DataFrame, cap: int = SEM_CELL_CAP) -> DataFrame:
+    """(vec_b, dup_of) — for every vector that has a LOWER-id near-dup
+    (rounded cosine ≥ SEM_TAU) in its cell, the lowest such id.
+
+    Blocked evaluation: rank vectors within their cell by vec_id,
+    chunk ranks into ``cap``-sized chunks, and evaluate the cell's
+    upper-triangular chunk-pair blocks (bi ≤ bj) as independent
+    applyInPandas groups. Chunking by *sorted rank* means every id in
+    chunk bi < every id in chunk bj when bi < bj, so only diagonal
+    blocks need the a<b mask, and the per-block minimum hit rolls up to
+    the global lowest-id hit with one hash aggregate. The rank window
+    is partitioned by cell (sort, not quadratic work); the cell-size
+    table is K_CELLS rows, broadcast."""
+    from pyspark.sql import Window
+
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    chunked = (
+        assigned.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "__chunk", F.floor((F.row_number().over(w) - 1) / cap).cast("int")
+        )
+        .withColumn("__nchunks", F.ceil(F.col("__n") / cap).cast("int"))
+    )
+    # Replicate each vector into every block it participates in: as the
+    # a-side of (chunk, j≥chunk) and the b-side of (i≤chunk, chunk) —
+    # n_chunks rows per vector, the blocked-matmul decomposition.
+    blocks = chunked.select(
+        "cell",
+        "vec_id",
+        "embedding",
+        "__chunk",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.transform(
+                        F.sequence(F.col("__chunk"), F.col("__nchunks") - 1),
+                        lambda j: F.struct(
+                            F.col("__chunk").alias("bi"), j.alias("bj")
+                        ),
+                    ),
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("__chunk")),
+                        lambda i: F.struct(
+                            i.alias("bi"), F.col("__chunk").alias("bj")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__blk"),
+    ).select(
+        "cell", F.col("__blk.bi").alias("bi"), F.col("__blk.bj").alias("bj"),
+        "vec_id", "embedding", "__chunk",
+    )
+
+    def block_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_b": pd.Series(dtype="int64"),
+                "dup_of": pd.Series(dtype="int64"),
+            }
+        )
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        a_rows = pdf[pdf["__chunk"] == bi].sort_values("vec_id")
+        b_rows = pdf[pdf["__chunk"] == bj].sort_values("vec_id")
+        if not len(a_rows) or not len(b_rows):
+            return empty
+        ma = np.stack(a_rows["embedding"].to_numpy()).astype(np.float64)
+        mb = np.stack(b_rows["embedding"].to_numpy()).astype(np.float64)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        gram = np.floor((ma @ mb.T) / np.outer(na, nb) * 1e6 + 0.5) / 1e6
+        hits = gram >= SEM_TAU
+        ids_a = a_rows["vec_id"].to_numpy()
+        ids_b = b_rows["vec_id"].to_numpy()
+        if bi == bj:  # same chunk: only strictly-lower ids count
+            hits &= ids_a[:, None] < ids_b[None, :]
+        out_b, out_a = [], []
+        for j in range(len(ids_b)):
+            above = np.nonzero(hits[:, j])[0]
+            if len(above):
+                out_b.append(ids_b[j])
+                out_a.append(ids_a[above[0]])  # rows sorted → lowest vec_id
+        if not out_b:
+            return empty
+        return pd.DataFrame({"vec_b": out_b, "dup_of": out_a})
+
+    cand = blocks.groupBy("cell", "bi", "bj").applyInPandas(
+        block_dups, schema="vec_b long, dup_of long"
+    )
+    # per-block minima → global lowest-id duplicate
+    return cand.groupBy("vec_b").agg(F.min("dup_of").alias("dup_of"))
 
 
 def query_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,34 +154,7 @@ def query_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids, cell_ids = _seed_centroids(emb, K_CELLS)
     assigned = _assign_cells(emb, centroids, cell_ids)
-
-    def cell_dups(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {
-                    "vec_b": pd.Series(dtype="int64"),
-                    "dup_of": pd.Series(dtype="int64"),
-                }
-            )
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-        gram = np.floor((m @ m.T) / np.outer(norms, norms) * 1e6 + 0.5) / 1e6
-        # lowest-id duplicate: for column b, the first row a<b over TAU
-        hits = gram >= SEM_TAU
-        np.fill_diagonal(hits, False)
-        ids = pdf["vec_id"].to_numpy()
-        out_b, out_a = [], []
-        for j in range(1, len(ids)):
-            above = np.nonzero(hits[:j, j])[0]
-            if len(above):
-                out_b.append(ids[j])
-                out_a.append(ids[above[0]])  # rows sorted → lowest vec_id
-        return pd.DataFrame({"vec_b": out_b, "dup_of": out_a})
-
-    dups = assigned.groupBy("cell").applyInPandas(
-        cell_dups, schema="vec_b long, dup_of long"
-    )
+    dups = _semantic_dups(assigned)
     return (
         assigned.select("vec_id", "cell")
         .join(dups, F.col("vec_id") == F.col("vec_b"), "left")

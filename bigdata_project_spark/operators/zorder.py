@@ -24,6 +24,8 @@ oracle-checked (ntile over a unique total order is deterministic).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -99,7 +101,9 @@ def write_zordered(
     )
 
 
-# see the eviction note inside distributed_ntile
+# perf-only cache bookkeeping — see the eviction note inside
+# distributed_ntile; guarded by _CACHE_LOCK for concurrent builders
+_CACHE_LOCK = threading.Lock()
 _PREV_CACHES: list[DataFrame] = []
 
 
@@ -120,19 +124,25 @@ def distributed_ntile(
     z-values always are: [0, 4^bits)), the id is one integer division;
     otherwise sampled cut points are collected ONCE driver-side
     (``approxQuantile``). A per-range ``row_number`` window
-    (partitioned — parallel) plus the exclusive cumsum of the tiny
-    per-range count table turns local row numbers into exact global
+    (partitioned — parallel) plus a broadcast join against the tiny
+    per-range offset table turns local row numbers into exact global
     ranks. Every window here runs over either a partition-local frame
-    or the ≤``n_parts``-row count table — no
-    ``WindowExec: No Partition Defined`` path anywhere, and no reliance
-    on exchange reuse or checkpointing for cross-branch consistency.
+    or the ≤``n_parts``-row count table (the one deliberately
+    unpartitioned window in the repo — its input is bounded by
+    construction, never data-sized) — no
+    ``WindowExec: No Partition Defined`` path on any data-sized
+    relation.
 
-    The projection is persisted (memory-and-disk) across the two
-    inherent passes — counts, then rank — so the order-key expression
-    is evaluated once; rank decomposition is a multi-pass algorithm and
-    this is the standard cache point for one.
+    The whole computation is ONE lazy plan (r6 advice): per-range
+    counts, exclusive-cumsum offsets, the global row total, and the
+    ntile quotient/remainder are all columns of the broadcast side —
+    no driver collect sits between a counts pass and a rank pass, so
+    there is no cross-job consistency window at all. Re-evaluating the
+    source subtree inside the single plan is deterministic (pure
+    row-functions over a file listing pinned at plan time), so cache
+    eviction can only ever cost recomputation, never correctness.
 
-    Bucket assignment then replays SQL ntile's exact semantics (first
+    Bucket assignment replays SQL ntile's exact semantics (first
     ``n mod N`` buckets one row larger), so results — and the oracle —
     are identical to the serial window form. Requires the order key to
     be unique overall (true here: it ends in the lineitem primary key);
@@ -141,19 +151,23 @@ def distributed_ntile(
     parallelism under data skew, never correctness)."""
     from pyspark import StorageLevel
 
-    # The cache must outlive this call (the returned plan's rank pass
-    # reads it), so it can't be unpersisted here — but a long session
-    # calling rank decompositions repeatedly (the bench, the driver
-    # sweep) would otherwise accumulate one pinned projection per call
-    # until eviction pressure turns MEMORY_AND_DISK into disk churn
-    # (measured: 1.2 s cold → 4 s by the 4th call). Evict the previous
-    # call's cache on entry: at most one stale cache is ever live.
-    while _PREV_CACHES:
-        _PREV_CACHES.pop().unpersist(blocking=False)
+    # Perf-only persist: the counts subtree and the rank subtree of the
+    # single returned plan both read the projection; caching makes that
+    # one evaluation. A long session calling rank decompositions
+    # repeatedly (the bench, the driver sweep) would accumulate one
+    # pinned projection per call until eviction pressure turns
+    # MEMORY_AND_DISK into disk churn (measured: 1.2 s cold → 4 s by
+    # the 4th call), so the previous call's cache is evicted on entry —
+    # at most one stale cache is ever live, and because correctness
+    # never depends on the cache (single-plan design above), evicting a
+    # not-yet-executed plan's cache merely recomputes it.
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    with _CACHE_LOCK:
+        while _PREV_CACHES:
+            _PREV_CACHES.pop().unpersist(blocking=False)
+        _PREV_CACHES.append(cached)
 
     lead = order_cols[0]
-    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PREV_CACHES.append(cached)
     if lead_range is not None:
         lo, hi = lead_range
         span = max(hi - lo + 1, 1)
@@ -165,35 +179,37 @@ def distributed_ntile(
         for c in cuts:
             pid = pid + (F.col(lead) > F.lit(c)).cast("int")
     keyed = cached.withColumn("__pid", pid)
-    # per-range counts → exclusive cumsum, driver-side: ≤ n_parts rows,
-    # the same k-bounded collect budget as ivf/pq centroid pulls
-    counts = dict(
-        keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
+    # per-range counts → exclusive cumsum + global total, all in-plan:
+    # both windows run over the ≤n_parts-row count table
+    counts = keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    n = sum(counts.values())
-    offs, acc = {}, 0
-    for p in sorted(counts):
-        offs[p] = acc
-        acc += counts[p]
-    off_map = F.create_map(
-        *[F.lit(x) for p in sorted(offs) for x in (p, offs[p])]
+    stats = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).alias("__n"),
     )
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
-    ranked = keyed.withColumn(
-        "__rank", F.row_number().over(w_local) + off_map[F.col("__pid")]
+    ranked = keyed.join(F.broadcast(stats), "__pid").withColumn(
+        "__rank", F.row_number().over(w_local) + F.col("__off")
     )
     # SQL ntile over n rows: q = n div N, rem = n mod N; the first rem
-    # buckets hold q+1 rows, the rest q.
-    q, rem = divmod(n, n_buckets)
+    # buckets hold q+1 rows, the rest q. greatest(q,1) guards q=0 (then
+    # rem=n and every rank falls in the first branch).
+    q = F.floor(F.col("__n") / n_buckets)
+    rem = F.col("__n") % n_buckets
     big = rem * (q + 1)  # rows covered by the q+1-sized buckets
-    if q == 0:
-        bucket = F.floor((F.col("__rank") - 1) / max(q + 1, 1)) + 1
-    else:
-        bucket = F.when(
-            F.col("__rank") <= F.lit(big),
-            F.floor((F.col("__rank") - 1) / (q + 1)) + 1,
-        ).otherwise(F.lit(rem) + F.floor((F.col("__rank") - 1 - big) / q) + 1)
-    return ranked.withColumn("bucket", bucket.cast("int")).drop("__pid", "__rank")
+    bucket = F.when(
+        F.col("__rank") <= big,
+        F.floor((F.col("__rank") - 1) / (q + 1)) + 1,
+    ).otherwise(
+        rem + F.floor((F.col("__rank") - 1 - big) / F.greatest(q, F.lit(1))) + 1
+    )
+    return ranked.withColumn("bucket", bucket.cast("int")).drop(
+        "__pid", "__rank", "__off", "__n"
+    )
 
 
 def query_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:

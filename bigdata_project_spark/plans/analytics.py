@@ -718,7 +718,12 @@ def query_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the final small-key aggregate.
 
     Decimal-exact: values cast to DECIMAL before the melt so the
-    post-melt sum reduces exactly on both engines."""
+    post-melt sum reduces exactly on both engines. NULL semantics are
+    pinned by construction (r6 advice): Spark's ``unpivot`` RETAINS
+    null values while DuckDB's UNPIVOT drops them by default, so the
+    melt filters ``value IS NOT NULL`` explicitly — parity then holds
+    even if a nullable measure ever appears (lineitem measures happen
+    to be non-null, but the filter makes that irrelevant)."""
     li = load_table(spark, sf_dir, "lineitem")
     melted = li.select(
         "l_returnflag",
@@ -731,7 +736,7 @@ def query_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["quantity", "extendedprice", "discount", "tax"],
         "measure",
         "value",
-    )
+    ).filter(F.col("value").isNotNull())
     return (
         melted.groupBy("l_returnflag", "measure")
         .agg(

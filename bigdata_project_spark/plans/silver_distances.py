@@ -90,6 +90,35 @@ def query_zones_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def query_zones_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same G1-G4 zonification through the engine-dispatch path
+    (functions/geo.py:wkt_centroids_auto): Sedona's JVM ST_* kernels
+    when the jars are present, the native Arrow parser otherwise. Same
+    output contract either way, so it shares ORACLE_ZONES_WKT — what
+    the row proves is that the dispatch seam itself is correct."""
+    from bigdata_project_spark.functions.geo import wkt_centroids_auto
+
+    nation = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    wkt = F.format_string(
+        "MULTIPOLYGON(((%d 0, %d 0, %d 3, %d 0)), ((%d 10, %d 10, %d 12, %d 10)))",
+        k, k + 2, k, k,
+        k + 10, k + 16, k + 10, k + 10,
+    )
+    bronze = nation.select(
+        F.col("n_nationkey").cast("string").alias("id"),
+        F.col("n_name").alias("name"),
+        wkt.alias("wkt"),
+    )
+    parsed = wkt_centroids_auto(spark, bronze, "wkt")
+    return parsed.select(
+        "id",
+        "name",
+        round_portable(F.col("centroid_lon"), 6).alias("centroid_lon"),
+        round_portable(F.col("centroid_lat"), 6).alias("centroid_lat"),
+    )
+
+
 ORACLE_ZONES_WKT = f"""
 SELECT CAST(n_nationkey AS VARCHAR) AS id,
        n_name AS name,

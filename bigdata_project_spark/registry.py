@@ -55,64 +55,462 @@ def _load() -> None:
     driver row, (2) queries whose last green row is oldest, (3) queries
     whose behavior this round's commits touched. Net-new queries get
     only the slots left after (1)-(3); anything beyond that budget waits
-    a round rather than evicting an unexposed query. With 130+ names
+    a round rather than evicting an unexposed query. With 150+ names
     and a 50-slot window the full cycle is ~3 rounds; this ordering
     guarantees no query's last driver row ever trails by more than
     that, and no query ships two rounds without a row.
 
-    Round 6 window: (A) the 36 unexposed queries the r5 verdict names —
-    the 35 whose last row is r3 plus never-checked
-    multimodal_dedup_binary; (B) the 10 behavior-touched this round
-    (the five star joins de-hinted on their fact sides, gold_od_daily
-    now reading materialized silver, join_asof_forward's same-row
-    struct fill, events_anomaly_zscore's zero-variance guard,
-    text_bpe_encode's run-aware self-pair merge,
-    pipeline_domain_mixture's symmetric weight parse, and join_asof —
-    the backward direction shares the same-row struct fill); (C) 3
-    net-new TPC-H shapes (Q7/Q8/Q18) proving the un-hinted star-join
-    policy on harder join topologies. The 4th new shape
-    (agg_bracket_revenue, Q19) exceeds the net-new budget the policy
-    allows this round: it is registered PAST the window
-    (pytest-parity-covered) and is first in line for the round-7
-    window. Everything else is driver-green in r4/r5 and unchanged.
+    Round 7 window, exactly as the r6 verdict queued it: (A) the 18
+    never-driver-checked queries — agg_bracket_revenue (Q19), the
+    TPC-H second half (starjoins2.py: Q2/Q9/Q12/Q13/Q15/Q16/Q17/Q20/
+    Q21/Q22/Q6 shapes), dedup_semantic, text_char_entropy,
+    pipeline_global_shuffle, stream_dedup, agg_unpivot_measures,
+    graph_bfs_distance; (B) 32 of the 43 queries whose last row is r4.
+    61 candidates for 50 slots means 11 r4 rows must wait one more
+    round; the deferral set is the plain-aggregate analytics family
+    (agg_pricing_summary, agg_top_customers, agg_pivot_status,
+    agg_rollup_summary, agg_cube_summary, agg_grouping_sets,
+    agg_distinct_counts, agg_approx_distinct, agg_percentiles,
+    set_ops, cogroup_activity) — one file, one shape class, untouched
+    since r4, pytest-parity green every run — chosen over the
+    structurally riskier dedup/sim/skew/silver families the verdict
+    names as rotate-in candidates. No net-new queries take window
+    slots this round.
 
-    Round 7 queue (registered past this round's window, pytest-parity
-    green, never driver-checked — window block A next round):
-    agg_bracket_revenue (Q19), the TPC-H second half
-    (agg_best_supplier/_nation_profit/_late_by_class/
-    _customer_distribution/_top_supplier/_supplier_part_counts/
-    _small_qty_revenue/_dominant_suppliers/_waiting_suppliers/
-    _dormant_customers/_forecast_revenue —
-    Q2/Q9/Q12/Q13/Q15/Q16/Q17/Q20/Q21/Q22/Q6), and
-    the round-6 LLM-pipeline additions dedup_semantic,
-    text_char_entropy, pipeline_global_shuffle, stream_dedup,
-    agg_unpivot_measures, graph_bfs_distance. That is 18 never-checked
-    queries; the ~32 remaining slots go to the then-stalest r4-checked
-    queries."""
+    Round 8 queue (in priority order): (1) the 11 deferred r4 rows
+    above — at round 8 they trail 4 rounds, hard ceiling; (2) the
+    round-7 behavior-touched queries whose last row predates the
+    change and that did not fit this window: graph_triangles
+    (degree orientation), layout_zorder_extents +
+    feature_binning_equidepth (distributed_ntile single-plan rework)
+    — each re-verified this round at the driver's own sf0.01 contract
+    via `python -m bigdata_project_spark.oracle_check`, so the gap is
+    driver-evidence only, not unverified behavior; (3) the stalest
+    r5-checked queries. Net-new round-7 registrations wait behind all
+    three blocks."""
     if _QUERIES:
         return
 
-    # ---- window block A: the 36 queries unexposed since round 3 ----------
     from bigdata_project_spark.multimodal import binary_ops
     from bigdata_project_spark.operators import (
         bpe,
+        bucketing,
+        cdc,
+        chunking,
+        corpus_quality,
+        dedup_cluster,
         embedding_stats,
+        funnel,
+        graph,
+        graph as _gr0,
+        ivf,
+        layout_scan,
+        ordering,
+        packing,
+        pca,
+        pq,
         profiling,
+        semdedup,
         similarity,
+        sketches,
+        skew,
         spatial_join,
+        stats,
         text_analysis,
         text_dedup,
         text_signals,
+        timeseries,
+        zorder,
     )
     from bigdata_project_spark.plans import (
+        analytics,
+        analytics as _an0,
+        analytics as _an1,
+        asof_range,
+        asof_range as _ar,
         bronze_merge,
         clean_corpus,
+        event_windows,
+        event_windows as _ew,
+        gold,
         holidays_json,
         silver_distances,
         silver_ine,
+        silver_od,
         silver_people_day,
+        starjoins,
+        starjoins2,
+    )
+    from bigdata_project_spark.streaming import (
+        stateful as stream_stateful,
+        windows as _sw,
+        windows as _sw0,
+        windows as stream_windows,
     )
 
+    # ---- window block A: the 18 never-driver-checked queries ------------
+    register(
+        "agg_bracket_revenue",
+        starjoins.query_bracket_revenue,
+        starjoins.ORACLE_BRACKET_REVENUE,
+    )
+    register(
+        "agg_best_supplier",
+        starjoins2.query_best_supplier,
+        starjoins2.ORACLE_BEST_SUPPLIER,
+    )
+    register(
+        "agg_nation_profit",
+        starjoins2.query_nation_profit,
+        starjoins2.ORACLE_NATION_PROFIT,
+    )
+    register(
+        "agg_late_by_class",
+        starjoins2.query_late_by_class,
+        starjoins2.ORACLE_LATE_BY_CLASS,
+    )
+    register(
+        "agg_customer_distribution",
+        starjoins2.query_customer_distribution,
+        starjoins2.ORACLE_CUSTOMER_DISTRIBUTION,
+    )
+    register(
+        "agg_top_supplier",
+        starjoins2.query_top_supplier,
+        starjoins2.ORACLE_TOP_SUPPLIER,
+    )
+    register(
+        "agg_supplier_part_counts",
+        starjoins2.query_supplier_part_counts,
+        starjoins2.ORACLE_SUPPLIER_PART_COUNTS,
+    )
+    register(
+        "agg_small_qty_revenue",
+        starjoins2.query_small_quantity_revenue,
+        starjoins2.ORACLE_SMALL_QUANTITY_REVENUE,
+    )
+    register(
+        "agg_dominant_suppliers",
+        starjoins2.query_dominant_suppliers,
+        starjoins2.ORACLE_DOMINANT_SUPPLIERS,
+    )
+    register(
+        "agg_waiting_suppliers",
+        starjoins2.query_waiting_suppliers,
+        starjoins2.ORACLE_WAITING_SUPPLIERS,
+    )
+    register(
+        "agg_dormant_customers",
+        starjoins2.query_dormant_customers,
+        starjoins2.ORACLE_DORMANT_CUSTOMERS,
+    )
+    register(
+        "agg_forecast_revenue",
+        starjoins2.query_forecast_revenue,
+        starjoins2.ORACLE_FORECAST_REVENUE,
+    )
+    register(
+        "dedup_semantic",
+        semdedup.query_dedup_semantic,
+        semdedup.ORACLE_DEDUP_SEMANTIC,
+    )
+    register(
+        "text_char_entropy",
+        corpus_quality.query_text_char_entropy,
+        corpus_quality.ORACLE_TEXT_CHAR_ENTROPY,
+    )
+    register(
+        "pipeline_global_shuffle",
+        ordering.query_global_shuffle,
+        ordering.ORACLE_GLOBAL_SHUFFLE,
+    )
+    register(
+        "stream_dedup",
+        _sw0.query_stream_dedup,
+        _sw0.ORACLE_STREAM_DEDUP,
+    )
+    register(
+        "agg_unpivot_measures",
+        _an1.query_unpivot_measures,
+        _an1.ORACLE_UNPIVOT_MEASURES,
+    )
+    register(
+        "graph_bfs_distance",
+        _gr0.query_graph_bfs_distance,
+        _gr0.ORACLE_GRAPH_BFS_DISTANCE,
+    )
+
+    # ---- window block B: 32 of the 43 queries whose last row is r4 ------
+    register(
+        "stream_upsert_sink",
+        stream_windows.query_stream_upsert_sink,
+        stream_windows.ORACLE_STREAM_UPSERT,
+    )
+    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
+    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
+    register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
+    register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)
+    register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
+    register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
+    register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
+    register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
+    register("events_variant_props", analytics.query_variant_props, analytics.ORACLE_VARIANT_PROPS)
+    register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
+    register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
+    register("events_time_rollup", event_windows.query_time_rollup, event_windows.ORACLE_TIME_ROLLUP)
+    register(
+        "join_interval_clicks",
+        event_windows.query_interval_join_clicks,
+        event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
+    )
+    register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
+    register(
+        "agg_retention_cohort",
+        funnel.query_retention_cohort,
+        funnel.ORACLE_RETENTION_COHORT,
+    )
+    register("emb_gram_matrix", graph.query_emb_gram_matrix, graph.ORACLE_EMB_GRAM_MATRIX)
+    register(
+        "layout_bucketed_join",
+        bucketing.query_bucketed_join_revenue,
+        bucketing.ORACLE_BUCKETED_JOIN,
+    )
+    register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
+    register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
+    register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
+    register(
+        "pipeline_dedup_canonical",
+        dedup_cluster.query_dedup_canonical,
+        dedup_cluster.ORACLE_DEDUP_CANONICAL,
+    )
+    register("dedup_fuzzy_lev", text_dedup.query_dedup_fuzzy_lev, text_dedup.ORACLE_DEDUP_FUZZY_LEV)
+    register(
+        "bronze_merge_all_columns",
+        bronze_merge.query_merge_all_columns,
+        bronze_merge.ORACLE_MERGE_ALL,
+    )
+    register(
+        "dedup_cluster_cc",
+        dedup_cluster.query_dedup_cluster_cc,
+        dedup_cluster.ORACLE_DEDUP_CLUSTER_CC,
+    )
+    register("silver_od", silver_od.query, silver_od.ORACLE)
+    register("dedup_ngram_jaccard", text_dedup.query_dedup_ngram_jaccard, text_dedup.ORACLE_DEDUP_NGRAM_JACCARD)
+    register("skew_salted_agg", skew.query_skew_salted_agg, skew.ORACLE_SKEW_SALTED_AGG)
+    register("dedup_minhash_lsh", text_dedup.query_dedup_minhash_lsh, text_dedup.ORACLE_DEDUP_MINHASH_LSH)
+    register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
+    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, ivf.ORACLE_IVF_KMEANS_TOPK)
+    register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
+
+    # ---------------- 50-query driver window ends here -------------------
+    # round-8 queue block 1: the 11 deferred r4 rows (hard ceiling at r8)
+    register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
+    register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
+    register("agg_pivot_status", analytics.query_pivot_status, analytics.ORACLE_PIVOT_STATUS)
+    register("agg_rollup_summary", analytics.query_rollup_summary, analytics.ORACLE_ROLLUP_SUMMARY)
+    register("agg_cube_summary", analytics.query_cube_summary, analytics.ORACLE_CUBE_SUMMARY)
+    register("agg_grouping_sets", analytics.query_grouping_sets, analytics.ORACLE_GROUPING_SETS)
+    register("agg_distinct_counts", analytics.query_distinct_counts, analytics.ORACLE_DISTINCT_COUNTS)
+    register("agg_approx_distinct", analytics.query_approx_distinct, analytics.ORACLE_APPROX_DISTINCT)
+    register("agg_percentiles", asof_range.query_percentiles_by_type, asof_range.ORACLE_PERCENTILES)
+    register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
+    register("cogroup_activity", analytics.query_cogroup_activity, analytics.ORACLE_COGROUP_ACTIVITY)
+
+    # round-8 queue block 2: round-7 behavior-touched, re-proven locally
+    # at sf0.01 via oracle_check this round (driver evidence pending)
+    register(
+        "graph_triangles",
+        graph.query_graph_triangles,
+        graph.ORACLE_GRAPH_TRIANGLES,
+    )
+    register(
+        "layout_zorder_extents",
+        zorder.query_zorder_extents,
+        zorder.ORACLE_ZORDER_EXTENTS,
+    )
+    register(
+        "feature_binning_equidepth",
+        profiling.query_feature_binning_equidepth,
+        profiling.ORACLE_FEATURE_BINNING_EQUIDEPTH,
+    )
+
+    # round-8 queue block 3: r5-checked, stalest-first ---------------------
+    register(
+        "dedup_url_canonical",
+        text_signals.query_dedup_url_canonical,
+        text_signals.ORACLE_DEDUP_URL_CANONICAL,
+    )
+    register(
+        "stream_sessionize",
+        _sw.query_stream_sessionize,
+        _sw.ORACLE_STREAM_SESSIONIZE,
+    )
+    register(
+        "win_range_7d",
+        _ew.query_win_range_7d,
+        _ew.ORACLE_WIN_RANGE_7D,
+    )
+    register(
+        "pipeline_domain_reweight",
+        packing.query_domain_reweight,
+        packing.ORACLE_DOMAIN_REWEIGHT,
+    )
+    register(
+        "pipeline_chunk_docs",
+        chunking.query_pipeline_chunk_docs,
+        chunking.ORACLE_PIPELINE_CHUNK_DOCS,
+    )
+    register(
+        "layout_partition_pruning",
+        layout_scan.query_layout_partition_pruning,
+        layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
+    )
+    register(
+        "source_orc_roundtrip",
+        layout_scan.query_source_orc_roundtrip,
+        layout_scan.ORACLE_SOURCE_ORC_ROUNDTRIP,
+    )
+    register(
+        "source_text_logs",
+        layout_scan.query_source_text_logs,
+        layout_scan.ORACLE_SOURCE_TEXT_LOGS,
+    )
+    register(
+        "stream_tumbling",
+        _sw.query_stream_tumbling,
+        _ew.ORACLE_TUMBLING_1H,
+    )
+    register(
+        "stream_interval_join",
+        _sw.query_stream_interval_join,
+        _ew.ORACLE_INTERVAL_JOIN_CLICKS,
+    )
+    register(
+        "ts_gapfill_ffill",
+        timeseries.query_ts_gapfill_ffill,
+        timeseries.ORACLE_TS_GAPFILL_FFILL,
+    )
+    register(
+        "ts_ewma_hourly",
+        timeseries.query_ts_ewma_hourly,
+        timeseries.ORACLE_TS_EWMA_HOURLY,
+    )
+    register(
+        "events_dau_wau", funnel.query_events_dau_wau, funnel.ORACLE_EVENTS_DAU_WAU
+    )
+    register("events_funnel", funnel.query_events_funnel, funnel.ORACLE_EVENTS_FUNNEL)
+    register(
+        "text_bigram_perplexity",
+        corpus_quality.query_text_bigram_perplexity,
+        corpus_quality.ORACLE_TEXT_BIGRAM_PERPLEXITY,
+    )
+    register(
+        "text_oov_rate",
+        corpus_quality.query_text_oov_rate,
+        corpus_quality.ORACLE_TEXT_OOV_RATE,
+    )
+    register(
+        "pipeline_quality_funnel",
+        corpus_quality.query_pipeline_quality_funnel,
+        corpus_quality.ORACLE_PIPELINE_QUALITY_FUNNEL,
+    )
+    register(
+        "text_dup_spans",
+        text_dedup.query_text_dup_spans,
+        text_dedup.ORACLE_TEXT_DUP_SPANS,
+    )
+    register(
+        "dedup_span_removal",
+        text_dedup.query_dedup_span_removal,
+        text_dedup.ORACLE_DEDUP_SPAN_REMOVAL,
+    )
+    register(
+        "cdc_snapshot_diff",
+        cdc.query_cdc_snapshot_diff,
+        cdc.ORACLE_CDC_SNAPSHOT_DIFF,
+    )
+    register(
+        "feature_corr_matrix",
+        stats.query_feature_corr_matrix,
+        stats.ORACLE_FEATURE_CORR_MATRIX,
+    )
+    register(
+        "ml_group_ols",
+        stats.query_ml_group_ols,
+        stats.ORACLE_ML_GROUP_OLS,
+    )
+    register(
+        "sketch_cms_topk",
+        sketches.query_cms_heavy_hitters,
+        sketches.ORACLE_CMS_HEAVY_HITTERS,
+    )
+    register(
+        "events_transitions",
+        funnel.query_events_transitions,
+        funnel.ORACLE_EVENTS_TRANSITIONS,
+    )
+    register(
+        "stream_transitions",
+        stream_stateful.query_stream_transitions,
+        funnel.ORACLE_EVENTS_TRANSITIONS,
+    )
+    register(
+        "emb_int8_quantize",
+        embedding_stats.query_emb_int8_quantize,
+        embedding_stats.ORACLE_EMB_INT8_QUANTIZE,
+    )
+    register(
+        "text_url_domains",
+        text_signals.query_text_url_domains,
+        text_signals.ORACLE_TEXT_URL_DOMAINS,
+    )
+    register(
+        "text_ngram_novelty",
+        text_analysis.query_text_ngram_novelty,
+        text_analysis.ORACLE_TEXT_NGRAM_NOVELTY,
+    )
+    register(
+        "text_quality_linear",
+        text_analysis.query_text_quality_linear,
+        text_analysis.ORACLE_TEXT_QUALITY_LINEAR,
+    )
+    register(
+        "dedup_paragraph",
+        text_dedup.query_dedup_paragraph,
+        text_dedup.ORACLE_DEDUP_PARAGRAPH,
+    )
+    register(
+        "emb_pca_project",
+        pca.query_emb_pca_project,
+        pca.oracle_emb_pca_sql(),
+        oracle_builder=pca.oracle_emb_pca_sql,
+    )
+    register(
+        "text_hashing_features",
+        text_analysis.query_hashing_features,
+        text_analysis.ORACLE_HASHING_FEATURES,
+    )
+    register("emb_gram_blas", graph.query_emb_gram_blas, graph.ORACLE_EMB_GRAM_BLAS)
+    register(
+        "pipeline_pack_sequences",
+        packing.query_pack_sequences,
+        packing.ORACLE_PACK_SEQUENCES,
+    )
+    register(
+        "silver_ine_empresas", silver_ine.query_ine_empresas, silver_ine.ORACLE_INE_EMPRESAS
+    )
+    register(
+        "silver_ine_poblacion",
+        silver_ine.query_ine_poblacion,
+        silver_ine.ORACLE_INE_POBLACION,
+    )
+    register(
+        "agg_approx_quantiles",
+        _an0.query_approx_quantiles,
+        _an0.ORACLE_APPROX_QUANTILES,
+    )
+
+    # ---- past the queue: driver-green in r6, unchanged -------------------
     register("text_token_stats", text_analysis.query_token_stats, text_analysis.ORACLE_TOKEN_STATS)
     register("text_lang_id", text_analysis.query_lang_id, text_analysis.ORACLE_LANG_ID)
     register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
@@ -202,12 +600,6 @@ def _load() -> None:
         binary_ops.query_multimodal_dedup_binary,
         binary_ops.ORACLE_MULTIMODAL_DEDUP_BINARY,
     )
-
-    # ---- window block B: behavior-touched this round ---------------------
-    from bigdata_project_spark.operators import packing, timeseries
-    from bigdata_project_spark.plans import gold, starjoins
-    from bigdata_project_spark.plans import asof_range as _ar
-
     register(
         "agg_shipping_priority",
         starjoins.query_shipping_priority,
@@ -260,8 +652,6 @@ def _load() -> None:
         _ar.query_asof_click_before_purchase,
         _ar.ORACLE_ASOF,
     )
-
-    # ---- window block C: net-new this round (3 slots left) ---------------
     register(
         "agg_volume_shipping",
         starjoins.query_volume_shipping,
@@ -277,400 +667,20 @@ def _load() -> None:
         starjoins.query_large_orders,
         starjoins.ORACLE_LARGE_ORDERS,
     )
-    # ---------------- 50-query driver window ends here -------------------
-    # past the budget: waits for the round-7 window (see docstring)
-    register(
-        "agg_bracket_revenue",
-        starjoins.query_bracket_revenue,
-        starjoins.ORACLE_BRACKET_REVENUE,
-    )
 
-    # past the budget: the TPC-H second half (Q2/Q9/Q12/Q13/Q15/Q16/Q17/
-    # Q20/Q21/Q22 shapes) completing all 22 topologies — pytest-parity
-    # now, queued with agg_bracket_revenue for the round-7 window
-    from bigdata_project_spark.plans import starjoins2
+    # ---- net-new round 7: waits behind the full round-8 queue ------------
+    from bigdata_project_spark.plans import incremental
 
     register(
-        "agg_best_supplier",
-        starjoins2.query_best_supplier,
-        starjoins2.ORACLE_BEST_SUPPLIER,
+        "bronze_incremental_batches",
+        incremental.query_bronze_incremental_batches,
+        incremental.ORACLE_BRONZE_INCREMENTAL,
     )
     register(
-        "agg_nation_profit",
-        starjoins2.query_nation_profit,
-        starjoins2.ORACLE_NATION_PROFIT,
+        "silver_zones_geom",
+        silver_distances.query_zones_geom,
+        silver_distances.ORACLE_ZONES_WKT,
     )
-    register(
-        "agg_late_by_class",
-        starjoins2.query_late_by_class,
-        starjoins2.ORACLE_LATE_BY_CLASS,
-    )
-    register(
-        "agg_customer_distribution",
-        starjoins2.query_customer_distribution,
-        starjoins2.ORACLE_CUSTOMER_DISTRIBUTION,
-    )
-    register(
-        "agg_top_supplier",
-        starjoins2.query_top_supplier,
-        starjoins2.ORACLE_TOP_SUPPLIER,
-    )
-    register(
-        "agg_supplier_part_counts",
-        starjoins2.query_supplier_part_counts,
-        starjoins2.ORACLE_SUPPLIER_PART_COUNTS,
-    )
-    register(
-        "agg_small_qty_revenue",
-        starjoins2.query_small_quantity_revenue,
-        starjoins2.ORACLE_SMALL_QUANTITY_REVENUE,
-    )
-    register(
-        "agg_dominant_suppliers",
-        starjoins2.query_dominant_suppliers,
-        starjoins2.ORACLE_DOMINANT_SUPPLIERS,
-    )
-    register(
-        "agg_waiting_suppliers",
-        starjoins2.query_waiting_suppliers,
-        starjoins2.ORACLE_WAITING_SUPPLIERS,
-    )
-    register(
-        "agg_dormant_customers",
-        starjoins2.query_dormant_customers,
-        starjoins2.ORACLE_DORMANT_CUSTOMERS,
-    )
-    register(
-        "agg_forecast_revenue",
-        starjoins2.query_forecast_revenue,
-        starjoins2.ORACLE_FORECAST_REVENUE,
-    )
-
-    from bigdata_project_spark.operators import corpus_quality, ordering, semdedup
-
-    register(
-        "dedup_semantic",
-        semdedup.query_dedup_semantic,
-        semdedup.ORACLE_DEDUP_SEMANTIC,
-    )
-    register(
-        "text_char_entropy",
-        corpus_quality.query_text_char_entropy,
-        corpus_quality.ORACLE_TEXT_CHAR_ENTROPY,
-    )
-    register(
-        "pipeline_global_shuffle",
-        ordering.query_global_shuffle,
-        ordering.ORACLE_GLOBAL_SHUFFLE,
-    )
-    from bigdata_project_spark.streaming import windows as _sw0
-
-    register(
-        "stream_dedup",
-        _sw0.query_stream_dedup,
-        _sw0.ORACLE_STREAM_DEDUP,
-    )
-    from bigdata_project_spark.plans import analytics as _an1
-
-    register(
-        "agg_unpivot_measures",
-        _an1.query_unpivot_measures,
-        _an1.ORACLE_UNPIVOT_MEASURES,
-    )
-    from bigdata_project_spark.operators import graph as _gr0
-
-    register(
-        "graph_bfs_distance",
-        _gr0.query_graph_bfs_distance,
-        _gr0.ORACLE_GRAPH_BFS_DISTANCE,
-    )
-
-    # ---- past the window: driver-green in r4/r5, unchanged ---------------
-    from bigdata_project_spark.operators import (
-        cdc,
-        chunking,
-        corpus_quality,
-        funnel,
-        graph,
-        layout_scan,
-        pca,
-        sketches,
-        stats,
-        zorder,
-    )
-    from bigdata_project_spark.plans import event_windows as _ew
-    from bigdata_project_spark.streaming import stateful as stream_stateful
-    from bigdata_project_spark.streaming import windows as _sw
-
-    register(
-        "dedup_url_canonical",
-        text_signals.query_dedup_url_canonical,
-        text_signals.ORACLE_DEDUP_URL_CANONICAL,
-    )
-    register(
-        "stream_sessionize",
-        _sw.query_stream_sessionize,
-        _sw.ORACLE_STREAM_SESSIONIZE,
-    )
-    register(
-        "win_range_7d",
-        _ew.query_win_range_7d,
-        _ew.ORACLE_WIN_RANGE_7D,
-    )
-    register(
-        "pipeline_domain_reweight",
-        packing.query_domain_reweight,
-        packing.ORACLE_DOMAIN_REWEIGHT,
-    )
-    register(
-        "pipeline_chunk_docs",
-        chunking.query_pipeline_chunk_docs,
-        chunking.ORACLE_PIPELINE_CHUNK_DOCS,
-    )
-    register(
-        "layout_partition_pruning",
-        layout_scan.query_layout_partition_pruning,
-        layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
-    )
-    register(
-        "source_orc_roundtrip",
-        layout_scan.query_source_orc_roundtrip,
-        layout_scan.ORACLE_SOURCE_ORC_ROUNDTRIP,
-    )
-    register(
-        "source_text_logs",
-        layout_scan.query_source_text_logs,
-        layout_scan.ORACLE_SOURCE_TEXT_LOGS,
-    )
-    register(
-        "graph_triangles",
-        graph.query_graph_triangles,
-        graph.ORACLE_GRAPH_TRIANGLES,
-    )
-    register(
-        "stream_tumbling",
-        _sw.query_stream_tumbling,
-        _ew.ORACLE_TUMBLING_1H,
-    )
-    register(
-        "stream_interval_join",
-        _sw.query_stream_interval_join,
-        _ew.ORACLE_INTERVAL_JOIN_CLICKS,
-    )
-    register(
-        "ts_gapfill_ffill",
-        timeseries.query_ts_gapfill_ffill,
-        timeseries.ORACLE_TS_GAPFILL_FFILL,
-    )
-    register(
-        "ts_ewma_hourly",
-        timeseries.query_ts_ewma_hourly,
-        timeseries.ORACLE_TS_EWMA_HOURLY,
-    )
-    register(
-        "events_dau_wau", funnel.query_events_dau_wau, funnel.ORACLE_EVENTS_DAU_WAU
-    )
-    register("events_funnel", funnel.query_events_funnel, funnel.ORACLE_EVENTS_FUNNEL)
-    register(
-        "text_bigram_perplexity",
-        corpus_quality.query_text_bigram_perplexity,
-        corpus_quality.ORACLE_TEXT_BIGRAM_PERPLEXITY,
-    )
-    register(
-        "text_oov_rate",
-        corpus_quality.query_text_oov_rate,
-        corpus_quality.ORACLE_TEXT_OOV_RATE,
-    )
-    register(
-        "pipeline_quality_funnel",
-        corpus_quality.query_pipeline_quality_funnel,
-        corpus_quality.ORACLE_PIPELINE_QUALITY_FUNNEL,
-    )
-    register(
-        "text_dup_spans",
-        text_dedup.query_text_dup_spans,
-        text_dedup.ORACLE_TEXT_DUP_SPANS,
-    )
-    register(
-        "dedup_span_removal",
-        text_dedup.query_dedup_span_removal,
-        text_dedup.ORACLE_DEDUP_SPAN_REMOVAL,
-    )
-    register(
-        "cdc_snapshot_diff",
-        cdc.query_cdc_snapshot_diff,
-        cdc.ORACLE_CDC_SNAPSHOT_DIFF,
-    )
-    register(
-        "feature_corr_matrix",
-        stats.query_feature_corr_matrix,
-        stats.ORACLE_FEATURE_CORR_MATRIX,
-    )
-    register(
-        "ml_group_ols",
-        stats.query_ml_group_ols,
-        stats.ORACLE_ML_GROUP_OLS,
-    )
-    register(
-        "sketch_cms_topk",
-        sketches.query_cms_heavy_hitters,
-        sketches.ORACLE_CMS_HEAVY_HITTERS,
-    )
-    register(
-        "events_transitions",
-        funnel.query_events_transitions,
-        funnel.ORACLE_EVENTS_TRANSITIONS,
-    )
-    register(
-        "stream_transitions",
-        stream_stateful.query_stream_transitions,
-        funnel.ORACLE_EVENTS_TRANSITIONS,
-    )
-    register(
-        "emb_int8_quantize",
-        embedding_stats.query_emb_int8_quantize,
-        embedding_stats.ORACLE_EMB_INT8_QUANTIZE,
-    )
-    register(
-        "feature_binning_equidepth",
-        profiling.query_feature_binning_equidepth,
-        profiling.ORACLE_FEATURE_BINNING_EQUIDEPTH,
-    )
-    register(
-        "text_url_domains",
-        text_signals.query_text_url_domains,
-        text_signals.ORACLE_TEXT_URL_DOMAINS,
-    )
-    register(
-        "text_ngram_novelty",
-        text_analysis.query_text_ngram_novelty,
-        text_analysis.ORACLE_TEXT_NGRAM_NOVELTY,
-    )
-    register(
-        "text_quality_linear",
-        text_analysis.query_text_quality_linear,
-        text_analysis.ORACLE_TEXT_QUALITY_LINEAR,
-    )
-    register(
-        "dedup_paragraph",
-        text_dedup.query_dedup_paragraph,
-        text_dedup.ORACLE_DEDUP_PARAGRAPH,
-    )
-    register(
-        "emb_pca_project",
-        pca.query_emb_pca_project,
-        pca.oracle_emb_pca_sql(),
-        oracle_builder=pca.oracle_emb_pca_sql,
-    )
-    register(
-        "text_hashing_features",
-        text_analysis.query_hashing_features,
-        text_analysis.ORACLE_HASHING_FEATURES,
-    )
-    register("emb_gram_blas", graph.query_emb_gram_blas, graph.ORACLE_EMB_GRAM_BLAS)
-    register(
-        "layout_zorder_extents",
-        zorder.query_zorder_extents,
-        zorder.ORACLE_ZORDER_EXTENTS,
-    )
-    register(
-        "pipeline_pack_sequences",
-        packing.query_pack_sequences,
-        packing.ORACLE_PACK_SEQUENCES,
-    )
-    register(
-        "silver_ine_empresas", silver_ine.query_ine_empresas, silver_ine.ORACLE_INE_EMPRESAS
-    )
-    register(
-        "silver_ine_poblacion",
-        silver_ine.query_ine_poblacion,
-        silver_ine.ORACLE_INE_POBLACION,
-    )
-    from bigdata_project_spark.plans import analytics as _an0
-
-    register(
-        "agg_approx_quantiles",
-        _an0.query_approx_quantiles,
-        _an0.ORACLE_APPROX_QUANTILES,
-    )
-    from bigdata_project_spark.plans import asof_range, event_windows
-    from bigdata_project_spark.streaming import windows as stream_windows
-
-    register(
-        "stream_upsert_sink",
-        stream_windows.query_stream_upsert_sink,
-        stream_windows.ORACLE_STREAM_UPSERT,
-    )
-    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
-    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
-
-    from bigdata_project_spark.operators import bucketing, dedup_cluster, ivf, pq, skew
-    from bigdata_project_spark.plans import analytics, silver_od
-
-    register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
-    register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
-    register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
-    register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)
-    register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
-    register("agg_pivot_status", analytics.query_pivot_status, analytics.ORACLE_PIVOT_STATUS)
-    register("agg_rollup_summary", analytics.query_rollup_summary, analytics.ORACLE_ROLLUP_SUMMARY)
-    register("agg_cube_summary", analytics.query_cube_summary, analytics.ORACLE_CUBE_SUMMARY)
-    register("agg_grouping_sets", analytics.query_grouping_sets, analytics.ORACLE_GROUPING_SETS)
-    register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
-    register("agg_distinct_counts", analytics.query_distinct_counts, analytics.ORACLE_DISTINCT_COUNTS)
-    register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
-    register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
-    register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
-    register("events_variant_props", analytics.query_variant_props, analytics.ORACLE_VARIANT_PROPS)
-    register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
-    register("cogroup_activity", analytics.query_cogroup_activity, analytics.ORACLE_COGROUP_ACTIVITY)
-    register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
-    register("events_time_rollup", event_windows.query_time_rollup, event_windows.ORACLE_TIME_ROLLUP)
-    register(
-        "join_interval_clicks",
-        event_windows.query_interval_join_clicks,
-        event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
-    )
-    register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
-    register("agg_percentiles", asof_range.query_percentiles_by_type, asof_range.ORACLE_PERCENTILES)
-    register(
-        "agg_retention_cohort",
-        funnel.query_retention_cohort,
-        funnel.ORACLE_RETENTION_COHORT,
-    )
-    register("emb_gram_matrix", graph.query_emb_gram_matrix, graph.ORACLE_EMB_GRAM_MATRIX)
-    register(
-        "layout_bucketed_join",
-        bucketing.query_bucketed_join_revenue,
-        bucketing.ORACLE_BUCKETED_JOIN,
-    )
-    register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
-    register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
-    register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
-    register(
-        "pipeline_dedup_canonical",
-        dedup_cluster.query_dedup_canonical,
-        dedup_cluster.ORACLE_DEDUP_CANONICAL,
-    )
-    register("dedup_fuzzy_lev", text_dedup.query_dedup_fuzzy_lev, text_dedup.ORACLE_DEDUP_FUZZY_LEV)
-    register(
-        "bronze_merge_all_columns",
-        bronze_merge.query_merge_all_columns,
-        bronze_merge.ORACLE_MERGE_ALL,
-    )
-    register(
-        "dedup_cluster_cc",
-        dedup_cluster.query_dedup_cluster_cc,
-        dedup_cluster.ORACLE_DEDUP_CLUSTER_CC,
-    )
-    register("silver_od", silver_od.query, silver_od.ORACLE)
-    register("dedup_ngram_jaccard", text_dedup.query_dedup_ngram_jaccard, text_dedup.ORACLE_DEDUP_NGRAM_JACCARD)
-    register("skew_salted_agg", skew.query_skew_salted_agg, skew.ORACLE_SKEW_SALTED_AGG)
-    register("dedup_minhash_lsh", text_dedup.query_dedup_minhash_lsh, text_dedup.ORACLE_DEDUP_MINHASH_LSH)
-    register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
-    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, ivf.ORACLE_IVF_KMEANS_TOPK)
-    register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
-    register("agg_approx_distinct", analytics.query_approx_distinct, analytics.ORACLE_APPROX_DISTINCT)
 
 
 def queries() -> dict[str, QueryFn]:

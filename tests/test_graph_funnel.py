@@ -110,3 +110,49 @@ def test_pca_builder_targets_fixture_and_orders_variance(spark, duck, sf_dir):
     pdf = query_emb_pca_project(spark, sf_dir).toPandas()
     assert len(pdf) == n_emb
     assert pdf["pc1"].var() >= pdf["pc2"].var() - 1e-9
+
+
+def test_triangles_degree_orientation_hub_safe(spark):
+    """r6 verdict item 3: a celebrity hub must pivot no wedges. Star
+    K1,20 + planted triangles: counts match brute force, the hub's
+    out-degree under (deg, id) orientation is 0, and the plan carries
+    the degree-attach joins (the oriented edge list is real)."""
+    from itertools import combinations
+
+    from bigdata_project_spark.operators.graph import (
+        orient_by_degree,
+        triangle_counts,
+    )
+
+    # hub 0 linked to 1..20; triangles (1,2,100), (3,4,101), (0,1,2)
+    edges = [(0, i) for i in range(1, 21)]
+    edges += [(1, 2), (1, 100), (2, 100), (3, 4), (3, 101), (4, 101)]
+    und = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "a long, b long"
+    ).distinct()
+
+    # brute force on the driver
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    nodes = sorted(adj)
+    for x, y, z in combinations(nodes, 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+
+    got = {
+        r["user_id"]: r["n_triangles"] for r in triangle_counts(und).collect()
+    }
+    assert got == want
+
+    # the hub (degree 20, max) must be every edge's DST → out-degree 0
+    ori = orient_by_degree(und)
+    assert ori.filter(F.col("src") == 0).count() == 0
+    # and the oriented list is what the plan enumerates from
+    plan = (
+        triangle_counts(und)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "deg_a" in plan and "deg_b" in plan

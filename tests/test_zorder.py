@@ -88,6 +88,16 @@ def test_distributed_ntile_matches_serial_window(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+    # r6 advice regression: building a SECOND ntile plan evicts the
+    # first's perf cache before the first ever ran — the single-plan
+    # design must still execute the first plan correctly (recompute,
+    # never silent gaps/duplicate ranks)
+    stale_plan = distributed_ntile(zed, 7, order, n_parts=5).select(
+        "l_orderkey", "l_linenumber", "bucket"
+    )
+    distributed_ntile(zed, 3, order, n_parts=4)  # built, never executed
+    assert stale_plan.exceptAll(want).count() == 0
+    assert want.exceptAll(stale_plan).count() == 0
     # static-domain path (integer-division range ids) must agree too
     got_static = distributed_ntile(
         zed, 7, order, n_parts=5, lead_range=(0, 100)
