@@ -161,11 +161,26 @@ def distributed_ntile(
     # at most one stale cache is ever live, and because correctness
     # never depends on the cache (single-plan design above), evicting a
     # not-yet-executed plan's cache merely recomputes it.
-    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # Order matters: evict BEFORE persist. Spark's CacheManager keys
+    # entries by logical plan, and consecutive calls over the same
+    # source build IDENTICAL plans — persist-then-evict would no-op the
+    # persist against the previous entry and then remove that entry,
+    # leaving no cache at all (measured: 2.5 s → 13 s, the probe-side
+    # recompute fuses the full order-key expression into the join
+    # stage's pipeline and falls out of JIT compilation).
     with _CACHE_LOCK:
         while _PREV_CACHES:
             _PREV_CACHES.pop().unpersist(blocking=False)
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         _PREV_CACHES.append(cached)
+    # Eager warm-up: AQE submits the broadcast-build and probe-map
+    # stages CONCURRENTLY, and both scan this relation — on a cold
+    # cache they race and each recomputes the projection. One cheap
+    # codegen'd scan→project job here (the projection is column-pruned
+    # source + order-key expressions) materializes the columnar cache
+    # so both stages read it. Purely a perf aid: the plan below never
+    # depends on the cache for correctness (single-plan design).
+    cached.count()
 
     lead = order_cols[0]
     if lead_range is not None:
