@@ -380,7 +380,10 @@ def query_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     key) + one min-aggregate — the exact Pregel/GraphX per-superstep
     plan, with the merged frontier ``localCheckpoint``-ed per superstep
     (mirroring dedup_cluster's propagation loop) so the physical plan
-    stays one-superstep deep instead of doubling every round. The
+    stays one-superstep deep instead of doubling every round — lazily
+    (``eager=False``): K is fixed, so nothing inspects intermediate
+    frontiers, and lazy truncation folds all K materializations into
+    the single final job instead of K eager driver-blocking jobs. The
     frontier never exceeds the node set, K is a constant, and distances
     are small integers, so the whole computation is integer-exact and
     needs no float-parity machinery. The source vertex is a 1-row
@@ -399,7 +402,7 @@ def query_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("id"))
@@ -419,7 +422,7 @@ def query_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             reached.unionByName(frontier)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return reached.select(F.col("id").alias("user_id"), "dist").orderBy("user_id")
 

