@@ -63,26 +63,34 @@ def query_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_rows = [
         (r["i"], r["j"], r["gram"]) for r in query_emb_gram_blas(spark, sf_dir).collect()
     ]
-    weights = spark.createDataFrame(
-        _pca_weights(gram_rows), "pos int, w1 double, w2 double"
-    )
     emb = load_table(spark, sf_dir, "embeddings")
-    long = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "val")).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        round_portable(F.col("val").cast("double"), 6).alias("v6"),
+    # Per-row projection, no explode: the d-element dot product runs as
+    # zip_with + a DECIMAL-fold aggregate INSIDE the row — zero shuffle
+    # (the old posexplode → join → groupBy form shuffled N×d rows to
+    # reassemble what was already row-local). DECIMAL addition is exact
+    # and associative, so the fold matches the oracle's unordered SUM
+    # bit-for-bit; the (acc + x) cast back to the acc type is lossless
+    # (operands share the 12-digit scale; the integer part never nears
+    # 15 digits).
+    ws = {p: (w1, w2) for p, w1, w2 in _pca_weights(gram_rows)}
+    dim = len(ws)
+    w1_arr = F.array(*[F.lit(ws[p + 1][0]) for p in range(dim)])
+    w2_arr = F.array(*[F.lit(ws[p + 1][1]) for p in range(dim)])
+    v6 = F.transform(
+        F.col("embedding"), lambda x: round_portable(x.cast("double"), 6)
     )
-    return (
-        long.join(F.broadcast(weights), "pos")
-        .groupBy("vec_id")
-        .agg(
-            round_portable(
-                F.sum((F.col("v6") * F.col("w1")).cast(_DEC)).cast("double"), 6
-            ).alias("pc1"),
-            round_portable(
-                F.sum((F.col("v6") * F.col("w2")).cast(_DEC)).cast("double"), 6
-            ).alias("pc2"),
+
+    def _proj(w_arr):
+        terms = F.zip_with(v6, w_arr, lambda v, w: (v * w).cast(_DEC))
+        total = F.aggregate(
+            terms,
+            F.lit(0).cast(_DEC),
+            lambda acc, x: (acc + x).cast(_DEC),
         )
+        return round_portable(total.cast("double"), 6)
+
+    return emb.select(
+        "vec_id", _proj(w1_arr).alias("pc1"), _proj(w2_arr).alias("pc2")
     )
 
 
