@@ -213,10 +213,14 @@ def test_rank_decomposition_windows_are_partitioned(spark, sf_dir):
 
 
 def test_round5_ops_broadcast_small_sides(spark, sf_dir):
-    """The new ops' small sides (1024-cell sketch, 64-row dim stats,
-    64-row PCA weights) must broadcast, never shuffle-join."""
-    for name in ["sketch_cms_topk", "emb_int8_quantize", "emb_pca_project"]:
+    """The new ops' small sides (1024-cell sketch, 64-row dim stats)
+    must broadcast, never shuffle-join. emb_pca_project no longer joins
+    at all — the weight dot product folds inside the row (zip_with +
+    aggregate), so its plan must be join-free AND exchange-free."""
+    for name in ["sketch_cms_topk", "emb_int8_quantize"]:
         assert "BroadcastHashJoin" in _plan(spark, sf_dir, name), name
+    pca = _plan(spark, sf_dir, "emb_pca_project")
+    assert "Join" not in pca and "Exchange" not in pca
 
 
 def test_moment_stats_never_shuffle_rows(spark, sf_dir):
