@@ -58,25 +58,26 @@ def _semantic_dups(assigned: DataFrame, cap: int = SEM_CELL_CAP) -> DataFrame:
     """(vec_b, dup_of) — for every vector that has a LOWER-id near-dup
     (rounded cosine ≥ SEM_TAU) in its cell, the lowest such id.
 
-    Blocked evaluation: rank vectors within their cell by vec_id,
-    chunk ranks into ``cap``-sized chunks, and evaluate the cell's
-    upper-triangular chunk-pair blocks (bi ≤ bj) as independent
-    applyInPandas groups. Chunking by *sorted rank* means every id in
-    chunk bi < every id in chunk bj when bi < bj, so only diagonal
-    blocks need the a<b mask, and the per-block minimum hit rolls up to
-    the global lowest-id hit with one hash aggregate. The rank window
-    is partitioned by cell (sort, not quadratic work); the cell-size
-    table is K_CELLS rows, broadcast."""
-    from pyspark.sql import Window
-
+    Blocked evaluation: assign each vector to one of
+    ceil(cell_size / cap) chunks by a deterministic hash of its id —
+    a pure map-side expression, no rank window/sort — and evaluate the
+    cell's upper-triangular chunk-pair blocks (bi ≤ bj) as independent
+    applyInPandas groups. Every unordered pair {x, y} lands in exactly
+    one block ((chunk(x), chunk(y)) normalized), so masking each block
+    to a<b pairs and scanning BOTH orientations on off-diagonal blocks
+    (the lower id can sit on either side under hash chunking) yields
+    each candidate pair exactly once; per-block minima roll up to the
+    global lowest-id hit with one hash aggregate. Hash chunks are
+    balanced in expectation (cap is a task-size bound, ~cap expected
+    rows per chunk); the cell-size table is K_CELLS rows, broadcast."""
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
-    w = Window.partitionBy("cell").orderBy("vec_id")
     chunked = (
         assigned.join(F.broadcast(sizes), "cell")
-        .withColumn(
-            "__chunk", F.floor((F.row_number().over(w) - 1) / cap).cast("int")
-        )
         .withColumn("__nchunks", F.ceil(F.col("__n") / cap).cast("int"))
+        .withColumn(
+            "__chunk",
+            F.pmod(F.xxhash64("vec_id"), F.col("__nchunks")).cast("int"),
+        )
     )
     # Replicate each vector into every block it participates in: as the
     # a-side of (chunk, j≥chunk) and the b-side of (i≤chunk, chunk) —
@@ -129,14 +130,25 @@ def _semantic_dups(assigned: DataFrame, cap: int = SEM_CELL_CAP) -> DataFrame:
         hits = gram >= SEM_TAU
         ids_a = a_rows["vec_id"].to_numpy()
         ids_b = b_rows["vec_id"].to_numpy()
-        if bi == bj:  # same chunk: only strictly-lower ids count
-            hits &= ids_a[:, None] < ids_b[None, :]
         out_b, out_a = [], []
+        # orientation 1: b-side vectors with a lower-id a-side hit
+        h1 = hits & (ids_a[:, None] < ids_b[None, :])
         for j in range(len(ids_b)):
-            above = np.nonzero(hits[:, j])[0]
+            above = np.nonzero(h1[:, j])[0]
             if len(above):
                 out_b.append(ids_b[j])
                 out_a.append(ids_a[above[0]])  # rows sorted → lowest vec_id
+        if bi != bj:
+            # orientation 2: a-side vectors with a lower-id b-side hit —
+            # hash chunking gives cross blocks no id ordering, so the
+            # lower id can sit on either side (diagonal blocks are
+            # symmetric: orientation 1 already covers them)
+            h2 = hits & (ids_b[None, :] < ids_a[:, None])
+            for i in range(len(ids_a)):
+                below = np.nonzero(h2[i, :])[0]
+                if len(below):
+                    out_b.append(ids_a[i])
+                    out_a.append(ids_b[below[0]])
         if not out_b:
             return empty
         return pd.DataFrame({"vec_b": out_b, "dup_of": out_a})
@@ -153,7 +165,12 @@ def query_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same cell (NULL if none), and the keep flag."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids, cell_ids = _seed_centroids(emb, K_CELLS)
-    assigned = _assign_cells(emb, centroids, cell_ids)
+    # Materialize the assignment once: three consumers read it (the
+    # cell-size aggregate, the blocked pair search, the final verdict
+    # join), and each re-evaluation would re-run the Arrow assign
+    # kernel over every embedding. Eager, so the sizes-broadcast and
+    # probe subtrees can't race on a cold cache (the zorder lesson).
+    assigned = _assign_cells(emb, centroids, cell_ids).localCheckpoint(eager=True)
     dups = _semantic_dups(assigned)
     return (
         assigned.select("vec_id", "cell")
