@@ -173,20 +173,21 @@ def distributed_ntile(
             _PREV_CACHES.pop().unpersist(blocking=False)
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         _PREV_CACHES.append(cached)
-    # Eager warm-up: AQE submits the broadcast-build and probe-map
-    # stages CONCURRENTLY, and both scan this relation — on a cold
-    # cache they race and each recomputes the projection. One cheap
-    # codegen'd scan→project job here (the projection is column-pruned
-    # source + order-key expressions) materializes the columnar cache
-    # so both stages read it. Purely a perf aid: the plan below never
-    # depends on the cache for correctness (single-plan design).
-    cached.count()
-
     lead = order_cols[0]
     if lead_range is not None:
         lo, hi = lead_range
         span = max(hi - lo + 1, 1)
         pid: Column = F.expr(f"CAST((({lead} - {lo}) * {n_parts}) div {span} AS INT)")
+        # Eager warm-up: AQE submits the broadcast-build and probe-map
+        # stages CONCURRENTLY, and both scan this relation — on a cold
+        # cache they race and each recomputes the projection. One cheap
+        # codegen'd scan→project job here (the projection is
+        # column-pruned source + order-key expressions) materializes
+        # the columnar cache so both stages read it. Purely a perf aid:
+        # the plan below never depends on the cache for correctness
+        # (single-plan design). The quantile branch needs no extra job —
+        # approxQuantile below already materializes the cache.
+        cached.count()
     else:
         probs = [i / n_parts for i in range(1, n_parts)]
         cuts = sorted(set(cached.stat.approxQuantile(lead, probs, 0.001)))

@@ -104,3 +104,37 @@ def test_distributed_ntile_matches_serial_window(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "bucket")
     assert got_static.exceptAll(want).count() == 0
     assert want.exceptAll(got_static).count() == 0
+
+
+def test_distributed_ntile_concurrent_builders_thread_safe(spark, sf_dir):
+    """r6 advice (medium): the module-level cache registry must tolerate
+    concurrent builders. Two threads each build AND execute an ntile
+    plan simultaneously; whatever the eviction interleaving, both must
+    produce exact gap-free global ranks (an evicted cache may only cost
+    recomputation, never correctness)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bigdata_project_spark.operators.zorder import distributed_ntile
+    from bigdata_project_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    order = ["l_partkey", "l_orderkey", "l_linenumber"]
+
+    def run(n_buckets: int):
+        out = distributed_ntile(li, n_buckets, order, n_parts=5)
+        rows = out.groupBy("bucket").count().collect()
+        return sorted((r["bucket"], r["count"]) for r in rows)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f7 = ex.submit(run, 7)
+        f3 = ex.submit(run, 3)
+        got7, got3 = f7.result(), f3.result()
+
+    n = li.count()
+    for got, k in ((got7, 7), (got3, 3)):
+        assert [b for b, _ in got] == list(range(1, k + 1))
+        q, rem = divmod(n, k)
+        want = [q + 1] * rem + [q] * (k - rem)
+        assert [c for _, c in got] == want
