@@ -196,7 +196,12 @@ def pagerank(edges: DataFrame, n_iter: int = 2, damping: float = DAMPING) -> Dat
 
 def query_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ranks = pagerank(coactivity_edges(ev))
+    # materialize the edge list once (lazy, mirrors the BFS edges): the
+    # unrolled power iteration reads it ~5× (nodes, degrees, and one
+    # contribution join per iteration), and each re-evaluation would
+    # re-run the sessionized LAG window + distinct over events
+    # (measured 2.8 → 2.2 s warm at sf0.1)
+    ranks = pagerank(coactivity_edges(ev).localCheckpoint(eager=False))
     return ranks.select(
         F.col("id").alias("user_id"), round_portable(F.col("pr"), 12).alias("pagerank")
     )
@@ -287,8 +292,12 @@ def query_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def triangle_counts(und: DataFrame) -> DataFrame:
     """Per-corner triangle counts of a unique-undirected edge list
-    (a, b): degree-orient, enumerate, credit corners."""
-    ori = orient_by_degree(und)
+    (a, b): degree-orient, enumerate, credit corners. The oriented list
+    is materialized once (lazy localCheckpoint): the wedge enumeration
+    self-joins it THREE times on different keys (no exchange reuse), and
+    each re-evaluation would re-run the degree attach — and everything
+    upstream of ``und``."""
+    ori = orient_by_degree(und).localCheckpoint(eager=False)
     e1, e2, e3 = ori.alias("e1"), ori.alias("e2"), ori.alias("e3")
     tris = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
