@@ -60,34 +60,33 @@ def _load() -> None:
     guarantees no query's last driver row ever trails by more than
     that, and no query ships two rounds without a row.
 
-    Round 7 window, exactly as the r6 verdict queued it: (A) the 18
-    never-driver-checked queries — agg_bracket_revenue (Q19), the
-    TPC-H second half (starjoins2.py: Q2/Q9/Q12/Q13/Q15/Q16/Q17/Q20/
-    Q21/Q22/Q6 shapes), dedup_semantic, text_char_entropy,
-    pipeline_global_shuffle, stream_dedup, agg_unpivot_measures,
-    graph_bfs_distance; (B) 32 of the 43 queries whose last row is r4.
-    61 candidates for 50 slots means 11 r4 rows must wait one more
-    round; the deferral set is the plain-aggregate analytics family
-    (agg_pricing_summary, agg_top_customers, agg_pivot_status,
-    agg_rollup_summary, agg_cube_summary, agg_grouping_sets,
-    agg_distinct_counts, agg_approx_distinct, agg_percentiles,
-    set_ops, cogroup_activity) — one file, one shape class, untouched
-    since r4, pytest-parity green every run — chosen over the
-    structurally riskier dedup/sim/skew/silver families the verdict
-    names as rotate-in candidates. No net-new queries take window
-    slots this round.
+    Round 8 window, exactly as the r7 verdict queued it: (1) the 11
+    r4-stale aggregate-family rows deferred from the r7 window — at
+    round 8 they trail 4 rounds, the hard ceiling (agg_pricing_summary,
+    agg_top_customers, agg_pivot_status, agg_rollup_summary,
+    agg_cube_summary, agg_grouping_sets, agg_distinct_counts,
+    agg_approx_distinct, agg_percentiles, set_ops, cogroup_activity);
+    (2) behavior-touched rows whose last driver row predates the
+    change: graph_triangles (r7 degree orientation),
+    layout_zorder_extents + feature_binning_equidepth (r7
+    distributed-ntile rework), stream_transitions (r8 vectorized
+    stateful worker); (3) the 2 never-driver-checked net-new from r7
+    (bronze_incremental_batches, silver_zones_geom); (4) 33 of the 36
+    remaining r5-stale rows. 53 candidates for 50 slots: the deferral
+    trio is silver_ine_empresas + silver_ine_poblacion (one static
+    family, sibling silver_ine_renta r6-green, pytest-parity green
+    every run) and agg_approx_quantiles (same analytics shape class as
+    the r4 block being re-rowed this round) — the structurally least
+    risky of the r5 set.
 
-    Round 8 queue (in priority order): (1) the 11 deferred r4 rows
-    above — at round 8 they trail 4 rounds, hard ceiling; (2) the
-    round-7 behavior-touched queries whose last row predates the
-    change and that did not fit this window: graph_triangles
-    (degree orientation), layout_zorder_extents +
-    feature_binning_equidepth (distributed_ntile single-plan rework)
-    — each re-verified this round at the driver's own sf0.01 contract
-    via `python -m bigdata_project_spark.oracle_check`, so the gap is
-    driver-evidence only, not unverified behavior; (3) the stalest
-    r5-checked queries. Net-new round-7 registrations wait behind all
-    three blocks."""
+    Round 9 queue (in priority order, pre-staged directly after slot
+    50): (1) the 3 deferred r5 rows above — at round 9 they trail 4
+    rounds, hard ceiling; (2) dedup_fuzzy_lev IF round-8 commits change
+    its default behavior (the r8 width/bands parameterization defaults
+    to the r7-checked 32-bit/2x16 blocking, so a changed default —
+    not the parameterization itself — is the trigger); (3) the 50
+    r6-checked rows, stalest-first (file order below); (4) net-new
+    round-8 registrations wait behind all three blocks."""
     if _QUERIES:
         return
 
@@ -134,6 +133,7 @@ def _load() -> None:
         event_windows as _ew,
         gold,
         holidays_json,
+        incremental,
         silver_distances,
         silver_ine,
         silver_od,
@@ -148,162 +148,7 @@ def _load() -> None:
         windows as stream_windows,
     )
 
-    # ---- window block A: the 18 never-driver-checked queries ------------
-    register(
-        "agg_bracket_revenue",
-        starjoins.query_bracket_revenue,
-        starjoins.ORACLE_BRACKET_REVENUE,
-    )
-    register(
-        "agg_best_supplier",
-        starjoins2.query_best_supplier,
-        starjoins2.ORACLE_BEST_SUPPLIER,
-    )
-    register(
-        "agg_nation_profit",
-        starjoins2.query_nation_profit,
-        starjoins2.ORACLE_NATION_PROFIT,
-    )
-    register(
-        "agg_late_by_class",
-        starjoins2.query_late_by_class,
-        starjoins2.ORACLE_LATE_BY_CLASS,
-    )
-    register(
-        "agg_customer_distribution",
-        starjoins2.query_customer_distribution,
-        starjoins2.ORACLE_CUSTOMER_DISTRIBUTION,
-    )
-    register(
-        "agg_top_supplier",
-        starjoins2.query_top_supplier,
-        starjoins2.ORACLE_TOP_SUPPLIER,
-    )
-    register(
-        "agg_supplier_part_counts",
-        starjoins2.query_supplier_part_counts,
-        starjoins2.ORACLE_SUPPLIER_PART_COUNTS,
-    )
-    register(
-        "agg_small_qty_revenue",
-        starjoins2.query_small_quantity_revenue,
-        starjoins2.ORACLE_SMALL_QUANTITY_REVENUE,
-    )
-    register(
-        "agg_dominant_suppliers",
-        starjoins2.query_dominant_suppliers,
-        starjoins2.ORACLE_DOMINANT_SUPPLIERS,
-    )
-    register(
-        "agg_waiting_suppliers",
-        starjoins2.query_waiting_suppliers,
-        starjoins2.ORACLE_WAITING_SUPPLIERS,
-    )
-    register(
-        "agg_dormant_customers",
-        starjoins2.query_dormant_customers,
-        starjoins2.ORACLE_DORMANT_CUSTOMERS,
-    )
-    register(
-        "agg_forecast_revenue",
-        starjoins2.query_forecast_revenue,
-        starjoins2.ORACLE_FORECAST_REVENUE,
-    )
-    register(
-        "dedup_semantic",
-        semdedup.query_dedup_semantic,
-        semdedup.ORACLE_DEDUP_SEMANTIC,
-    )
-    register(
-        "text_char_entropy",
-        corpus_quality.query_text_char_entropy,
-        corpus_quality.ORACLE_TEXT_CHAR_ENTROPY,
-    )
-    register(
-        "pipeline_global_shuffle",
-        ordering.query_global_shuffle,
-        ordering.ORACLE_GLOBAL_SHUFFLE,
-    )
-    register(
-        "stream_dedup",
-        _sw0.query_stream_dedup,
-        _sw0.ORACLE_STREAM_DEDUP,
-    )
-    register(
-        "agg_unpivot_measures",
-        _an1.query_unpivot_measures,
-        _an1.ORACLE_UNPIVOT_MEASURES,
-    )
-    register(
-        "graph_bfs_distance",
-        _gr0.query_graph_bfs_distance,
-        _gr0.ORACLE_GRAPH_BFS_DISTANCE,
-    )
-
-    # ---- window block B: 32 of the 43 queries whose last row is r4 ------
-    register(
-        "stream_upsert_sink",
-        stream_windows.query_stream_upsert_sink,
-        stream_windows.ORACLE_STREAM_UPSERT,
-    )
-    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
-    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
-    register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
-    register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)
-    register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
-    register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
-    register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
-    register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
-    register("events_variant_props", analytics.query_variant_props, analytics.ORACLE_VARIANT_PROPS)
-    register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
-    register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
-    register("events_time_rollup", event_windows.query_time_rollup, event_windows.ORACLE_TIME_ROLLUP)
-    register(
-        "join_interval_clicks",
-        event_windows.query_interval_join_clicks,
-        event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
-    )
-    register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
-    register(
-        "agg_retention_cohort",
-        funnel.query_retention_cohort,
-        funnel.ORACLE_RETENTION_COHORT,
-    )
-    register("emb_gram_matrix", graph.query_emb_gram_matrix, graph.ORACLE_EMB_GRAM_MATRIX)
-    register(
-        "layout_bucketed_join",
-        bucketing.query_bucketed_join_revenue,
-        bucketing.ORACLE_BUCKETED_JOIN,
-    )
-    register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
-    register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
-    register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
-    register(
-        "pipeline_dedup_canonical",
-        dedup_cluster.query_dedup_canonical,
-        dedup_cluster.ORACLE_DEDUP_CANONICAL,
-    )
-    register("dedup_fuzzy_lev", text_dedup.query_dedup_fuzzy_lev, text_dedup.ORACLE_DEDUP_FUZZY_LEV)
-    register(
-        "bronze_merge_all_columns",
-        bronze_merge.query_merge_all_columns,
-        bronze_merge.ORACLE_MERGE_ALL,
-    )
-    register(
-        "dedup_cluster_cc",
-        dedup_cluster.query_dedup_cluster_cc,
-        dedup_cluster.ORACLE_DEDUP_CLUSTER_CC,
-    )
-    register("silver_od", silver_od.query, silver_od.ORACLE)
-    register("dedup_ngram_jaccard", text_dedup.query_dedup_ngram_jaccard, text_dedup.ORACLE_DEDUP_NGRAM_JACCARD)
-    register("skew_salted_agg", skew.query_skew_salted_agg, skew.ORACLE_SKEW_SALTED_AGG)
-    register("dedup_minhash_lsh", text_dedup.query_dedup_minhash_lsh, text_dedup.ORACLE_DEDUP_MINHASH_LSH)
-    register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
-    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, ivf.ORACLE_IVF_KMEANS_TOPK)
-    register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
-
-    # ---------------- 50-query driver window ends here -------------------
-    # round-8 queue block 1: the 11 deferred r4 rows (hard ceiling at r8)
+    # ---- r8 block 1: the 11 r4-stale rows (4-round hard ceiling) ----
     register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
     register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
     register("agg_pivot_status", analytics.query_pivot_status, analytics.ORACLE_PIVOT_STATUS)
@@ -316,8 +161,7 @@ def _load() -> None:
     register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
     register("cogroup_activity", analytics.query_cogroup_activity, analytics.ORACLE_COGROUP_ACTIVITY)
 
-    # round-8 queue block 2: round-7 behavior-touched, re-proven locally
-    # at sf0.01 via oracle_check this round (driver evidence pending)
+    # ---- r8 block 2: behavior-touched (r7 graph/ntile, r8 stream) ----
     register(
         "graph_triangles",
         graph.query_graph_triangles,
@@ -333,27 +177,80 @@ def _load() -> None:
         profiling.query_feature_binning_equidepth,
         profiling.ORACLE_FEATURE_BINNING_EQUIDEPTH,
     )
+    register(
+        "stream_transitions",
+        stream_stateful.query_stream_transitions,
+        funnel.ORACLE_EVENTS_TRANSITIONS,
+    )
 
-    # round-8 queue block 3: r5-checked, stalest-first ---------------------
+    # ---- r8 block 3: never-driver-checked net-new from round 7 -------
+    register(
+        "bronze_incremental_batches",
+        incremental.query_bronze_incremental_batches,
+        incremental.ORACLE_BRONZE_INCREMENTAL,
+    )
+    register(
+        "silver_zones_geom",
+        silver_distances.query_zones_geom,
+        silver_distances.ORACLE_ZONES_WKT,
+    )
+
+    # ---- r8 block 4: 33 of the 36 remaining r5-stale rows ------------
+    register(
+        "cdc_snapshot_diff",
+        cdc.query_cdc_snapshot_diff,
+        cdc.ORACLE_CDC_SNAPSHOT_DIFF,
+    )
+    register(
+        "dedup_paragraph",
+        text_dedup.query_dedup_paragraph,
+        text_dedup.ORACLE_DEDUP_PARAGRAPH,
+    )
+    register(
+        "dedup_span_removal",
+        text_dedup.query_dedup_span_removal,
+        text_dedup.ORACLE_DEDUP_SPAN_REMOVAL,
+    )
     register(
         "dedup_url_canonical",
         text_signals.query_dedup_url_canonical,
         text_signals.ORACLE_DEDUP_URL_CANONICAL,
     )
+    register("emb_gram_blas", graph.query_emb_gram_blas, graph.ORACLE_EMB_GRAM_BLAS)
     register(
-        "stream_sessionize",
-        _sw.query_stream_sessionize,
-        _sw.ORACLE_STREAM_SESSIONIZE,
+        "emb_int8_quantize",
+        embedding_stats.query_emb_int8_quantize,
+        embedding_stats.ORACLE_EMB_INT8_QUANTIZE,
     )
     register(
-        "win_range_7d",
-        _ew.query_win_range_7d,
-        _ew.ORACLE_WIN_RANGE_7D,
+        "emb_pca_project",
+        pca.query_emb_pca_project,
+        pca.oracle_emb_pca_sql(),
+        oracle_builder=pca.oracle_emb_pca_sql,
     )
     register(
-        "pipeline_domain_reweight",
-        packing.query_domain_reweight,
-        packing.ORACLE_DOMAIN_REWEIGHT,
+        "events_dau_wau", funnel.query_events_dau_wau, funnel.ORACLE_EVENTS_DAU_WAU
+    )
+    register("events_funnel", funnel.query_events_funnel, funnel.ORACLE_EVENTS_FUNNEL)
+    register(
+        "events_transitions",
+        funnel.query_events_transitions,
+        funnel.ORACLE_EVENTS_TRANSITIONS,
+    )
+    register(
+        "feature_corr_matrix",
+        stats.query_feature_corr_matrix,
+        stats.ORACLE_FEATURE_CORR_MATRIX,
+    )
+    register(
+        "layout_partition_pruning",
+        layout_scan.query_layout_partition_pruning,
+        layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
+    )
+    register(
+        "ml_group_ols",
+        stats.query_ml_group_ols,
+        stats.ORACLE_ML_GROUP_OLS,
     )
     register(
         "pipeline_chunk_docs",
@@ -361,9 +258,24 @@ def _load() -> None:
         chunking.ORACLE_PIPELINE_CHUNK_DOCS,
     )
     register(
-        "layout_partition_pruning",
-        layout_scan.query_layout_partition_pruning,
-        layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
+        "pipeline_domain_reweight",
+        packing.query_domain_reweight,
+        packing.ORACLE_DOMAIN_REWEIGHT,
+    )
+    register(
+        "pipeline_pack_sequences",
+        packing.query_pack_sequences,
+        packing.ORACLE_PACK_SEQUENCES,
+    )
+    register(
+        "pipeline_quality_funnel",
+        corpus_quality.query_pipeline_quality_funnel,
+        corpus_quality.ORACLE_PIPELINE_QUALITY_FUNNEL,
+    )
+    register(
+        "sketch_cms_topk",
+        sketches.query_cms_heavy_hitters,
+        sketches.ORACLE_CMS_HEAVY_HITTERS,
     )
     register(
         "source_orc_roundtrip",
@@ -376,43 +288,24 @@ def _load() -> None:
         layout_scan.ORACLE_SOURCE_TEXT_LOGS,
     )
     register(
-        "stream_tumbling",
-        _sw.query_stream_tumbling,
-        _ew.ORACLE_TUMBLING_1H,
-    )
-    register(
         "stream_interval_join",
         _sw.query_stream_interval_join,
         _ew.ORACLE_INTERVAL_JOIN_CLICKS,
     )
     register(
-        "ts_gapfill_ffill",
-        timeseries.query_ts_gapfill_ffill,
-        timeseries.ORACLE_TS_GAPFILL_FFILL,
+        "stream_sessionize",
+        _sw.query_stream_sessionize,
+        _sw.ORACLE_STREAM_SESSIONIZE,
     )
     register(
-        "ts_ewma_hourly",
-        timeseries.query_ts_ewma_hourly,
-        timeseries.ORACLE_TS_EWMA_HOURLY,
+        "stream_tumbling",
+        _sw.query_stream_tumbling,
+        _ew.ORACLE_TUMBLING_1H,
     )
-    register(
-        "events_dau_wau", funnel.query_events_dau_wau, funnel.ORACLE_EVENTS_DAU_WAU
-    )
-    register("events_funnel", funnel.query_events_funnel, funnel.ORACLE_EVENTS_FUNNEL)
     register(
         "text_bigram_perplexity",
         corpus_quality.query_text_bigram_perplexity,
         corpus_quality.ORACLE_TEXT_BIGRAM_PERPLEXITY,
-    )
-    register(
-        "text_oov_rate",
-        corpus_quality.query_text_oov_rate,
-        corpus_quality.ORACLE_TEXT_OOV_RATE,
-    )
-    register(
-        "pipeline_quality_funnel",
-        corpus_quality.query_pipeline_quality_funnel,
-        corpus_quality.ORACLE_PIPELINE_QUALITY_FUNNEL,
     )
     register(
         "text_dup_spans",
@@ -420,49 +313,9 @@ def _load() -> None:
         text_dedup.ORACLE_TEXT_DUP_SPANS,
     )
     register(
-        "dedup_span_removal",
-        text_dedup.query_dedup_span_removal,
-        text_dedup.ORACLE_DEDUP_SPAN_REMOVAL,
-    )
-    register(
-        "cdc_snapshot_diff",
-        cdc.query_cdc_snapshot_diff,
-        cdc.ORACLE_CDC_SNAPSHOT_DIFF,
-    )
-    register(
-        "feature_corr_matrix",
-        stats.query_feature_corr_matrix,
-        stats.ORACLE_FEATURE_CORR_MATRIX,
-    )
-    register(
-        "ml_group_ols",
-        stats.query_ml_group_ols,
-        stats.ORACLE_ML_GROUP_OLS,
-    )
-    register(
-        "sketch_cms_topk",
-        sketches.query_cms_heavy_hitters,
-        sketches.ORACLE_CMS_HEAVY_HITTERS,
-    )
-    register(
-        "events_transitions",
-        funnel.query_events_transitions,
-        funnel.ORACLE_EVENTS_TRANSITIONS,
-    )
-    register(
-        "stream_transitions",
-        stream_stateful.query_stream_transitions,
-        funnel.ORACLE_EVENTS_TRANSITIONS,
-    )
-    register(
-        "emb_int8_quantize",
-        embedding_stats.query_emb_int8_quantize,
-        embedding_stats.ORACLE_EMB_INT8_QUANTIZE,
-    )
-    register(
-        "text_url_domains",
-        text_signals.query_text_url_domains,
-        text_signals.ORACLE_TEXT_URL_DOMAINS,
+        "text_hashing_features",
+        text_analysis.query_hashing_features,
+        text_analysis.ORACLE_HASHING_FEATURES,
     )
     register(
         "text_ngram_novelty",
@@ -470,32 +323,38 @@ def _load() -> None:
         text_analysis.ORACLE_TEXT_NGRAM_NOVELTY,
     )
     register(
+        "text_oov_rate",
+        corpus_quality.query_text_oov_rate,
+        corpus_quality.ORACLE_TEXT_OOV_RATE,
+    )
+    register(
         "text_quality_linear",
         text_analysis.query_text_quality_linear,
         text_analysis.ORACLE_TEXT_QUALITY_LINEAR,
     )
     register(
-        "dedup_paragraph",
-        text_dedup.query_dedup_paragraph,
-        text_dedup.ORACLE_DEDUP_PARAGRAPH,
+        "text_url_domains",
+        text_signals.query_text_url_domains,
+        text_signals.ORACLE_TEXT_URL_DOMAINS,
     )
     register(
-        "emb_pca_project",
-        pca.query_emb_pca_project,
-        pca.oracle_emb_pca_sql(),
-        oracle_builder=pca.oracle_emb_pca_sql,
+        "ts_ewma_hourly",
+        timeseries.query_ts_ewma_hourly,
+        timeseries.ORACLE_TS_EWMA_HOURLY,
     )
     register(
-        "text_hashing_features",
-        text_analysis.query_hashing_features,
-        text_analysis.ORACLE_HASHING_FEATURES,
+        "ts_gapfill_ffill",
+        timeseries.query_ts_gapfill_ffill,
+        timeseries.ORACLE_TS_GAPFILL_FFILL,
     )
-    register("emb_gram_blas", graph.query_emb_gram_blas, graph.ORACLE_EMB_GRAM_BLAS)
     register(
-        "pipeline_pack_sequences",
-        packing.query_pack_sequences,
-        packing.ORACLE_PACK_SEQUENCES,
+        "win_range_7d",
+        _ew.query_win_range_7d,
+        _ew.ORACLE_WIN_RANGE_7D,
     )
+
+    # ---------------- 50-query driver window ends here -------------------
+    # round-9 queue block 1: the 3 deferred r5 rows (hard ceiling at r9)
     register(
         "silver_ine_empresas", silver_ine.query_ine_empresas, silver_ine.ORACLE_INE_EMPRESAS
     )
@@ -510,100 +369,29 @@ def _load() -> None:
         _an0.ORACLE_APPROX_QUANTILES,
     )
 
-    # ---- past the queue: driver-green in r6, unchanged -------------------
-    register("text_token_stats", text_analysis.query_token_stats, text_analysis.ORACLE_TOKEN_STATS)
-    register("text_lang_id", text_analysis.query_lang_id, text_analysis.ORACLE_LANG_ID)
-    register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
-    register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
-    register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
-    register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
-    register("text_repetition", text_signals.query_text_repetition, text_signals.ORACLE_TEXT_REPETITION)
-    register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)
-    register("text_bigram_lm", text_signals.query_text_bigram_lm, text_signals.ORACLE_TEXT_BIGRAM_LM)
+    # round-9 queue block 2: r8 behavior-touched if the default changes
+    register("dedup_fuzzy_lev", text_dedup.query_dedup_fuzzy_lev, text_dedup.ORACLE_DEDUP_FUZZY_LEV)
+
+    # round-9 queue block 3: r6-checked, stalest-first ---------------------
     register(
-        "text_bpe_merges",
-        bpe.query_bpe_merges,
-        bpe.oracle_bpe_merges_sql(),
-        oracle_builder=bpe.oracle_bpe_merges_sql,
+        "agg_large_orders",
+        starjoins.query_large_orders,
+        starjoins.ORACLE_LARGE_ORDERS,
     )
     register(
-        "text_decontaminate",
-        text_signals.query_text_decontaminate,
-        text_signals.ORACLE_TEXT_DECONTAMINATE,
-    )
-    register("silver_people_day", silver_people_day.query, silver_people_day.ORACLE)
-    register(
-        "silver_overnights",
-        silver_people_day.query_overnights,
-        silver_people_day.ORACLE_OVERNIGHTS,
-    )
-    register("silver_zones", silver_distances.query_zones, silver_distances.ORACLE_ZONES)
-    register(
-        "silver_zones_wkt",
-        silver_distances.query_zones_wkt,
-        silver_distances.ORACLE_ZONES_WKT,
+        "agg_market_share",
+        starjoins.query_market_share,
+        starjoins.ORACLE_MARKET_SHARE,
     )
     register(
-        "silver_distances",
-        silver_distances.query_distances,
-        silver_distances.ORACLE_DISTANCES,
+        "agg_order_priority",
+        starjoins.query_order_priority,
+        starjoins.ORACLE_ORDER_PRIORITY,
     )
     register(
-        "bronze_merge_keyed",
-        bronze_merge.query_merge_keyed,
-        bronze_merge.ORACLE_MERGE_KEYED,
-    )
-    register("silver_ine_renta", silver_ine.query_ine_renta, silver_ine.ORACLE_INE_RENTA)
-    register("bronze_holidays_json", holidays_json.query, holidays_json.ORACLE)
-    register("dedup_exact", text_dedup.query_dedup_exact, text_dedup.ORACLE_DEDUP_EXACT)
-    register("dedup_simhash", text_dedup.query_dedup_simhash, text_dedup.ORACLE_DEDUP_SIMHASH)
-    register("dedup_embedding_cosine", similarity.query_dedup_embedding, similarity.ORACLE_DEDUP_EMBEDDING)
-    register("pipeline_train_val_split", clean_corpus.query_train_val_split, clean_corpus.ORACLE_TRAIN_VAL_SPLIT)
-    register(
-        "pipeline_sample_stratified",
-        text_signals.query_sample_stratified,
-        text_signals.ORACLE_SAMPLE_STRATIFIED,
-    )
-    register("sim_cosine_topk", similarity.query_cosine_topk, similarity.ORACLE_COSINE_TOPK)
-    register("sim_neardup_pairs", similarity.query_neardup_pairs, similarity.ORACLE_NEARDUP_PAIRS)
-    register("sim_ann_lsh_buckets", similarity.query_ann_lsh_buckets, similarity.ORACLE_ANN_LSH)
-    register(
-        "spatial_point_in_zone",
-        spatial_join.query_point_in_zone,
-        spatial_join.ORACLE_POINT_IN_ZONE,
-    )
-    register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
-    register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
-    register("multimodal_features", binary_ops.query_features, binary_ops.ORACLE_FEATURES)
-    register(
-        "profile_columns",
-        profiling.query_profile_columns,
-        profiling.ORACLE_PROFILE_COLUMNS,
-    )
-    register(
-        "scd2_event_type",
-        profiling.query_scd2_event_type,
-        profiling.ORACLE_SCD2_EVENT_TYPE,
-    )
-    register(
-        "feature_binning",
-        profiling.query_feature_binning,
-        profiling.ORACLE_FEATURE_BINNING,
-    )
-    register(
-        "emb_label_centroids",
-        embedding_stats.query_emb_label_centroids,
-        embedding_stats.ORACLE_EMB_LABEL_CENTROIDS,
-    )
-    register(
-        "multimodal_dedup_binary",
-        binary_ops.query_multimodal_dedup_binary,
-        binary_ops.ORACLE_MULTIMODAL_DEDUP_BINARY,
-    )
-    register(
-        "agg_shipping_priority",
-        starjoins.query_shipping_priority,
-        starjoins.ORACLE_SHIPPING_PRIORITY,
+        "agg_promo_revenue",
+        starjoins.query_promo_revenue,
+        starjoins.ORACLE_PROMO_REVENUE,
     )
     register(
         "agg_region_revenue",
@@ -616,20 +404,28 @@ def _load() -> None:
         starjoins.ORACLE_RETURNED_ITEMS,
     )
     register(
-        "agg_order_priority",
-        starjoins.query_order_priority,
-        starjoins.ORACLE_ORDER_PRIORITY,
+        "agg_shipping_priority",
+        starjoins.query_shipping_priority,
+        starjoins.ORACLE_SHIPPING_PRIORITY,
     )
     register(
-        "agg_promo_revenue",
-        starjoins.query_promo_revenue,
-        starjoins.ORACLE_PROMO_REVENUE,
+        "agg_volume_shipping",
+        starjoins.query_volume_shipping,
+        starjoins.ORACLE_VOLUME_SHIPPING,
     )
-    register("gold_od_daily", gold.query_gold_od_daily, gold.ORACLE_GOLD_OD_DAILY)
+    register("bronze_holidays_json", holidays_json.query, holidays_json.ORACLE)
     register(
-        "join_asof_forward",
-        _ar.query_asof_next_purchase,
-        _ar.ORACLE_ASOF_FORWARD,
+        "bronze_merge_keyed",
+        bronze_merge.query_merge_keyed,
+        bronze_merge.ORACLE_MERGE_KEYED,
+    )
+    register("dedup_embedding_cosine", similarity.query_dedup_embedding, similarity.ORACLE_DEDUP_EMBEDDING)
+    register("dedup_exact", text_dedup.query_dedup_exact, text_dedup.ORACLE_DEDUP_EXACT)
+    register("dedup_simhash", text_dedup.query_dedup_simhash, text_dedup.ORACLE_DEDUP_SIMHASH)
+    register(
+        "emb_label_centroids",
+        embedding_stats.query_emb_label_centroids,
+        embedding_stats.ORACLE_EMB_LABEL_CENTROIDS,
     )
     register(
         "events_anomaly_zscore",
@@ -637,49 +433,259 @@ def _load() -> None:
         timeseries.ORACLE_EVENTS_ANOMALY_ZSCORE,
     )
     register(
-        "text_bpe_encode",
-        bpe.query_bpe_encode,
-        bpe.oracle_bpe_encode_sql(),
-        oracle_builder=bpe.oracle_bpe_encode_sql,
+        "feature_binning",
+        profiling.query_feature_binning,
+        profiling.ORACLE_FEATURE_BINNING,
     )
-    register(
-        "pipeline_domain_mixture",
-        packing.query_domain_mixture,
-        packing.ORACLE_DOMAIN_MIXTURE,
-    )
+    register("gold_od_daily", gold.query_gold_od_daily, gold.ORACLE_GOLD_OD_DAILY)
     register(
         "join_asof",
         _ar.query_asof_click_before_purchase,
         _ar.ORACLE_ASOF,
     )
     register(
-        "agg_volume_shipping",
-        starjoins.query_volume_shipping,
-        starjoins.ORACLE_VOLUME_SHIPPING,
+        "join_asof_forward",
+        _ar.query_asof_next_purchase,
+        _ar.ORACLE_ASOF_FORWARD,
+    )
+    register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
+    register(
+        "multimodal_dedup_binary",
+        binary_ops.query_multimodal_dedup_binary,
+        binary_ops.ORACLE_MULTIMODAL_DEDUP_BINARY,
+    )
+    register("multimodal_features", binary_ops.query_features, binary_ops.ORACLE_FEATURES)
+    register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
+    register(
+        "pipeline_domain_mixture",
+        packing.query_domain_mixture,
+        packing.ORACLE_DOMAIN_MIXTURE,
     )
     register(
-        "agg_market_share",
-        starjoins.query_market_share,
-        starjoins.ORACLE_MARKET_SHARE,
+        "pipeline_sample_stratified",
+        text_signals.query_sample_stratified,
+        text_signals.ORACLE_SAMPLE_STRATIFIED,
+    )
+    register("pipeline_train_val_split", clean_corpus.query_train_val_split, clean_corpus.ORACLE_TRAIN_VAL_SPLIT)
+    register(
+        "profile_columns",
+        profiling.query_profile_columns,
+        profiling.ORACLE_PROFILE_COLUMNS,
     )
     register(
-        "agg_large_orders",
-        starjoins.query_large_orders,
-        starjoins.ORACLE_LARGE_ORDERS,
-    )
-
-    # ---- net-new round 7: waits behind the full round-8 queue ------------
-    from bigdata_project_spark.plans import incremental
-
-    register(
-        "bronze_incremental_batches",
-        incremental.query_bronze_incremental_batches,
-        incremental.ORACLE_BRONZE_INCREMENTAL,
+        "scd2_event_type",
+        profiling.query_scd2_event_type,
+        profiling.ORACLE_SCD2_EVENT_TYPE,
     )
     register(
-        "silver_zones_geom",
-        silver_distances.query_zones_geom,
+        "silver_distances",
+        silver_distances.query_distances,
+        silver_distances.ORACLE_DISTANCES,
+    )
+    register("silver_ine_renta", silver_ine.query_ine_renta, silver_ine.ORACLE_INE_RENTA)
+    register(
+        "silver_overnights",
+        silver_people_day.query_overnights,
+        silver_people_day.ORACLE_OVERNIGHTS,
+    )
+    register("silver_people_day", silver_people_day.query, silver_people_day.ORACLE)
+    register("silver_zones", silver_distances.query_zones, silver_distances.ORACLE_ZONES)
+    register(
+        "silver_zones_wkt",
+        silver_distances.query_zones_wkt,
         silver_distances.ORACLE_ZONES_WKT,
+    )
+    register("sim_ann_lsh_buckets", similarity.query_ann_lsh_buckets, similarity.ORACLE_ANN_LSH)
+    register("sim_cosine_topk", similarity.query_cosine_topk, similarity.ORACLE_COSINE_TOPK)
+    register("sim_neardup_pairs", similarity.query_neardup_pairs, similarity.ORACLE_NEARDUP_PAIRS)
+    register(
+        "spatial_point_in_zone",
+        spatial_join.query_point_in_zone,
+        spatial_join.ORACLE_POINT_IN_ZONE,
+    )
+    register("text_bigram_lm", text_signals.query_text_bigram_lm, text_signals.ORACLE_TEXT_BIGRAM_LM)
+    register(
+        "text_bpe_encode",
+        bpe.query_bpe_encode,
+        bpe.oracle_bpe_encode_sql(),
+        oracle_builder=bpe.oracle_bpe_encode_sql,
+    )
+    register(
+        "text_bpe_merges",
+        bpe.query_bpe_merges,
+        bpe.oracle_bpe_merges_sql(),
+        oracle_builder=bpe.oracle_bpe_merges_sql,
+    )
+    register(
+        "text_decontaminate",
+        text_signals.query_text_decontaminate,
+        text_signals.ORACLE_TEXT_DECONTAMINATE,
+    )
+    register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
+    register("text_lang_id", text_analysis.query_lang_id, text_analysis.ORACLE_LANG_ID)
+    register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)
+    register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
+    register("text_repetition", text_signals.query_text_repetition, text_signals.ORACLE_TEXT_REPETITION)
+    register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
+    register("text_token_stats", text_analysis.query_token_stats, text_analysis.ORACLE_TOKEN_STATS)
+    register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
+
+    # ---- past the queue: driver-green in r7, unchanged -------------------
+    register(
+        "agg_best_supplier",
+        starjoins2.query_best_supplier,
+        starjoins2.ORACLE_BEST_SUPPLIER,
+    )
+    register(
+        "agg_bracket_revenue",
+        starjoins.query_bracket_revenue,
+        starjoins.ORACLE_BRACKET_REVENUE,
+    )
+    register(
+        "agg_customer_distribution",
+        starjoins2.query_customer_distribution,
+        starjoins2.ORACLE_CUSTOMER_DISTRIBUTION,
+    )
+    register(
+        "agg_dominant_suppliers",
+        starjoins2.query_dominant_suppliers,
+        starjoins2.ORACLE_DOMINANT_SUPPLIERS,
+    )
+    register(
+        "agg_dormant_customers",
+        starjoins2.query_dormant_customers,
+        starjoins2.ORACLE_DORMANT_CUSTOMERS,
+    )
+    register(
+        "agg_forecast_revenue",
+        starjoins2.query_forecast_revenue,
+        starjoins2.ORACLE_FORECAST_REVENUE,
+    )
+    register(
+        "agg_late_by_class",
+        starjoins2.query_late_by_class,
+        starjoins2.ORACLE_LATE_BY_CLASS,
+    )
+    register(
+        "agg_nation_profit",
+        starjoins2.query_nation_profit,
+        starjoins2.ORACLE_NATION_PROFIT,
+    )
+    register(
+        "agg_retention_cohort",
+        funnel.query_retention_cohort,
+        funnel.ORACLE_RETENTION_COHORT,
+    )
+    register(
+        "agg_small_qty_revenue",
+        starjoins2.query_small_quantity_revenue,
+        starjoins2.ORACLE_SMALL_QUANTITY_REVENUE,
+    )
+    register(
+        "agg_supplier_part_counts",
+        starjoins2.query_supplier_part_counts,
+        starjoins2.ORACLE_SUPPLIER_PART_COUNTS,
+    )
+    register(
+        "agg_top_supplier",
+        starjoins2.query_top_supplier,
+        starjoins2.ORACLE_TOP_SUPPLIER,
+    )
+    register(
+        "agg_unpivot_measures",
+        _an1.query_unpivot_measures,
+        _an1.ORACLE_UNPIVOT_MEASURES,
+    )
+    register(
+        "agg_waiting_suppliers",
+        starjoins2.query_waiting_suppliers,
+        starjoins2.ORACLE_WAITING_SUPPLIERS,
+    )
+    register(
+        "bronze_merge_all_columns",
+        bronze_merge.query_merge_all_columns,
+        bronze_merge.ORACLE_MERGE_ALL,
+    )
+    register(
+        "dedup_cluster_cc",
+        dedup_cluster.query_dedup_cluster_cc,
+        dedup_cluster.ORACLE_DEDUP_CLUSTER_CC,
+    )
+    register("dedup_minhash_lsh", text_dedup.query_dedup_minhash_lsh, text_dedup.ORACLE_DEDUP_MINHASH_LSH)
+    register("dedup_ngram_jaccard", text_dedup.query_dedup_ngram_jaccard, text_dedup.ORACLE_DEDUP_NGRAM_JACCARD)
+    register(
+        "dedup_semantic",
+        semdedup.query_dedup_semantic,
+        semdedup.ORACLE_DEDUP_SEMANTIC,
+    )
+    register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
+    register("emb_gram_matrix", graph.query_emb_gram_matrix, graph.ORACLE_EMB_GRAM_MATRIX)
+    register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
+    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
+    register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
+    register("events_time_rollup", event_windows.query_time_rollup, event_windows.ORACLE_TIME_ROLLUP)
+    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
+    register("events_variant_props", analytics.query_variant_props, analytics.ORACLE_VARIANT_PROPS)
+    register(
+        "graph_bfs_distance",
+        _gr0.query_graph_bfs_distance,
+        _gr0.ORACLE_GRAPH_BFS_DISTANCE,
+    )
+    register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
+    register(
+        "join_interval_clicks",
+        event_windows.query_interval_join_clicks,
+        event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
+    )
+    register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
+    register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
+    register(
+        "layout_bucketed_join",
+        bucketing.query_bucketed_join_revenue,
+        bucketing.ORACLE_BUCKETED_JOIN,
+    )
+    register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
+    register(
+        "pipeline_dedup_canonical",
+        dedup_cluster.query_dedup_canonical,
+        dedup_cluster.ORACLE_DEDUP_CANONICAL,
+    )
+    register(
+        "pipeline_global_shuffle",
+        ordering.query_global_shuffle,
+        ordering.ORACLE_GLOBAL_SHUFFLE,
+    )
+    register("silver_od", silver_od.query, silver_od.ORACLE)
+    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, ivf.ORACLE_IVF_KMEANS_TOPK)
+    register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
+    register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
+    register("skew_salted_agg", skew.query_skew_salted_agg, skew.ORACLE_SKEW_SALTED_AGG)
+    register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
+    register(
+        "stream_dedup",
+        _sw0.query_stream_dedup,
+        _sw0.ORACLE_STREAM_DEDUP,
+    )
+    register(
+        "stream_upsert_sink",
+        stream_windows.query_stream_upsert_sink,
+        stream_windows.ORACLE_STREAM_UPSERT,
+    )
+    register(
+        "text_char_entropy",
+        corpus_quality.query_text_char_entropy,
+        corpus_quality.ORACLE_TEXT_CHAR_ENTROPY,
+    )
+    register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
+    register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
+    register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
+    register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)
+
+    # ---- net-new round 8: waits behind the full round-9 queue ------------
+    register(
+        "sim_ann_recall_at_k",
+        ivf.query_ann_recall_at_k,
+        ivf.ORACLE_ANN_RECALL_AT_K,
     )
 
 

@@ -151,8 +151,16 @@ def test_triangles_degree_orientation_hub_safe(spark):
     # the hub (degree 20, max) must be every edge's DST → out-degree 0
     ori = orient_by_degree(und)
     assert ori.filter(F.col("src") == 0).count() == 0
-    # and the oriented list is what the plan enumerates from
-    plan = (
+    # the degree-attach joins are real in the orientation plan
+    # (pre-checkpoint; triangle_counts truncates lineage below)
+    ori_plan = ori._jdf.queryExecution().optimizedPlan().toString()
+    assert "deg_a" in ori_plan and "deg_b" in ori_plan
+    # and triangle_counts enumerates from the checkpointed oriented
+    # list: its optimized plan starts from LogicalRDDs, not a re-derived
+    # degree attach (lazy localCheckpoint materializes on first action,
+    # which the .collect() above already triggered)
+    tri_plan = (
         triangle_counts(und)._jdf.queryExecution().optimizedPlan().toString()
     )
-    assert "deg_a" in plan and "deg_b" in plan
+    assert "LogicalRDD" in tri_plan
+    assert "deg_a" not in tri_plan
