@@ -107,8 +107,11 @@ def wkt_centroids(df, wkt_col: str = "wkt"):
 
 
 # Sedona probe memoized per session (same convention as the ILIKE
-# wildcard probe): the probe itself runs one 1-row JVM query.
-_SEDONA_PROBE: dict[int, bool] = {}
+# wildcard probe): the probe itself runs one 1-row JVM query. Keyed on
+# the Spark applicationId, not id(spark): a stopped session's id() can
+# be reused by a later SparkSession object and would silently inherit
+# the stale probe verdict.
+_SEDONA_PROBE: dict[str, bool] = {}
 
 
 def sedona_available(spark) -> bool:
@@ -116,7 +119,7 @@ def sedona_available(spark) -> bool:
     functions are both usable in this session. False in this container
     (no sedona jars) — the probe is how the optional dependency stays
     optional instead of becoming an import-time crash."""
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     if key not in _SEDONA_PROBE:
         ok = False
         try:

@@ -213,18 +213,23 @@ def distributed_ntile(
     )
     # SQL ntile over n rows: q = n div N, rem = n mod N; the first rem
     # buckets hold q+1 rows, the rest q. greatest(q,1) guards q=0 (then
-    # rem=n and every rank falls in the first branch).
-    q = F.floor(F.col("__n") / n_buckets)
-    rem = F.col("__n") % n_buckets
-    big = rem * (q + 1)  # rows covered by the q+1-sized buckets
+    # rem=n and every rank falls in the first branch). All quotients use
+    # integer `div`, not floor(/): double division is exact only below
+    # 2^53 rows, and this must hold at any row count.
+    ranked = ranked.withColumn(
+        "__q", F.expr(f"__n div {n_buckets}")
+    ).withColumn("__rem", F.col("__n") % n_buckets)
+    big = F.col("__rem") * (F.col("__q") + 1)  # rows in q+1-sized buckets
     bucket = F.when(
         F.col("__rank") <= big,
-        F.floor((F.col("__rank") - 1) / (q + 1)) + 1,
+        F.expr("(__rank - 1) div (__q + 1)") + 1,
     ).otherwise(
-        rem + F.floor((F.col("__rank") - 1 - big) / F.greatest(q, F.lit(1))) + 1
+        F.col("__rem")
+        + F.expr("(__rank - 1 - __rem * (__q + 1)) div greatest(__q, 1L)")
+        + 1
     )
     return ranked.withColumn("bucket", bucket.cast("int")).drop(
-        "__pid", "__rank", "__off", "__n"
+        "__pid", "__rank", "__off", "__n", "__q", "__rem"
     )
 
 

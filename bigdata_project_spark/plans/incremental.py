@@ -79,7 +79,14 @@ def _stage_batches(spark: SparkSession, sf_dir: str, base: str) -> list[str]:
 
 
 def query_bronze_incremental_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="incr_ingest_")
+    # fixed overwrite-mode staging path keyed by the source fixture (not
+    # mkdtemp): repeated driver/bench sweeps re-stage the same three dirs
+    # in place instead of accumulating an orphan tree per invocation
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_incr_ingest",
+        sf_dir.strip("/").replace("/", "_"),
+    )
     b1, b2, b3 = (spark.read.parquet(p) for p in _stage_batches(spark, sf_dir, base))
     state = b1.select(*_COLS)
     for batch in (b2, b3, b3):  # b3 twice: the idempotency re-run

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -37,16 +38,24 @@ def _emit_after_threshold(threshold: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (count,) = state.get if state.exists else (0,)
-        out = []
-        for pdf in pdfs:
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            pdf = pd.concat(parts) if len(parts) > 1 else parts[0]
             pdf = pdf.sort_values("event_id")
-            for _, row in pdf.iterrows():
-                count += 1
-                if count > threshold:
-                    out.append((key[0], int(row["event_id"]), count))
+            # vectorized running counter: position within the sorted
+            # batch, offset by the carried per-user count
+            seen = count + np.arange(1, len(pdf) + 1, dtype=np.int64)
+            count += len(pdf)
+            mask = seen > threshold
+            if mask.any():
+                yield pd.DataFrame(
+                    {
+                        "user_id": np.int64(key[0]),
+                        "event_id": pdf["event_id"].to_numpy()[mask],
+                        "seen_so_far": seen[mask],
+                    }
+                )
         state.update((count,))
-        if out:
-            yield pd.DataFrame(out, columns=["user_id", "event_id", "seen_so_far"])
 
     return fn
 
@@ -83,17 +92,25 @@ def _emit_transitions(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     last = state.get[0] if state.exists else None
-    rows = []
-    for pdf in pdfs:
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if parts:
+        # one global (ts, event_id) sort per group-batch, then the
+        # transition emission is a vectorized shift: src = dst.shift(1)
+        # with the carried last_type prepended into the first slot
+        pdf = pd.concat(parts) if len(parts) > 1 else parts[0]
         pdf = pdf.sort_values(["ts", "event_id"])
-        for _, r in pdf.iterrows():
-            et = r["event_type"]
-            if last is not None:
-                rows.append((last, et, key[0]))
-            last = et
+        dst = pdf["event_type"].reset_index(drop=True)
+        src = dst.shift(1)
+        if last is not None:
+            src.iloc[0] = last
+        last = dst.iloc[-1]
+        out = pd.DataFrame(
+            {"src_event": src, "dst_event": dst, "user_id": np.int64(key[0])}
+        )
+        out = out[out["src_event"].notna()]
+        if len(out):
+            yield out
     state.update((last,))
-    if rows:
-        yield pd.DataFrame(rows, columns=["src_event", "dst_event", "user_id"])
 
 
 def transitions_stateful(events: DataFrame) -> DataFrame:
