@@ -27,8 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_project_spark.functions.scalars import round_portable_sql
-from bigdata_project_spark.operators.similarity import _cos_sql
+from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
+from bigdata_project_spark.operators.similarity import _cos_sql, cosine
 from bigdata_project_spark.sources.readers import load_table
 
 K_CELLS = 8
@@ -112,16 +112,17 @@ def _probe_and_rank(
     assigned: DataFrame,
     centroids: np.ndarray,
     cell_ids: np.ndarray,
+    n_probe: int = N_PROBE,
 ) -> DataFrame:
-    """Probe the N_PROBE cells nearest the query (vec_id=0) and exact-rank
-    inside them: top-10 by (rounded cosine desc, vec_id asc)."""
+    """Probe the ``n_probe`` cells nearest the query (vec_id=0) and
+    exact-rank inside them: top-10 by (rounded cosine desc, vec_id asc)."""
     q = emb.filter(F.col("vec_id") == 0).toPandas()["embedding"][0]
     qv = np.asarray(q, dtype=np.float64)
     qv = qv / np.linalg.norm(qv)
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     cos_q = _round6(C @ qv)
     order = sorted(range(len(cell_ids)), key=lambda i: (-cos_q[i], cell_ids[i]))
-    probe = [int(cell_ids[i]) for i in order[:N_PROBE]]
+    probe = [int(cell_ids[i]) for i in order[:n_probe]]
 
     cands = assigned.filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
 
@@ -163,6 +164,93 @@ def query_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_and_rank(spark, emb, assigned, centroids, idx)
 
 
+RECALL_PROBES = (1, 2, 4, K_CELLS)
+RECALL_K = 10
+
+
+def query_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness (r7 verdict item 8): recall@10 of the seeded
+    IVF search vs the brute-force cosine anchor, swept over nprobe ∈
+    {1, 2, 4, 8=K_CELLS} — the exhaustive probe MUST reach recall 1.0,
+    and the curve quantifies the probe-vs-recall trade the IVF design
+    buys. Output: one row per nprobe (n_hits, recall), fully
+    deterministic (both rankings tiebreak on vec_id), so the whole
+    sweep has an exact DuckDB twin.
+
+    Scale: cell assignment runs ONCE (localCheckpoint) and every probe
+    level reuses it — the sweep adds only k-bounded rank work per
+    level; the exact side is the same single-query brute-force scan the
+    anchor query pays."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, cell_ids = _seed_centroids(emb)
+    # one assignment pass reused by all probe levels (the sweep's whole
+    # point is that probing is cheap once assignment is materialized)
+    assigned = _assign_cells(emb, centroids, cell_ids).localCheckpoint(
+        eager=False
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            round_portable(
+                cosine(F.col("embedding"), F.col("q_emb")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(RECALL_K)
+        .select("vec_id")
+    )
+    sweeps = []
+    for n_probe in RECALL_PROBES:
+        approx = _probe_and_rank(
+            spark, emb, assigned, centroids, cell_ids, n_probe=n_probe
+        ).select("vec_id", F.lit(n_probe).cast("long").alias("nprobe"))
+        sweeps.append(approx)
+    allp = sweeps[0]
+    for s in sweeps[1:]:
+        allp = allp.unionByName(s)
+    hits = allp.join(exact, "vec_id", "left_semi")
+    return (
+        hits.groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "nprobe",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(RECALL_K))).alias("recall"),
+        )
+    )
+
+
+def _ivf_topk_sql(n_probe: int) -> str:
+    """The seeded-IVF top-10 as SQL, parameterized by nprobe (the body of
+    ORACLE_IVF_KMEANS_TOPK without the final projection)."""
+    return f"""
+    SELECT vec_id FROM (
+        SELECT a.vec_id,
+               {round_portable_sql(_cos_sql("a.embedding", "q.qemb"), 6)} AS cos_sim
+        FROM assign a
+        JOIN (
+            SELECT cell FROM (
+                SELECT c.cell,
+                       row_number() OVER (
+                           ORDER BY {round_portable_sql(_cos_sql("c.cemb", "q.qemb"), 6)} DESC,
+                                    c.cell ASC
+                       ) AS rn
+                FROM c CROSS JOIN q
+            ) WHERE rn <= {n_probe}
+        ) USING (cell)
+        CROSS JOIN q
+        WHERE a.vec_id <> 0
+    )
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT {RECALL_K}
+    """
+
+
 # DuckDB twin of the seeded variant: same seeds, same rounded-cosine
 # argmax with lowest-cell tiebreak, same probe rule, same final ranking.
 ORACLE_IVF_KMEANS_TOPK = f"""
@@ -200,4 +288,47 @@ SELECT vec_id, cell, cos_sim FROM (
 )
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT 10
+"""
+
+# Recall sweep twin: same assign/probe CTEs, one UNION ALL block per
+# nprobe level, recall counted against the brute-force top-10.
+_RECALL_BLOCKS = "\nUNION ALL\n".join(
+    f"SELECT CAST({p} AS BIGINT) AS nprobe, vec_id FROM ({_ivf_topk_sql(p)})"
+    for p in RECALL_PROBES
+)
+
+ORACLE_ANN_RECALL_AT_K = f"""
+WITH c AS (
+    SELECT vec_id AS cell, embedding AS cemb
+    FROM embeddings WHERE vec_id < {K_CELLS}
+),
+q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+assign AS (
+    SELECT vec_id, cell, embedding FROM (
+        SELECT e.vec_id, c.cell, e.embedding,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {round_portable_sql(_cos_sql("e.embedding", "c.cemb"), 6)} DESC,
+                            c.cell ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN c
+    ) WHERE rn = 1
+),
+exact AS (
+    SELECT vec_id FROM (
+        SELECT e.vec_id,
+               {round_portable_sql(_cos_sql("e.embedding", "q.qemb"), 6)} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    )
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT {RECALL_K}
+),
+sweep AS (
+{_RECALL_BLOCKS}
+)
+SELECT nprobe, COUNT(*) AS n_hits,
+       COUNT(*) / {float(RECALL_K)} AS recall
+FROM sweep JOIN exact USING (vec_id)
+GROUP BY nprobe
 """

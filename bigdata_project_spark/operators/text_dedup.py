@@ -49,6 +49,7 @@ from bigdata_project_spark.functions.text import (
     HEX32_TO_INT_SQL,
     WORD_HASH32_SQL,
     content_hash,
+    hex32_to_int,
     tokens,
     word_hash32,
 )
@@ -266,28 +267,33 @@ WHERE jaccard >= 0.9
 # -------------------------------------------------------- fuzzy (edit) --
 
 
-def query_dedup_fuzzy_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
+def query_dedup_fuzzy_lev(
+    spark: SparkSession, sf_dir: str, bits: int = 32, band_bits: int = 8
+) -> DataFrame:
     """Edit-distance near-dup pairs over the FULL dup corpus: levenshtein
-    ≤ 5 on 40-char prefixes, blocked on PAIRS of 8-bit simhash bands — a
-    16-bit effective key, so candidates must agree on two bands at once
-    (pigeonhole: any pair within simhash-Hamming ≤ 2 shares an exact
-    2-band key; exact copies share all six).
+    ≤ 5 on 40-char prefixes, blocked on PAIRS of simhash bands — two
+    bands must agree at once (pigeonhole: any pair within
+    simhash-Hamming ≤ 2 shares an exact 2-band key; exact copies share
+    all six).
 
     Why 2-band and not the simhash_pairs 1-band melt: MEASURED at sf0.1
     the single-band key (÷256) left 2.9M candidate pairs (hot bucket
     1358 docs — templated synthetic text clusters simhashes) and 74 s of
     Levenshtein DP; the 2-band key (÷65536) cuts that to 0.3M (hot
     bucket 297). The DP is the per-pair scale term, so blocking
-    resolution must grow with corpus size — at larger corpora move to a
-    64-bit simhash with 16-bit bands, same construction. Both engines
-    implement the same classic Levenshtein DP, so the distances are
-    identical integers."""
+    resolution must grow with corpus size — ``bits``/``band_bits`` is
+    that dial: the default 32/8 (16-bit pair keys) fits sf0.1; pass
+    64/16 (32-bit pair keys, same 4-band pigeonhole bound) for larger
+    corpora. tests/test_text_dedup_blocking.py property-tests that both
+    widths find identical ≤5-edit pairs on the dup fixture. Both
+    engines implement the same classic Levenshtein DP, so the distances
+    are identical integers."""
     corpus = _corpus_with_dups(spark, sf_dir)
     # NOTE: no materialization needed for the self-join — both sides hash-
     # partition on the same band key, so Spark plans a ReusedExchange and
     # the simhash aggregation runs once (plan-verified; an explicit
     # localCheckpoint was MEASURED slower at sf0.1)
-    melted = simhash_band_pair_melt(simhash_column(corpus))
+    melted = simhash_band_pair_keys(corpus, bits=bits, band_bits=band_bits)
     a, b = melted.alias("a"), melted.alias("b")
     # candidates carry ONLY ids through the join+distinct (MEASURED 2.2×
     # at sf0.1 vs melting the prefixes in: the 40-char strings double the
@@ -615,6 +621,100 @@ def simhash_band_pair_melt(sims: DataFrame) -> DataFrame:
         ]
     )
     return sims.select("doc_id", F.explode(entries).alias("bs")).select(
+        "doc_id", "bs.bi", "bs.bj", "bs.ni", "bs.nj"
+    )
+
+
+def simhash_band_nibbles(
+    corpus: DataFrame, bits: int = 32, band_bits: int = 8
+) -> DataFrame:
+    """(doc_id, n0..n{nbands-1}): per-band values of a term-frequency-
+    weighted simhash at a parameterized width, assembled straight from
+    the per-bit sign sums — no combined simhash integer, so a 64-bit
+    width never risks BIGINT overflow on bit 63. Extra hash bits come
+    from further 8-char slices of the same md5 hex (engine-portable).
+
+    Scale: explode + ONE hash aggregate (``bits`` conditional sums,
+    combiner-friendly); the aggregate widens with ``bits`` but the
+    shuffle shape is unchanged.
+    """
+    if bits % 32 or bits % band_bits or not 0 < band_bits <= 16:
+        raise ValueError(f"unsupported simhash geometry {bits}/{band_bits}")
+    nbands = bits // band_bits
+    md5 = F.md5(F.encode(F.col("w"), "UTF-8"))
+    words = corpus.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).select(
+        "doc_id",
+        *[
+            hex32_to_int(F.substring(md5, 1 + 8 * i, 8)).alias(f"h{i}")
+            for i in range(bits // 32)
+        ],
+    )
+
+    def _bit(j: int):
+        h = F.col(f"h{j // 32}")
+        return (F.floor(h / (2 ** (j % 32))) % 2) == 1
+
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(_bit(j), 1).otherwise(-1)).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+
+    def _nib(b: int):
+        acc = None
+        for t in range(band_bits):
+            term = F.when(
+                F.col(f"b{band_bits * b + t}") > 0, F.lit(2**t)
+            ).otherwise(F.lit(0))
+            acc = term if acc is None else acc + term
+        return acc.cast("bigint")
+
+    return bit_sums.select(
+        "doc_id", *[_nib(b).alias(f"n{b}") for b in range(nbands)]
+    )
+
+
+def simhash_band_pair_keys(
+    corpus: DataFrame, bits: int = 32, band_bits: int = 8
+) -> DataFrame:
+    """(doc_id, bi, bj, ni, nj): band-PAIR blocking keys for a term-
+    frequency-weighted simhash at a parameterized width — the scale dial
+    the fuzzy-lev docstring promises: 32-bit hash / 8-bit bands (default,
+    matches ``ORACLE_DEDUP_FUZZY_LEV``) for ~100k-doc corpora, 64-bit /
+    16-bit bands for larger ones (÷2^32 pair-key space instead of
+    ÷2^16). Both widths keep 4 bands, so the pigeonhole guarantee has
+    the same shape — a pair within Hamming ≤ 2 OF THAT WIDTH'S hash
+    shares ≥1 exact 2-band key. The guarantees are width-relative, not
+    identical: 64-bit Hamming ≤ 2 implies 32-bit (low-word) Hamming ≤ 2
+    but not vice versa, so on such pairs both widths agree, while the
+    narrow key space additionally collides a few unrelated docs per
+    2^16 keys — bonus candidates the verify step keeps honest
+    (property-tested in tests/test_text_dedup_blocking.py).
+
+    Built on :func:`simhash_band_nibbles`; at the 32/8 default the keys
+    are bit-identical to ``simhash_band_pair_melt(simhash_column(c))``
+    (also property-tested), so ``ORACLE_DEDUP_FUZZY_LEV`` is unchanged.
+    The melt is per-row — same shuffle shape at either width; only the
+    aggregate width and key selectivity change.
+    """
+    nbands = bits // band_bits
+    nibs = simhash_band_nibbles(corpus, bits=bits, band_bits=band_bits)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.lit(j).alias("bj"),
+                F.col(f"n{i}").alias("ni"),
+                F.col(f"n{j}").alias("nj"),
+            )
+            for i in range(nbands)
+            for j in range(i + 1, nbands)
+        ]
+    )
+    return nibs.select("doc_id", F.explode(entries).alias("bs")).select(
         "doc_id", "bs.bi", "bs.bj", "bs.ni", "bs.nj"
     )
 
