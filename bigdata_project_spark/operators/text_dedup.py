@@ -1098,3 +1098,158 @@ SELECT t.doc_id,
        k.text_kept
 FROM toks t LEFT JOIN per_doc_kept k USING (doc_id)
 """
+
+
+# ------------------------------------- capped-LCP duplication profile --
+
+SA_CAP = 8  # longest prefix compared (tokens)
+SA_T = 5  # a position is "duplicated" when >= SA_T leading tokens repeat
+
+
+def query_text_dup_spans_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style duplication profile (r7 verdict's optional
+    breadth item): for every token position, the length of the longest
+    prefix (in [SA_T, SA_CAP] tokens, 0 below threshold) that occurs
+    ANYWHERE else in the corpus — the capped LCP a suffix array +
+    adjacent-LCP pass computes, because suffixes sharing >= n leading
+    tokens sort contiguously. Per doc: ``n_dup_pos`` (positions with
+    LCP >= SA_T — variable-length dup starts, where ``text_dup_spans``
+    sees only fixed-W windows) and ``max_lcp``.
+
+    Spark-first plan NOTE: the textbook global suffix SORT would force
+    either a single-partition window (lag over a global ORDER BY) or a
+    range exchange with cross-partition boundary stitching. The
+    equivalent-by-construction form here is prefix HASHING: position p
+    has capped LCP >= n  <=>  its n-token prefix occurs >= 2 times
+    <=>  a hash-aggregate group on md5(prefix_n) has count >= 2. That
+    turns the global sort into combiner-friendly hash aggregates on
+    uniform md5 keys — skew-safe, shuffle-minimal, bit-identical to
+    the sort formulation.
+
+    The naive multi-resolution melt (SA_CAP rows per position) measured
+    ~8x ``text_dup_spans``'s cost, so levels above SA_T are pruned by
+    MONOTONICITY: if the (n+1)-prefix at p occurs again at q, the
+    n-prefix at p occurs at q too — so every position with a duplicated
+    prefix longer than SA_T is already a level-SA_T candidate, AND so
+    is every other occurrence backing that duplication. Counting levels
+    SA_T+1..SA_CAP *inside the candidate set* is therefore exact, and
+    the full-corpus work is ONE level-SA_T pass (identical shape to
+    ``text_dup_spans``); the higher levels touch only the duplicated
+    mass, which is the small fraction a dedup corpus cares about — the
+    property that holds at 100 TB.
+    """
+    corpus = _corpus_with_dups(spark, sf_dir)
+    toks = corpus.select("doc_id", tokens(F.col("text")).alias("t"))
+    # level-SA_T pass over the whole corpus: one hash per position. Rows
+    # are (doc_id, pos, ph) ONLY — carrying the token array through the
+    # melt multiplies the checkpoint by doc length (measured 2-4x the
+    # whole query); candidates re-join it per doc below instead.
+    base = (
+        toks.filter(F.size("t") >= SA_T)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {SA_T} + 1),"
+                    f" i -> md5(encode(array_join(slice(t, i, {SA_T}), ' '), 'UTF-8')))"
+                )
+            ).alias("pos0", "ph"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "ph")
+        # consumed twice (occurrence count + flag join): truncate lineage
+        # so the tokenize + window build runs once
+        .localCheckpoint(eager=False)
+    )
+    base_counts = base.groupBy("ph").agg(F.count(F.lit(1)).alias("c"))
+    cands = (
+        base.join(base_counts.filter(F.col("c") >= 2).select("ph"), "ph")
+        .select("doc_id", "pos")
+        .localCheckpoint(eager=False)
+    )
+    # levels SA_T+1..SA_CAP over candidates only (exact by monotonicity);
+    # the doc_id join ships token arrays solely for docs holding
+    # candidates — the duplicated mass, not the corpus.
+    # The size filter guards sequence(): Spark's sequence(6, 5) is
+    # DESCENDING, not empty, so a candidate with exactly SA_T tokens
+    # left would melt bogus levels.
+    hi = cands.join(toks, "doc_id").filter(
+        F.expr(f"size(t) - pos + 1 > {SA_T}")
+    ).select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.expr(
+                f"transform(sequence({SA_T} + 1, least({SA_CAP}, size(t) - pos + 1)),"
+                " n -> named_struct('n', CAST(n AS BIGINT),"
+                " 'ph', md5(encode(array_join(slice(t, CAST(pos AS INT), n), ' '),"
+                " 'UTF-8'))))"
+            )
+        ).alias("m"),
+    ).select("doc_id", "pos", F.col("m.n").alias("n"), F.col("m.ph").alias("ph"))
+    hi_dup = (
+        hi.groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("ph")
+    )
+    hi_lcp = (
+        hi.join(hi_dup, "ph")
+        .groupBy("doc_id", "pos")
+        .agg(F.max("n").alias("hi_lcp"))
+    )
+    lcp = cands.select("doc_id", "pos").join(hi_lcp, ["doc_id", "pos"], "left").select(
+        "doc_id", F.coalesce("hi_lcp", F.lit(SA_T)).alias("lcp")
+    )
+    per_doc = lcp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pos"),
+        F.max("lcp").alias("max_lcp"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_pos", F.lit(0)).cast("bigint").alias("n_dup_pos"),
+            F.coalesce("max_lcp", F.lit(0)).cast("bigint").alias("max_lcp"),
+        )
+    )
+
+
+#: the oracle keeps the naive full melt over levels SA_T..SA_CAP — the
+#: candidate pruning is provably output-identical (monotonicity), so the
+#: two engines computing it differently is exactly the point of the check
+ORACLE_TEXT_DUP_SPANS_LCP = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM corpus
+),
+pos AS (
+    SELECT doc_id, t, CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS i
+    FROM toks
+),
+melt AS (
+    SELECT doc_id, i, CAST(r.n AS BIGINT) AS n,
+           md5(array_to_string(t[i:i + r.n - 1], ' ')) AS ph
+    FROM pos, UNNEST(range({SA_T}, {SA_CAP} + 1)) AS r(n)
+    WHERE i + r.n - 1 <= len(t)
+),
+dup AS (SELECT ph FROM melt GROUP BY ph HAVING COUNT(*) >= 2),
+lcp AS (
+    SELECT m.doc_id, m.i, MAX(m.n) AS lcp
+    FROM melt m JOIN dup USING (ph)
+    GROUP BY 1, 2
+),
+agg AS (
+    SELECT doc_id,
+           COUNT(*) AS n_dup_pos,
+           MAX(lcp) AS max_lcp
+    FROM lcp GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_dup_pos, 0) AS n_dup_pos,
+       COALESCE(a.max_lcp, 0) AS max_lcp
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""

@@ -86,7 +86,9 @@ def _load() -> None:
     to the r7-checked 32-bit/2x16 blocking, so a changed default —
     not the parameterization itself — is the trigger); (3) the 50
     r6-checked rows, stalest-first (file order below); (4) net-new
-    round-8 registrations wait behind all three blocks."""
+    round-8 registrations (`sim_ann_recall_at_k`, `text_dup_spans_lcp`
+    — both sf0.001+sf0.01 oracle-green at registration) wait behind
+    all three blocks."""
     if _QUERIES:
         return
 
@@ -686,6 +688,11 @@ def _load() -> None:
         "sim_ann_recall_at_k",
         ivf.query_ann_recall_at_k,
         ivf.ORACLE_ANN_RECALL_AT_K,
+    )
+    register(
+        "text_dup_spans_lcp",
+        text_dedup.query_text_dup_spans_lcp,
+        text_dedup.ORACLE_TEXT_DUP_SPANS_LCP,
     )
 
 

@@ -37,7 +37,15 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS decouples reducer count from
+        # core count for A/B floor experiments (BASELINE.md §4d): at
+        # local benchmark scale most shuffles carry far less data than
+        # cores, and each extra reducer task costs scheduling floor.
+        env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_parts:
+            shuffle_partitions = int(env_parts)
+        else:
+            shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -153,3 +153,32 @@ def test_span_removal_deletes_copies_keeps_originals(spark, sf_dir):
         it = iter(norm)
         assert all(tok in it for tok in kept), "kept text must be a subsequence"
     assert originals[0]["n_tokens_kept"] > 0
+
+
+def test_lcp_profile_consistent_with_window_spans(spark, sf_dir):
+    """Cross-operator invariant: SPAN_W == SA_CAP == 8, so a duplicated
+    8-token window at position p (text_dup_spans) is exactly a capped
+    LCP of 8 at p (text_dup_spans_lcp). Per doc with >= 8 tokens:
+    max_lcp == 8  <=>  n_dup_windows > 0, and n_dup_pos (lcp >= SA_T)
+    dominates n_dup_windows because every dup-window position has
+    lcp == 8 >= SA_T."""
+    from bigdata_project_spark.operators.text_dedup import (
+        SA_CAP,
+        SPAN_W,
+        query_text_dup_spans,
+        query_text_dup_spans_lcp,
+    )
+
+    assert SPAN_W == SA_CAP
+    spans = query_text_dup_spans(spark, sf_dir).toPandas().set_index("doc_id")
+    lcp = query_text_dup_spans_lcp(spark, sf_dir).toPandas().set_index("doc_id")
+    joined = spans.join(lcp, how="inner")
+    assert len(joined) == len(spans)  # every eligible doc has a profile
+    has_dup_window = joined["n_dup_windows"] > 0
+    assert ((joined["max_lcp"] == SA_CAP) == has_dup_window).all()
+    assert (joined["n_dup_pos"] >= joined["n_dup_windows"]).all()
+    # the fixture plants full-document copies: at least one doc must hit
+    # the cap, and some doc must show a partial (1..7) LCP so the
+    # capped profile is exercised at both ends
+    assert has_dup_window.any()
+    assert joined["max_lcp"].between(1, SA_CAP - 1).any()
