@@ -113,12 +113,17 @@ def _probe_and_rank(
     centroids: np.ndarray,
     cell_ids: np.ndarray,
     n_probe: int = N_PROBE,
+    qv: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Probe the ``n_probe`` cells nearest the query (vec_id=0) and
-    exact-rank inside them: top-10 by (rounded cosine desc, vec_id asc)."""
-    q = emb.filter(F.col("vec_id") == 0).toPandas()["embedding"][0]
-    qv = np.asarray(q, dtype=np.float64)
-    qv = qv / np.linalg.norm(qv)
+    exact-rank inside them: top-10 by (rounded cosine desc, vec_id asc).
+
+    ``qv`` (the already-normalized query vector) lets sweep callers pay
+    the 1-row driver collect once instead of once per probe level."""
+    if qv is None:
+        q = emb.filter(F.col("vec_id") == 0).toPandas()["embedding"][0]
+        qv = np.asarray(q, dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     cos_q = _round6(C @ qv)
     order = sorted(range(len(cell_ids)), key=lambda i: (-cos_q[i], cell_ids[i]))
@@ -188,6 +193,9 @@ def query_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _assign_cells(emb, centroids, cell_ids).localCheckpoint(
         eager=False
     )
+    q_row = emb.filter(F.col("vec_id") == 0).toPandas()["embedding"][0]
+    qnorm = np.asarray(q_row, dtype=np.float64)
+    qnorm = qnorm / np.linalg.norm(qnorm)
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
@@ -207,7 +215,7 @@ def query_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweeps = []
     for n_probe in RECALL_PROBES:
         approx = _probe_and_rank(
-            spark, emb, assigned, centroids, cell_ids, n_probe=n_probe
+            spark, emb, assigned, centroids, cell_ids, n_probe=n_probe, qv=qnorm
         ).select("vec_id", F.lit(n_probe).cast("long").alias("nprobe"))
         sweeps.append(approx)
     allp = sweeps[0]
