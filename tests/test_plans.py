@@ -37,6 +37,9 @@ _CROSS_JOIN_OK = {
     "pipeline_domain_reweight",
     # Q22: 1-row (sum, cnt) balance aggregate crossed into the cohort
     "agg_dormant_customers",
+    # same 1-row broadcast query vector as sim_cosine_topk (the exact
+    # brute-force anchor inside the recall sweep)
+    "sim_ann_recall_at_k",
 }
 
 
