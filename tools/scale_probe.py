@@ -48,6 +48,9 @@ PROBES = [
     ("scan_predicate_sum", "agg_forecast_revenue"),
     ("dedup_minhash_lsh", "dedup_minhash_lsh"),
     ("exact_substring_dedup", "text_dup_spans"),
+    # candidate-pruned capped-LCP: full-corpus work is one level-SA_T
+    # pass; growth must track corpus size, not dup-mass squared
+    ("capped_lcp_profile", "text_dup_spans_lcp"),
     ("asof_join", "join_asof"),
     ("char_entropy", "text_char_entropy"),
     ("global_shuffle", "pipeline_global_shuffle"),
@@ -148,6 +151,7 @@ def main() -> None:
         "scan_predicate_sum": "lineitem",
         "dedup_minhash_lsh": "documents",
         "exact_substring_dedup": "documents",
+        "capped_lcp_profile": "documents",
         "asof_join": "events",
         "char_entropy": "documents",
         "global_shuffle": "documents",
