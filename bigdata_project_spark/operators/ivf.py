@@ -193,9 +193,9 @@ def query_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _assign_cells(emb, centroids, cell_ids).localCheckpoint(
         eager=False
     )
-    q_row = emb.filter(F.col("vec_id") == 0).toPandas()["embedding"][0]
-    qnorm = np.asarray(q_row, dtype=np.float64)
-    qnorm = qnorm / np.linalg.norm(qnorm)
+    # _seed_centroids collects vec_id 0..K-1 ascending, so row 0 IS the
+    # query vector — no second 1-row driver job for it
+    qnorm = centroids[0] / np.linalg.norm(centroids[0])
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
@@ -222,14 +222,17 @@ def query_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in sweeps[1:]:
         allp = allp.unionByName(s)
     hits = allp.join(exact, "vec_id", "left_semi")
-    return (
-        hits.groupBy("nprobe")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .select(
-            "nprobe",
-            "n_hits",
-            (F.col("n_hits") / F.lit(float(RECALL_K))).alias("recall"),
-        )
+    counts = hits.groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_hits"))
+    # anchor on the literal probe levels so a zero-hit level still emits
+    # its recall-0.0 row — the regime the harness exists to quantify
+    levels = spark.createDataFrame(
+        [(int(p),) for p in RECALL_PROBES], "nprobe long"
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+    return levels.join(counts, "nprobe", "left").select(
+        "nprobe",
+        n_hits.alias("n_hits"),
+        (n_hits / F.lit(float(RECALL_K))).alias("recall"),
     )
 
 
@@ -334,9 +337,17 @@ exact AS (
 ),
 sweep AS (
 {_RECALL_BLOCKS}
+),
+counts AS (
+    SELECT nprobe, COUNT(*) AS n_hits
+    FROM sweep JOIN exact USING (vec_id)
+    GROUP BY nprobe
+),
+levels AS (
+    SELECT CAST(unnest([{", ".join(str(p) for p in RECALL_PROBES)}]) AS BIGINT) AS nprobe
 )
-SELECT nprobe, COUNT(*) AS n_hits,
-       COUNT(*) / {float(RECALL_K)} AS recall
-FROM sweep JOIN exact USING (vec_id)
-GROUP BY nprobe
+SELECT l.nprobe,
+       COALESCE(c.n_hits, 0) AS n_hits,
+       COALESCE(c.n_hits, 0) / {float(RECALL_K)} AS recall
+FROM levels l LEFT JOIN counts c USING (nprobe)
 """

@@ -638,7 +638,9 @@ def simhash_band_nibbles(
     combiner-friendly); the aggregate widens with ``bits`` but the
     shuffle shape is unchanged.
     """
-    if bits % 32 or bits % band_bits or not 0 < band_bits <= 16:
+    # md5 supplies exactly four 32-bit words — beyond 128 bits the
+    # substring slices would read past the hex and hash to constant 0
+    if bits % 32 or not 32 <= bits <= 128 or bits % band_bits or not 0 < band_bits <= 16:
         raise ValueError(f"unsupported simhash geometry {bits}/{band_bits}")
     nbands = bits // band_bits
     md5 = F.md5(F.encode(F.col("w"), "UTF-8"))
@@ -701,6 +703,13 @@ def simhash_band_pair_keys(
     aggregate width and key selectivity change.
     """
     nbands = bits // band_bits
+    # the ≤2-flip pigeonhole needs ≥2 clean bands to form one clean
+    # pair, i.e. ≥4 bands — e.g. 32/16 (2 bands) would silently drop
+    # guaranteed near-dup pairs
+    if nbands < 4:
+        raise ValueError(
+            f"band-pair blocking needs >= 4 bands, got {nbands} ({bits}/{band_bits})"
+        )
     nibs = simhash_band_nibbles(corpus, bits=bits, band_bits=band_bits)
     entries = F.array(
         *[

@@ -79,12 +79,16 @@ def _stage_batches(spark: SparkSession, sf_dir: str, base: str) -> list[str]:
 
 
 def query_bronze_incremental_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fixed overwrite-mode staging path keyed by the source fixture (not
-    # mkdtemp): repeated driver/bench sweeps re-stage the same three dirs
-    # in place instead of accumulating an orphan tree per invocation
+    # fixed overwrite-mode staging path keyed by (application, fixture) —
+    # not mkdtemp: repeated driver/bench sweeps within a session re-stage
+    # the same three dirs in place instead of accumulating an orphan tree
+    # per invocation, while the applicationId segment keeps concurrent
+    # processes (parallel oracle sweeps / A/B benches) from overwriting
+    # each other's landing dirs mid-read
     base = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_incr_ingest",
+        spark.sparkContext.applicationId,
         sf_dir.strip("/").replace("/", "_"),
     )
     b1, b2, b3 = (spark.read.parquet(p) for p in _stage_batches(spark, sf_dir, base))

@@ -43,7 +43,16 @@ def get_spark(
         # cores, and each extra reducer task costs scheduling floor.
         env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         if env_parts:
-            shuffle_partitions = int(env_parts)
+            try:
+                shuffle_partitions = int(env_parts)
+            except ValueError:
+                raise ValueError(
+                    f"SPARK_GRAFT_SHUFFLE_PARTITIONS={env_parts!r} is not an integer"
+                ) from None
+            if shuffle_partitions < 1:
+                raise ValueError(
+                    f"SPARK_GRAFT_SHUFFLE_PARTITIONS={env_parts!r} must be >= 1"
+                )
         else:
             shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 

@@ -94,3 +94,10 @@ def test_unsupported_geometry_rejected(spark, sf_dir):
         simhash_band_pair_keys(corpus, bits=48, band_bits=8)
     with pytest.raises(ValueError):
         simhash_band_pair_keys(corpus, bits=64, band_bits=24)
+    # md5 has only four 32-bit words — wider hashes would silently
+    # read past the hex and block on constant-zero bands
+    with pytest.raises(ValueError):
+        simhash_band_pair_keys(corpus, bits=160, band_bits=16)
+    # 2 bands cannot give the <=2-flip one-clean-pair pigeonhole
+    with pytest.raises(ValueError):
+        simhash_band_pair_keys(corpus, bits=32, band_bits=16)
