@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
-from bigdata_project_spark.functions.text import HEX32_TO_INT_SQL, hex32_to_int
+from bigdata_project_spark.functions.text import HEX32_TO_INT_SQL, hex32_to_int, tokens
 from bigdata_project_spark.operators.text_dedup import shingle_rows_raw
 from bigdata_project_spark.sources.readers import load_table
 
@@ -502,4 +502,111 @@ SELECT canonical_url,
        COUNT(*) AS n_docs
 FROM canon
 GROUP BY canonical_url
+"""
+
+
+# ------------------------------------------- cross-source overlap audit --
+
+#: n-gram width for the cross-source contamination audit (longer grams =
+#: near-certain true duplication, the train/test-leak setting)
+OVERLAP_N = 8
+
+
+def query_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap audit: for every pair of document
+    sources that share at least one distinct OVERLAP_N-token gram,
+    report the shared-gram count and Jaccard similarity of their gram
+    vocabularies — the standard train/test-contamination and
+    source-redundancy screen (the per-doc benchmark form of this is
+    ``text_decontaminate``; this is the corpus-level source-pair view).
+    Pairs sharing zero grams are deliberately absent: the audit reports
+    overlap, and at thousands of sources the zero-pair cross product
+    would dominate the output for no signal.
+
+    Scale shape: tokenize + gram-melt is map-side; ONE distinct hash
+    aggregate builds the (gram, source) vocabulary (uniform md5 keys);
+    the self-join is co-partitioned on the gram hash with per-gram
+    fan-out bounded by the source count (not the corpus); totals and the
+    final joins touch only source-cardinality rows. At thousands of
+    sources, swap the pairwise join for per-gram source-bitmap
+    aggregation — the melt and distinct are unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("source", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= OVERLAP_N
+    )
+    grams = (
+        toked.select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {OVERLAP_N - 1}),"
+                    f" i -> md5(encode(array_join(slice(t, i, {OVERLAP_N}), ' '), 'UTF-8')))"
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+        # consumed three times (pair join both sides + totals)
+        .localCheckpoint(eager=False)
+    )
+    totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, "gh")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            totals.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            totals.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            round_portable(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _overlap_gram_sql() -> str:
+    n = OVERLAP_N
+    return f"""
+    SELECT DISTINCT source,
+           md5(array_to_string(t[i:i + {n - 1}], ' ')) AS gh
+    FROM (SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents)
+         , UNNEST(range(1, len(t) - {n - 2})) AS r(i)
+    WHERE len(t) >= {n}
+    """
+
+
+ORACLE_TEXT_SOURCE_OVERLAP = f"""
+WITH grams AS ({_overlap_gram_sql()}),
+totals AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY source),
+shared AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+    FROM grams a JOIN grams b USING (gh)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.n_shared, ta.n AS n_a, tb.n AS n_b,
+       {round_portable_sql("s.n_shared / (ta.n + tb.n - s.n_shared)", 6)} AS jaccard
+FROM shared s
+JOIN totals ta ON ta.source = s.source_a
+JOIN totals tb ON tb.source = s.source_b
 """

@@ -86,9 +86,9 @@ def _load() -> None:
     to the r7-checked 32-bit/2x16 blocking, so a changed default —
     not the parameterization itself — is the trigger); (3) the 50
     r6-checked rows, stalest-first (file order below); (4) net-new
-    round-8 registrations (`sim_ann_recall_at_k`, `text_dup_spans_lcp`
-    — both sf0.001+sf0.01 oracle-green at registration) wait behind
-    all three blocks."""
+    round-8 registrations (`sim_ann_recall_at_k`, `text_dup_spans_lcp`,
+    `text_source_overlap` — each sf0.001+sf0.01 oracle-green at
+    registration) wait behind all three blocks."""
     if _QUERIES:
         return
 
@@ -693,6 +693,11 @@ def _load() -> None:
         "text_dup_spans_lcp",
         text_dedup.query_text_dup_spans_lcp,
         text_dedup.ORACLE_TEXT_DUP_SPANS_LCP,
+    )
+    register(
+        "text_source_overlap",
+        text_signals.query_text_source_overlap,
+        text_signals.ORACLE_TEXT_SOURCE_OVERLAP,
     )
 
 
