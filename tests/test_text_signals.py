@@ -37,3 +37,23 @@ def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
     if n_en >= 50:
         frac_en = (a["lang"] == "en").sum() / n_en
         assert 0.3 < frac_en < 0.7  # rate 0.5 ± hash noise
+
+
+def test_source_overlap_invariants(spark, sf_dir):
+    """Cross-source overlap audit: every emitted pair is canonical
+    (a < b, so no mirror duplicates), shared counts are bounded by both
+    vocabularies, and Jaccard is the exact set formula on the reported
+    counts."""
+    from bigdata_project_spark.operators.text_signals import (
+        query_text_source_overlap,
+    )
+
+    out = query_text_source_overlap(spark, sf_dir).toPandas()
+    assert len(out)  # the fixture has real cross-source overlap
+    assert (out["source_a"] < out["source_b"]).all()
+    assert not out.duplicated(["source_a", "source_b"]).any()
+    assert (out["n_shared"] >= 1).all()
+    assert (out["n_shared"] <= out[["n_a", "n_b"]].min(axis=1)).all()
+    expect = out["n_shared"] / (out["n_a"] + out["n_b"] - out["n_shared"])
+    assert ((out["jaccard"] - expect).abs() <= 1e-6).all()
+    assert ((out["jaccard"] > 0) & (out["jaccard"] <= 1)).all()
