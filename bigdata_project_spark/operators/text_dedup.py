@@ -1147,7 +1147,13 @@ def query_text_dup_spans_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass, which is the small fraction a dedup corpus cares about — the
     property that holds at 100 TB.
     """
-    corpus = _corpus_with_dups(spark, sf_dir)
+    return lcp_profile(_corpus_with_dups(spark, sf_dir))
+
+
+def lcp_profile(corpus: DataFrame) -> DataFrame:
+    """The capped-LCP kernel over any (doc_id, text) frame — see
+    :func:`query_text_dup_spans_lcp` for the plan rationale. Split out
+    so the planted-corpus reference test can drive it directly."""
     toks = corpus.select("doc_id", tokens(F.col("text")).alias("t"))
     # level-SA_T pass over the whole corpus: one hash per position. Rows
     # are (doc_id, pos, ph) ONLY — carrying the token array through the

@@ -182,3 +182,69 @@ def test_lcp_profile_consistent_with_window_spans(spark, sf_dir):
     # capped profile is exercised at both ends
     assert has_dup_window.any()
     assert joined["max_lcp"].between(1, SA_CAP - 1).any()
+
+
+def test_lcp_profile_matches_bruteforce_on_planted_corpus(spark):
+    """The candidate-pruned capped-LCP kernel equals a brute-force
+    reference on a corpus planting every boundary: sub-threshold (4),
+    exact-threshold (5), mid (6/7), capped (8+) shared runs, a shared
+    run ending exactly at a doc's last SA_T tokens (the descending-
+    sequence guard case), within-doc repetition, and a dup-free doc."""
+    from bigdata_project_spark.operators.text_dedup import (
+        SA_CAP,
+        SA_T,
+        lcp_profile,
+    )
+
+    docs = {
+        # 10-token run shared with doc 2 -> capped lcp = 8 at offsets 0/1
+        1: "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 u1 u2",
+        2: "v1 r1 r2 r3 r4 r5 r6 r7 r8 r9 r10",
+        # exactly-5 shared run, AND it sits at the very END of doc 3 so
+        # the level-6..8 melt would see sequence(6, 5) without the guard
+        3: "w1 w2 w3 f1 f2 f3 f4 f5",
+        4: "f1 f2 f3 f4 f5 x1 x2 x3",
+        # 6-gram repeated INSIDE one doc (within-doc duplication)
+        5: "s1 s2 s3 s4 s5 s6 z1 s1 s2 s3 s4 s5 s6",
+        # 4-token shared run: below SA_T, must stay invisible
+        6: "q1 q2 q3 q4 y1 y2 y3 y4 y5",
+        7: "y9 q1 q2 q3 q4 y8 y7 y6 y5b",
+        # dup-free doc
+        8: "n1 n2 n3 n4 n5 n6 n7",
+    }
+    toks = {d: t.split() for d, t in docs.items()}
+    grams = {}
+    for d, ts in toks.items():
+        for i in range(len(ts)):
+            for n in range(SA_T, SA_CAP + 1):
+                if i + n <= len(ts):
+                    grams.setdefault((n, " ".join(ts[i : i + n])), []).append(
+                        (d, i)
+                    )
+    expect = {}
+    for d, ts in toks.items():
+        lcps = []
+        for i in range(len(ts)):
+            best = 0
+            for n in range(SA_T, SA_CAP + 1):
+                if i + n <= len(ts) and len(grams[(n, " ".join(ts[i : i + n]))]) >= 2:
+                    best = n
+            if best:
+                lcps.append(best)
+        expect[d] = (len(ts), len(lcps), max(lcps, default=0))
+
+    corpus = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_pos"], r["max_lcp"])
+        for r in lcp_profile(corpus).collect()
+    }
+    assert got == expect
+    # sanity on the plants themselves: cap reached, threshold-exact run
+    # found on both sides of the guard case, sub-threshold invisible
+    assert expect[1][2] == SA_CAP and expect[2][2] == SA_CAP
+    assert expect[3][2] == SA_T and expect[4][2] == SA_T
+    assert expect[5][2] == 6
+    assert expect[6] == (9, 0, 0) and expect[7] == (9, 0, 0)
+    assert expect[8] == (7, 0, 0)
