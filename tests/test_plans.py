@@ -431,3 +431,24 @@ def test_q6_predicates_push_to_scan(spark, sf_dir):
     assert "l_extendedprice" in schema and "l_orderkey" not in schema
     assert "Exchange" in plan  # exactly the 1-row final aggregate
     assert plan.count("HashAggregate") == 2  # partial + final, nothing more
+
+
+def test_corpus_audit_joins_survive_disabled_auto_broadcast(spark, sf_dir):
+    """The round-8 net-new corpus queries keep 100 TB-safe join shapes:
+    with auto-broadcast off (simulating gram/candidate relations too big
+    to broadcast), the source-overlap gram self-join and the LCP
+    candidate/token joins must fall back to shuffled joins on their
+    equi keys — never a cartesian/BNLJ — and still execute."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("text_source_overlap", "text_dup_spans_lcp"):
+            df = registry.queries()[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "BroadcastHashJoin" not in plan, name  # nothing hinted
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+            assert df.count() >= 0  # plan executes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
