@@ -639,8 +639,15 @@ def simhash_band_nibbles(
     shuffle shape is unchanged.
     """
     # md5 supplies exactly four 32-bit words — beyond 128 bits the
-    # substring slices would read past the hex and hash to constant 0
-    if bits % 32 or not 32 <= bits <= 128 or bits % band_bits or not 0 < band_bits <= 16:
+    # substring slices would read past the hex and hash to constant 0.
+    # band_bits range is checked FIRST so band_bits=0 raises this
+    # ValueError, not a bare ZeroDivisionError from the modulo
+    if (
+        not 0 < band_bits <= 16
+        or bits % 32
+        or not 32 <= bits <= 128
+        or bits % band_bits
+    ):
         raise ValueError(f"unsupported simhash geometry {bits}/{band_bits}")
     nbands = bits // band_bits
     md5 = F.md5(F.encode(F.col("w"), "UTF-8"))
@@ -702,6 +709,9 @@ def simhash_band_pair_keys(
     The melt is per-row — same shuffle shape at either width; only the
     aggregate width and key selectivity change.
     """
+    # nibbles validates the geometry (incl. band_bits > 0) before any
+    # division here
+    nibs = simhash_band_nibbles(corpus, bits=bits, band_bits=band_bits)
     nbands = bits // band_bits
     # the ≤2-flip pigeonhole needs ≥2 clean bands to form one clean
     # pair, i.e. ≥4 bands — e.g. 32/16 (2 bands) would silently drop
@@ -710,7 +720,6 @@ def simhash_band_pair_keys(
         raise ValueError(
             f"band-pair blocking needs >= 4 bands, got {nbands} ({bits}/{band_bits})"
         )
-    nibs = simhash_band_nibbles(corpus, bits=bits, band_bits=band_bits)
     entries = F.array(
         *[
             F.struct(

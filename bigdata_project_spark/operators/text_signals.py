@@ -531,19 +531,18 @@ def query_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources, swap the pairwise join for per-gram source-bitmap
     aggregation — the melt and distinct are unchanged.
     """
+    from bigdata_project_spark.operators.text_dedup import shingle_rows_raw
+
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("source", tokens(F.col("text")).alias("t")).filter(
-        F.size("t") >= OVERLAP_N
-    )
+    # the shared gram melt, keyed by source instead of doc_id; md5 makes
+    # the distinct/join key fixed-width
     grams = (
-        toked.select(
-            "source",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(t) - {OVERLAP_N - 1}),"
-                    f" i -> md5(encode(array_join(slice(t, i, {OVERLAP_N}), ' '), 'UTF-8')))"
-                )
-            ).alias("gh"),
+        shingle_rows_raw(
+            docs.select(F.col("source").alias("doc_id"), "text"), OVERLAP_N
+        )
+        .select(
+            F.col("doc_id").alias("source"),
+            F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("gh"),
         )
         .distinct()
         # consumed three times (pair join both sides + totals)

@@ -37,7 +37,9 @@ the fold orchestration here is unchanged by that swap.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +49,9 @@ from bigdata_project_spark.operators.merge import merge_keyed
 from bigdata_project_spark.sources.readers import load_table
 
 _COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "batch_id"]
+
+#: application staging trees with an atexit cleanup already registered
+_CLEANUP_REGISTERED: set[str] = set()
 
 
 def _stage_batches(spark: SparkSession, sf_dir: str, base: str) -> list[str]:
@@ -85,12 +90,18 @@ def query_bronze_incremental_batches(spark: SparkSession, sf_dir: str) -> DataFr
     # per invocation, while the applicationId segment keeps concurrent
     # processes (parallel oracle sweeps / A/B benches) from overwriting
     # each other's landing dirs mid-read
-    base = os.path.join(
+    app_dir = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_incr_ingest",
         spark.sparkContext.applicationId,
-        sf_dir.strip("/").replace("/", "_"),
     )
+    base = os.path.join(app_dir, sf_dir.strip("/").replace("/", "_"))
+    # one cleanup per application tree, else every process run would
+    # leave an orphan staging tree behind (the leak the fixed path
+    # exists to prevent)
+    if app_dir not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(app_dir)
+        atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
     b1, b2, b3 = (spark.read.parquet(p) for p in _stage_batches(spark, sf_dir, base))
     state = b1.select(*_COLS)
     for batch in (b2, b3, b3):  # b3 twice: the idempotency re-run

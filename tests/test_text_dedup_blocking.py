@@ -101,3 +101,7 @@ def test_unsupported_geometry_rejected(spark, sf_dir):
     # 2 bands cannot give the <=2-flip one-clean-pair pigeonhole
     with pytest.raises(ValueError):
         simhash_band_pair_keys(corpus, bits=32, band_bits=16)
+    # band_bits=0 must raise the documented ValueError, not a bare
+    # ZeroDivisionError from the geometry modulo
+    with pytest.raises(ValueError):
+        simhash_band_pair_keys(corpus, bits=32, band_bits=0)
