@@ -60,35 +60,32 @@ def _load() -> None:
     guarantees no query's last driver row ever trails by more than
     that, and no query ships two rounds without a row.
 
-    Round 8 window, exactly as the r7 verdict queued it: (1) the 11
-    r4-stale aggregate-family rows deferred from the r7 window — at
-    round 8 they trail 4 rounds, the hard ceiling (agg_pricing_summary,
-    agg_top_customers, agg_pivot_status, agg_rollup_summary,
-    agg_cube_summary, agg_grouping_sets, agg_distinct_counts,
-    agg_approx_distinct, agg_percentiles, set_ops, cogroup_activity);
-    (2) behavior-touched rows whose last driver row predates the
-    change: graph_triangles (r7 degree orientation),
-    layout_zorder_extents + feature_binning_equidepth (r7
-    distributed-ntile rework), stream_transitions (r8 vectorized
-    stateful worker); (3) the 2 never-driver-checked net-new from r7
-    (bronze_incremental_batches, silver_zones_geom); (4) 33 of the 36
-    remaining r5-stale rows. 53 candidates for 50 slots: the deferral
-    trio is silver_ine_empresas + silver_ine_poblacion (one static
-    family, sibling silver_ine_renta r6-green, pytest-parity green
-    every run) and agg_approx_quantiles (same analytics shape class as
-    the r4 block being re-rowed this round) — the structurally least
-    risky of the r5 set.
+    Round 9 window, per the r8 verdict's top-next correction: (1) the
+    3 r5-stale hard-ceiling rows deferred from the r8 window — at
+    round 9 they trail 4 rounds (silver_ine_empresas,
+    silver_ine_poblacion, agg_approx_quantiles); (2) the 3
+    never-driver-checked net-new from round 8 (sim_ann_recall_at_k,
+    text_dup_spans_lcp, text_source_overlap) — rule (1) rows the r8
+    pre-staging wrongly queued behind the r6 block; (3) 44 of the 50
+    r6-stale rows, stalest-first (file order). 3+3+44 = 50 exactly;
+    the 6 deferred r6 rows (text_pii_redact, text_quality_score,
+    text_repetition, text_tfidf, text_token_stats, text_vocab_topk —
+    one static text-analysis family, every sibling re-rowed this
+    round, pytest-parity green every run) lead the r10 queue at their
+    own 4-round ceiling.
 
-    Round 9 queue (in priority order, pre-staged directly after slot
-    50): (1) the 3 deferred r5 rows above — at round 9 they trail 4
-    rounds, hard ceiling; (2) dedup_fuzzy_lev IF round-8 commits change
-    its default behavior (the r8 width/bands parameterization defaults
-    to the r7-checked 32-bit/2x16 blocking, so a changed default —
-    not the parameterization itself — is the trigger); (3) the 50
-    r6-checked rows, stalest-first (file order below); (4) net-new
-    round-8 registrations (`sim_ann_recall_at_k`, `text_dup_spans_lcp`,
-    `text_source_overlap` — each sf0.001+sf0.01 oracle-green at
-    registration) wait behind all three blocks."""
+    dedup_fuzzy_lev owes NO r9 row: its r9-queue condition was "IF
+    round-8 commits change its default behavior", and the r8
+    width/bands parameterization kept the r7-checked 32-bit/2x16
+    blocking default — the trigger did not fire. It rotates in the r10
+    queue as ordinary r7-checked stale.
+
+    Round 10 queue (in priority order, pre-staged directly after slot
+    50): (1) net-new round-9 registrations (never-driver-checked —
+    rule (1) fills the next window first, the r8 verdict correction);
+    (2) the 6 r6-deferred rows above, at their hard ceiling; (3) the
+    r7-checked rows, stalest-first, dedup_fuzzy_lev leading for
+    auditability; (4) the 50 r8-checked rows wait for ~r11."""
     if _QUERIES:
         return
 
@@ -150,7 +147,360 @@ def _load() -> None:
         windows as stream_windows,
     )
 
-    # ---- r8 block 1: the 11 r4-stale rows (4-round hard ceiling) ----
+    # ---- r9 block 1: the 3 r5-stale rows (4-round hard ceiling at r9) ----
+    register(
+        "silver_ine_empresas", silver_ine.query_ine_empresas, silver_ine.ORACLE_INE_EMPRESAS
+    )
+    register(
+        "silver_ine_poblacion",
+        silver_ine.query_ine_poblacion,
+        silver_ine.ORACLE_INE_POBLACION,
+    )
+    register(
+        "agg_approx_quantiles",
+        _an0.query_approx_quantiles,
+        _an0.ORACLE_APPROX_QUANTILES,
+    )
+
+    # ---- r9 block 2: never-driver-checked net-new from round 8 ----------
+    register(
+        "sim_ann_recall_at_k",
+        ivf.query_ann_recall_at_k,
+        ivf.ORACLE_ANN_RECALL_AT_K,
+    )
+    register(
+        "text_dup_spans_lcp",
+        text_dedup.query_text_dup_spans_lcp,
+        text_dedup.ORACLE_TEXT_DUP_SPANS_LCP,
+    )
+    register(
+        "text_source_overlap",
+        text_signals.query_text_source_overlap,
+        text_signals.ORACLE_TEXT_SOURCE_OVERLAP,
+    )
+
+    # ---- r9 block 3: 44 of the 50 r6-stale rows, stalest-first ----------
+    register(
+        "agg_large_orders",
+        starjoins.query_large_orders,
+        starjoins.ORACLE_LARGE_ORDERS,
+    )
+    register(
+        "agg_market_share",
+        starjoins.query_market_share,
+        starjoins.ORACLE_MARKET_SHARE,
+    )
+    register(
+        "agg_order_priority",
+        starjoins.query_order_priority,
+        starjoins.ORACLE_ORDER_PRIORITY,
+    )
+    register(
+        "agg_promo_revenue",
+        starjoins.query_promo_revenue,
+        starjoins.ORACLE_PROMO_REVENUE,
+    )
+    register(
+        "agg_region_revenue",
+        starjoins.query_region_revenue,
+        starjoins.ORACLE_REGION_REVENUE,
+    )
+    register(
+        "agg_returned_items",
+        starjoins.query_returned_items,
+        starjoins.ORACLE_RETURNED_ITEMS,
+    )
+    register(
+        "agg_shipping_priority",
+        starjoins.query_shipping_priority,
+        starjoins.ORACLE_SHIPPING_PRIORITY,
+    )
+    register(
+        "agg_volume_shipping",
+        starjoins.query_volume_shipping,
+        starjoins.ORACLE_VOLUME_SHIPPING,
+    )
+    register("bronze_holidays_json", holidays_json.query, holidays_json.ORACLE)
+    register(
+        "bronze_merge_keyed",
+        bronze_merge.query_merge_keyed,
+        bronze_merge.ORACLE_MERGE_KEYED,
+    )
+    register("dedup_embedding_cosine", similarity.query_dedup_embedding, similarity.ORACLE_DEDUP_EMBEDDING)
+    register("dedup_exact", text_dedup.query_dedup_exact, text_dedup.ORACLE_DEDUP_EXACT)
+    register("dedup_simhash", text_dedup.query_dedup_simhash, text_dedup.ORACLE_DEDUP_SIMHASH)
+    register(
+        "emb_label_centroids",
+        embedding_stats.query_emb_label_centroids,
+        embedding_stats.ORACLE_EMB_LABEL_CENTROIDS,
+    )
+    register(
+        "events_anomaly_zscore",
+        timeseries.query_events_anomaly_zscore,
+        timeseries.ORACLE_EVENTS_ANOMALY_ZSCORE,
+    )
+    register(
+        "feature_binning",
+        profiling.query_feature_binning,
+        profiling.ORACLE_FEATURE_BINNING,
+    )
+    register("gold_od_daily", gold.query_gold_od_daily, gold.ORACLE_GOLD_OD_DAILY)
+    register(
+        "join_asof",
+        _ar.query_asof_click_before_purchase,
+        _ar.ORACLE_ASOF,
+    )
+    register(
+        "join_asof_forward",
+        _ar.query_asof_next_purchase,
+        _ar.ORACLE_ASOF_FORWARD,
+    )
+    register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
+    register(
+        "multimodal_dedup_binary",
+        binary_ops.query_multimodal_dedup_binary,
+        binary_ops.ORACLE_MULTIMODAL_DEDUP_BINARY,
+    )
+    register("multimodal_features", binary_ops.query_features, binary_ops.ORACLE_FEATURES)
+    register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
+    register(
+        "pipeline_domain_mixture",
+        packing.query_domain_mixture,
+        packing.ORACLE_DOMAIN_MIXTURE,
+    )
+    register(
+        "pipeline_sample_stratified",
+        text_signals.query_sample_stratified,
+        text_signals.ORACLE_SAMPLE_STRATIFIED,
+    )
+    register("pipeline_train_val_split", clean_corpus.query_train_val_split, clean_corpus.ORACLE_TRAIN_VAL_SPLIT)
+    register(
+        "profile_columns",
+        profiling.query_profile_columns,
+        profiling.ORACLE_PROFILE_COLUMNS,
+    )
+    register(
+        "scd2_event_type",
+        profiling.query_scd2_event_type,
+        profiling.ORACLE_SCD2_EVENT_TYPE,
+    )
+    register(
+        "silver_distances",
+        silver_distances.query_distances,
+        silver_distances.ORACLE_DISTANCES,
+    )
+    register("silver_ine_renta", silver_ine.query_ine_renta, silver_ine.ORACLE_INE_RENTA)
+    register(
+        "silver_overnights",
+        silver_people_day.query_overnights,
+        silver_people_day.ORACLE_OVERNIGHTS,
+    )
+    register("silver_people_day", silver_people_day.query, silver_people_day.ORACLE)
+    register("silver_zones", silver_distances.query_zones, silver_distances.ORACLE_ZONES)
+    register(
+        "silver_zones_wkt",
+        silver_distances.query_zones_wkt,
+        silver_distances.ORACLE_ZONES_WKT,
+    )
+    register("sim_ann_lsh_buckets", similarity.query_ann_lsh_buckets, similarity.ORACLE_ANN_LSH)
+    register("sim_cosine_topk", similarity.query_cosine_topk, similarity.ORACLE_COSINE_TOPK)
+    register("sim_neardup_pairs", similarity.query_neardup_pairs, similarity.ORACLE_NEARDUP_PAIRS)
+    register(
+        "spatial_point_in_zone",
+        spatial_join.query_point_in_zone,
+        spatial_join.ORACLE_POINT_IN_ZONE,
+    )
+    register("text_bigram_lm", text_signals.query_text_bigram_lm, text_signals.ORACLE_TEXT_BIGRAM_LM)
+    register(
+        "text_bpe_encode",
+        bpe.query_bpe_encode,
+        bpe.oracle_bpe_encode_sql(),
+        oracle_builder=bpe.oracle_bpe_encode_sql,
+    )
+    register(
+        "text_bpe_merges",
+        bpe.query_bpe_merges,
+        bpe.oracle_bpe_merges_sql(),
+        oracle_builder=bpe.oracle_bpe_merges_sql,
+    )
+    register(
+        "text_decontaminate",
+        text_signals.query_text_decontaminate,
+        text_signals.ORACLE_TEXT_DECONTAMINATE,
+    )
+    register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
+    register("text_lang_id", text_analysis.query_lang_id, text_analysis.ORACLE_LANG_ID)
+
+    # ---------------- 50-query driver window ends here -------------------
+    # round-10 queue block 1: net-new round-9 registrations land HERE,
+    # directly after slot 50, per rotation rule (1) — never-checked fill
+    # the next window first (the r8 verdict correction).
+
+    # round-10 queue block 2: the 6 r6-deferred rows (hard ceiling at r10)
+    register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)
+    register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
+    register("text_repetition", text_signals.query_text_repetition, text_signals.ORACLE_TEXT_REPETITION)
+    register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
+    register("text_token_stats", text_analysis.query_token_stats, text_analysis.ORACLE_TOKEN_STATS)
+    register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
+
+    # round-10 queue block 3: r7-checked, stalest-first. dedup_fuzzy_lev
+    # leads for auditability: its r9-queue condition did NOT fire (the r8
+    # width/bands parameterization kept the r7-checked 32-bit/2x16
+    # default), so no r9 row was owed; it rotates here as ordinary
+    # r7-checked stale.
+    register("dedup_fuzzy_lev", text_dedup.query_dedup_fuzzy_lev, text_dedup.ORACLE_DEDUP_FUZZY_LEV)
+    register(
+        "agg_best_supplier",
+        starjoins2.query_best_supplier,
+        starjoins2.ORACLE_BEST_SUPPLIER,
+    )
+    register(
+        "agg_bracket_revenue",
+        starjoins.query_bracket_revenue,
+        starjoins.ORACLE_BRACKET_REVENUE,
+    )
+    register(
+        "agg_customer_distribution",
+        starjoins2.query_customer_distribution,
+        starjoins2.ORACLE_CUSTOMER_DISTRIBUTION,
+    )
+    register(
+        "agg_dominant_suppliers",
+        starjoins2.query_dominant_suppliers,
+        starjoins2.ORACLE_DOMINANT_SUPPLIERS,
+    )
+    register(
+        "agg_dormant_customers",
+        starjoins2.query_dormant_customers,
+        starjoins2.ORACLE_DORMANT_CUSTOMERS,
+    )
+    register(
+        "agg_forecast_revenue",
+        starjoins2.query_forecast_revenue,
+        starjoins2.ORACLE_FORECAST_REVENUE,
+    )
+    register(
+        "agg_late_by_class",
+        starjoins2.query_late_by_class,
+        starjoins2.ORACLE_LATE_BY_CLASS,
+    )
+    register(
+        "agg_nation_profit",
+        starjoins2.query_nation_profit,
+        starjoins2.ORACLE_NATION_PROFIT,
+    )
+    register(
+        "agg_retention_cohort",
+        funnel.query_retention_cohort,
+        funnel.ORACLE_RETENTION_COHORT,
+    )
+    register(
+        "agg_small_qty_revenue",
+        starjoins2.query_small_quantity_revenue,
+        starjoins2.ORACLE_SMALL_QUANTITY_REVENUE,
+    )
+    register(
+        "agg_supplier_part_counts",
+        starjoins2.query_supplier_part_counts,
+        starjoins2.ORACLE_SUPPLIER_PART_COUNTS,
+    )
+    register(
+        "agg_top_supplier",
+        starjoins2.query_top_supplier,
+        starjoins2.ORACLE_TOP_SUPPLIER,
+    )
+    register(
+        "agg_unpivot_measures",
+        _an1.query_unpivot_measures,
+        _an1.ORACLE_UNPIVOT_MEASURES,
+    )
+    register(
+        "agg_waiting_suppliers",
+        starjoins2.query_waiting_suppliers,
+        starjoins2.ORACLE_WAITING_SUPPLIERS,
+    )
+    register(
+        "bronze_merge_all_columns",
+        bronze_merge.query_merge_all_columns,
+        bronze_merge.ORACLE_MERGE_ALL,
+    )
+    register(
+        "dedup_cluster_cc",
+        dedup_cluster.query_dedup_cluster_cc,
+        dedup_cluster.ORACLE_DEDUP_CLUSTER_CC,
+    )
+    register("dedup_minhash_lsh", text_dedup.query_dedup_minhash_lsh, text_dedup.ORACLE_DEDUP_MINHASH_LSH)
+    register("dedup_ngram_jaccard", text_dedup.query_dedup_ngram_jaccard, text_dedup.ORACLE_DEDUP_NGRAM_JACCARD)
+    register(
+        "dedup_semantic",
+        semdedup.query_dedup_semantic,
+        semdedup.ORACLE_DEDUP_SEMANTIC,
+    )
+    register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
+    register("emb_gram_matrix", graph.query_emb_gram_matrix, graph.ORACLE_EMB_GRAM_MATRIX)
+    register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
+    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
+    register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
+    register("events_time_rollup", event_windows.query_time_rollup, event_windows.ORACLE_TIME_ROLLUP)
+    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
+    register("events_variant_props", analytics.query_variant_props, analytics.ORACLE_VARIANT_PROPS)
+    register(
+        "graph_bfs_distance",
+        _gr0.query_graph_bfs_distance,
+        _gr0.ORACLE_GRAPH_BFS_DISTANCE,
+    )
+    register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
+    register(
+        "join_interval_clicks",
+        event_windows.query_interval_join_clicks,
+        event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
+    )
+    register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
+    register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
+    register(
+        "layout_bucketed_join",
+        bucketing.query_bucketed_join_revenue,
+        bucketing.ORACLE_BUCKETED_JOIN,
+    )
+    register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
+    register(
+        "pipeline_dedup_canonical",
+        dedup_cluster.query_dedup_canonical,
+        dedup_cluster.ORACLE_DEDUP_CANONICAL,
+    )
+    register(
+        "pipeline_global_shuffle",
+        ordering.query_global_shuffle,
+        ordering.ORACLE_GLOBAL_SHUFFLE,
+    )
+    register("silver_od", silver_od.query, silver_od.ORACLE)
+    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, ivf.ORACLE_IVF_KMEANS_TOPK)
+    register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
+    register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
+    register("skew_salted_agg", skew.query_skew_salted_agg, skew.ORACLE_SKEW_SALTED_AGG)
+    register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
+    register(
+        "stream_dedup",
+        _sw0.query_stream_dedup,
+        _sw0.ORACLE_STREAM_DEDUP,
+    )
+    register(
+        "stream_upsert_sink",
+        stream_windows.query_stream_upsert_sink,
+        stream_windows.ORACLE_STREAM_UPSERT,
+    )
+    register(
+        "text_char_entropy",
+        corpus_quality.query_text_char_entropy,
+        corpus_quality.ORACLE_TEXT_CHAR_ENTROPY,
+    )
+    register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
+    register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
+    register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
+    register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)
+
+    # ---- r8-checked (freshest): rotate back in at ~r11 ------------------
     register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
     register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
     register("agg_pivot_status", analytics.query_pivot_status, analytics.ORACLE_PIVOT_STATUS)
@@ -162,8 +512,6 @@ def _load() -> None:
     register("agg_percentiles", asof_range.query_percentiles_by_type, asof_range.ORACLE_PERCENTILES)
     register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
     register("cogroup_activity", analytics.query_cogroup_activity, analytics.ORACLE_COGROUP_ACTIVITY)
-
-    # ---- r8 block 2: behavior-touched (r7 graph/ntile, r8 stream) ----
     register(
         "graph_triangles",
         graph.query_graph_triangles,
@@ -184,8 +532,6 @@ def _load() -> None:
         stream_stateful.query_stream_transitions,
         funnel.ORACLE_EVENTS_TRANSITIONS,
     )
-
-    # ---- r8 block 3: never-driver-checked net-new from round 7 -------
     register(
         "bronze_incremental_batches",
         incremental.query_bronze_incremental_batches,
@@ -196,8 +542,6 @@ def _load() -> None:
         silver_distances.query_zones_geom,
         silver_distances.ORACLE_ZONES_WKT,
     )
-
-    # ---- r8 block 4: 33 of the 36 remaining r5-stale rows ------------
     register(
         "cdc_snapshot_diff",
         cdc.query_cdc_snapshot_diff,
@@ -353,351 +697,6 @@ def _load() -> None:
         "win_range_7d",
         _ew.query_win_range_7d,
         _ew.ORACLE_WIN_RANGE_7D,
-    )
-
-    # ---------------- 50-query driver window ends here -------------------
-    # round-9 queue block 1: the 3 deferred r5 rows (hard ceiling at r9)
-    register(
-        "silver_ine_empresas", silver_ine.query_ine_empresas, silver_ine.ORACLE_INE_EMPRESAS
-    )
-    register(
-        "silver_ine_poblacion",
-        silver_ine.query_ine_poblacion,
-        silver_ine.ORACLE_INE_POBLACION,
-    )
-    register(
-        "agg_approx_quantiles",
-        _an0.query_approx_quantiles,
-        _an0.ORACLE_APPROX_QUANTILES,
-    )
-
-    # round-9 queue block 2: r8 behavior-touched if the default changes
-    register("dedup_fuzzy_lev", text_dedup.query_dedup_fuzzy_lev, text_dedup.ORACLE_DEDUP_FUZZY_LEV)
-
-    # round-9 queue block 3: r6-checked, stalest-first ---------------------
-    register(
-        "agg_large_orders",
-        starjoins.query_large_orders,
-        starjoins.ORACLE_LARGE_ORDERS,
-    )
-    register(
-        "agg_market_share",
-        starjoins.query_market_share,
-        starjoins.ORACLE_MARKET_SHARE,
-    )
-    register(
-        "agg_order_priority",
-        starjoins.query_order_priority,
-        starjoins.ORACLE_ORDER_PRIORITY,
-    )
-    register(
-        "agg_promo_revenue",
-        starjoins.query_promo_revenue,
-        starjoins.ORACLE_PROMO_REVENUE,
-    )
-    register(
-        "agg_region_revenue",
-        starjoins.query_region_revenue,
-        starjoins.ORACLE_REGION_REVENUE,
-    )
-    register(
-        "agg_returned_items",
-        starjoins.query_returned_items,
-        starjoins.ORACLE_RETURNED_ITEMS,
-    )
-    register(
-        "agg_shipping_priority",
-        starjoins.query_shipping_priority,
-        starjoins.ORACLE_SHIPPING_PRIORITY,
-    )
-    register(
-        "agg_volume_shipping",
-        starjoins.query_volume_shipping,
-        starjoins.ORACLE_VOLUME_SHIPPING,
-    )
-    register("bronze_holidays_json", holidays_json.query, holidays_json.ORACLE)
-    register(
-        "bronze_merge_keyed",
-        bronze_merge.query_merge_keyed,
-        bronze_merge.ORACLE_MERGE_KEYED,
-    )
-    register("dedup_embedding_cosine", similarity.query_dedup_embedding, similarity.ORACLE_DEDUP_EMBEDDING)
-    register("dedup_exact", text_dedup.query_dedup_exact, text_dedup.ORACLE_DEDUP_EXACT)
-    register("dedup_simhash", text_dedup.query_dedup_simhash, text_dedup.ORACLE_DEDUP_SIMHASH)
-    register(
-        "emb_label_centroids",
-        embedding_stats.query_emb_label_centroids,
-        embedding_stats.ORACLE_EMB_LABEL_CENTROIDS,
-    )
-    register(
-        "events_anomaly_zscore",
-        timeseries.query_events_anomaly_zscore,
-        timeseries.ORACLE_EVENTS_ANOMALY_ZSCORE,
-    )
-    register(
-        "feature_binning",
-        profiling.query_feature_binning,
-        profiling.ORACLE_FEATURE_BINNING,
-    )
-    register("gold_od_daily", gold.query_gold_od_daily, gold.ORACLE_GOLD_OD_DAILY)
-    register(
-        "join_asof",
-        _ar.query_asof_click_before_purchase,
-        _ar.ORACLE_ASOF,
-    )
-    register(
-        "join_asof_forward",
-        _ar.query_asof_next_purchase,
-        _ar.ORACLE_ASOF_FORWARD,
-    )
-    register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
-    register(
-        "multimodal_dedup_binary",
-        binary_ops.query_multimodal_dedup_binary,
-        binary_ops.ORACLE_MULTIMODAL_DEDUP_BINARY,
-    )
-    register("multimodal_features", binary_ops.query_features, binary_ops.ORACLE_FEATURES)
-    register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
-    register(
-        "pipeline_domain_mixture",
-        packing.query_domain_mixture,
-        packing.ORACLE_DOMAIN_MIXTURE,
-    )
-    register(
-        "pipeline_sample_stratified",
-        text_signals.query_sample_stratified,
-        text_signals.ORACLE_SAMPLE_STRATIFIED,
-    )
-    register("pipeline_train_val_split", clean_corpus.query_train_val_split, clean_corpus.ORACLE_TRAIN_VAL_SPLIT)
-    register(
-        "profile_columns",
-        profiling.query_profile_columns,
-        profiling.ORACLE_PROFILE_COLUMNS,
-    )
-    register(
-        "scd2_event_type",
-        profiling.query_scd2_event_type,
-        profiling.ORACLE_SCD2_EVENT_TYPE,
-    )
-    register(
-        "silver_distances",
-        silver_distances.query_distances,
-        silver_distances.ORACLE_DISTANCES,
-    )
-    register("silver_ine_renta", silver_ine.query_ine_renta, silver_ine.ORACLE_INE_RENTA)
-    register(
-        "silver_overnights",
-        silver_people_day.query_overnights,
-        silver_people_day.ORACLE_OVERNIGHTS,
-    )
-    register("silver_people_day", silver_people_day.query, silver_people_day.ORACLE)
-    register("silver_zones", silver_distances.query_zones, silver_distances.ORACLE_ZONES)
-    register(
-        "silver_zones_wkt",
-        silver_distances.query_zones_wkt,
-        silver_distances.ORACLE_ZONES_WKT,
-    )
-    register("sim_ann_lsh_buckets", similarity.query_ann_lsh_buckets, similarity.ORACLE_ANN_LSH)
-    register("sim_cosine_topk", similarity.query_cosine_topk, similarity.ORACLE_COSINE_TOPK)
-    register("sim_neardup_pairs", similarity.query_neardup_pairs, similarity.ORACLE_NEARDUP_PAIRS)
-    register(
-        "spatial_point_in_zone",
-        spatial_join.query_point_in_zone,
-        spatial_join.ORACLE_POINT_IN_ZONE,
-    )
-    register("text_bigram_lm", text_signals.query_text_bigram_lm, text_signals.ORACLE_TEXT_BIGRAM_LM)
-    register(
-        "text_bpe_encode",
-        bpe.query_bpe_encode,
-        bpe.oracle_bpe_encode_sql(),
-        oracle_builder=bpe.oracle_bpe_encode_sql,
-    )
-    register(
-        "text_bpe_merges",
-        bpe.query_bpe_merges,
-        bpe.oracle_bpe_merges_sql(),
-        oracle_builder=bpe.oracle_bpe_merges_sql,
-    )
-    register(
-        "text_decontaminate",
-        text_signals.query_text_decontaminate,
-        text_signals.ORACLE_TEXT_DECONTAMINATE,
-    )
-    register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
-    register("text_lang_id", text_analysis.query_lang_id, text_analysis.ORACLE_LANG_ID)
-    register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)
-    register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
-    register("text_repetition", text_signals.query_text_repetition, text_signals.ORACLE_TEXT_REPETITION)
-    register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
-    register("text_token_stats", text_analysis.query_token_stats, text_analysis.ORACLE_TOKEN_STATS)
-    register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
-
-    # ---- past the queue: driver-green in r7, unchanged -------------------
-    register(
-        "agg_best_supplier",
-        starjoins2.query_best_supplier,
-        starjoins2.ORACLE_BEST_SUPPLIER,
-    )
-    register(
-        "agg_bracket_revenue",
-        starjoins.query_bracket_revenue,
-        starjoins.ORACLE_BRACKET_REVENUE,
-    )
-    register(
-        "agg_customer_distribution",
-        starjoins2.query_customer_distribution,
-        starjoins2.ORACLE_CUSTOMER_DISTRIBUTION,
-    )
-    register(
-        "agg_dominant_suppliers",
-        starjoins2.query_dominant_suppliers,
-        starjoins2.ORACLE_DOMINANT_SUPPLIERS,
-    )
-    register(
-        "agg_dormant_customers",
-        starjoins2.query_dormant_customers,
-        starjoins2.ORACLE_DORMANT_CUSTOMERS,
-    )
-    register(
-        "agg_forecast_revenue",
-        starjoins2.query_forecast_revenue,
-        starjoins2.ORACLE_FORECAST_REVENUE,
-    )
-    register(
-        "agg_late_by_class",
-        starjoins2.query_late_by_class,
-        starjoins2.ORACLE_LATE_BY_CLASS,
-    )
-    register(
-        "agg_nation_profit",
-        starjoins2.query_nation_profit,
-        starjoins2.ORACLE_NATION_PROFIT,
-    )
-    register(
-        "agg_retention_cohort",
-        funnel.query_retention_cohort,
-        funnel.ORACLE_RETENTION_COHORT,
-    )
-    register(
-        "agg_small_qty_revenue",
-        starjoins2.query_small_quantity_revenue,
-        starjoins2.ORACLE_SMALL_QUANTITY_REVENUE,
-    )
-    register(
-        "agg_supplier_part_counts",
-        starjoins2.query_supplier_part_counts,
-        starjoins2.ORACLE_SUPPLIER_PART_COUNTS,
-    )
-    register(
-        "agg_top_supplier",
-        starjoins2.query_top_supplier,
-        starjoins2.ORACLE_TOP_SUPPLIER,
-    )
-    register(
-        "agg_unpivot_measures",
-        _an1.query_unpivot_measures,
-        _an1.ORACLE_UNPIVOT_MEASURES,
-    )
-    register(
-        "agg_waiting_suppliers",
-        starjoins2.query_waiting_suppliers,
-        starjoins2.ORACLE_WAITING_SUPPLIERS,
-    )
-    register(
-        "bronze_merge_all_columns",
-        bronze_merge.query_merge_all_columns,
-        bronze_merge.ORACLE_MERGE_ALL,
-    )
-    register(
-        "dedup_cluster_cc",
-        dedup_cluster.query_dedup_cluster_cc,
-        dedup_cluster.ORACLE_DEDUP_CLUSTER_CC,
-    )
-    register("dedup_minhash_lsh", text_dedup.query_dedup_minhash_lsh, text_dedup.ORACLE_DEDUP_MINHASH_LSH)
-    register("dedup_ngram_jaccard", text_dedup.query_dedup_ngram_jaccard, text_dedup.ORACLE_DEDUP_NGRAM_JACCARD)
-    register(
-        "dedup_semantic",
-        semdedup.query_dedup_semantic,
-        semdedup.ORACLE_DEDUP_SEMANTIC,
-    )
-    register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
-    register("emb_gram_matrix", graph.query_emb_gram_matrix, graph.ORACLE_EMB_GRAM_MATRIX)
-    register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
-    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
-    register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
-    register("events_time_rollup", event_windows.query_time_rollup, event_windows.ORACLE_TIME_ROLLUP)
-    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
-    register("events_variant_props", analytics.query_variant_props, analytics.ORACLE_VARIANT_PROPS)
-    register(
-        "graph_bfs_distance",
-        _gr0.query_graph_bfs_distance,
-        _gr0.ORACLE_GRAPH_BFS_DISTANCE,
-    )
-    register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
-    register(
-        "join_interval_clicks",
-        event_windows.query_interval_join_clicks,
-        event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
-    )
-    register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
-    register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
-    register(
-        "layout_bucketed_join",
-        bucketing.query_bucketed_join_revenue,
-        bucketing.ORACLE_BUCKETED_JOIN,
-    )
-    register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
-    register(
-        "pipeline_dedup_canonical",
-        dedup_cluster.query_dedup_canonical,
-        dedup_cluster.ORACLE_DEDUP_CANONICAL,
-    )
-    register(
-        "pipeline_global_shuffle",
-        ordering.query_global_shuffle,
-        ordering.ORACLE_GLOBAL_SHUFFLE,
-    )
-    register("silver_od", silver_od.query, silver_od.ORACLE)
-    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, ivf.ORACLE_IVF_KMEANS_TOPK)
-    register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
-    register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
-    register("skew_salted_agg", skew.query_skew_salted_agg, skew.ORACLE_SKEW_SALTED_AGG)
-    register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
-    register(
-        "stream_dedup",
-        _sw0.query_stream_dedup,
-        _sw0.ORACLE_STREAM_DEDUP,
-    )
-    register(
-        "stream_upsert_sink",
-        stream_windows.query_stream_upsert_sink,
-        stream_windows.ORACLE_STREAM_UPSERT,
-    )
-    register(
-        "text_char_entropy",
-        corpus_quality.query_text_char_entropy,
-        corpus_quality.ORACLE_TEXT_CHAR_ENTROPY,
-    )
-    register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
-    register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
-    register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
-    register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)
-
-    # ---- net-new round 8: waits behind the full round-9 queue ------------
-    register(
-        "sim_ann_recall_at_k",
-        ivf.query_ann_recall_at_k,
-        ivf.ORACLE_ANN_RECALL_AT_K,
-    )
-    register(
-        "text_dup_spans_lcp",
-        text_dedup.query_text_dup_spans_lcp,
-        text_dedup.ORACLE_TEXT_DUP_SPANS_LCP,
-    )
-    register(
-        "text_source_overlap",
-        text_signals.query_text_source_overlap,
-        text_signals.ORACLE_TEXT_SOURCE_OVERLAP,
     )
 
 
