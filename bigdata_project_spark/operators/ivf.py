@@ -27,13 +27,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
-from bigdata_project_spark.operators.similarity import _cos_sql, cosine
+from bigdata_project_spark.functions.scalars import round_portable_sql
+from bigdata_project_spark.operators.similarity import _cos_sql
 from bigdata_project_spark.sources.readers import load_table
 
 K_CELLS = 8
 N_ITERS = 3
 N_PROBE = 2
+TOP_K = 10  # neighbours returned by _probe_and_rank (and RECALL_K's base)
 
 
 def _round6(a: np.ndarray) -> np.ndarray:
@@ -114,9 +115,12 @@ def _probe_and_rank(
     cell_ids: np.ndarray,
     n_probe: int = N_PROBE,
     qv: "np.ndarray | None" = None,
+    k: int = TOP_K,
 ) -> DataFrame:
     """Probe the ``n_probe`` cells nearest the query (vec_id=0) and
-    exact-rank inside them: top-10 by (rounded cosine desc, vec_id asc).
+    exact-rank inside them: top-``k`` by (rounded cosine desc, vec_id
+    asc). ``k`` is threaded from the caller (the recall harness passes
+    RECALL_K) so numerator and denominator can never silently diverge.
 
     ``qv`` (the already-normalized query vector) lets sweep callers pay
     the 1-row driver collect once instead of once per probe level."""
@@ -146,7 +150,7 @@ def _probe_and_rank(
             )
 
     scored = cands.mapInPandas(score, schema="vec_id long, cell long, cos_sim double")
-    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
 def query_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,7 +174,7 @@ def query_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RECALL_PROBES = (1, 2, 4, K_CELLS)
-RECALL_K = 10
+RECALL_K = TOP_K
 
 
 def query_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,8 +188,14 @@ def query_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: cell assignment runs ONCE (localCheckpoint) and every probe
     level reuses it — the sweep adds only k-bounded rank work per
-    level; the exact side is the same single-query brute-force scan the
-    anchor query pays."""
+    level. The exact side IS the nprobe=K_CELLS probe (all cells =
+    brute force over every vector), scored by the SAME mapInPandas
+    BLAS kernel as the approximate levels — recall 1.0 at the
+    exhaustive level is true by construction, not contingent on two
+    summation orders (Spark column fold vs numpy matmul) agreeing at a
+    round-to-6 boundary. The DuckDB twin keeps its independent
+    brute-force exact CTE, so cross-engine parity still verifies the
+    kernel against a second implementation."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids, cell_ids = _seed_centroids(emb)
     # one assignment pass reused by all probe levels (the sweep's whole
@@ -196,26 +206,15 @@ def query_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _seed_centroids collects vec_id 0..K-1 ascending, so row 0 IS the
     # query vector — no second 1-row driver job for it
     qnorm = centroids[0] / np.linalg.norm(centroids[0])
-    qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
-    )
-    exact = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "vec_id",
-            round_portable(
-                cosine(F.col("embedding"), F.col("q_emb")), 6
-            ).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-        .limit(RECALL_K)
-        .select("vec_id")
-    )
+    exact = _probe_and_rank(
+        spark, emb, assigned, centroids, cell_ids,
+        n_probe=K_CELLS, qv=qnorm, k=RECALL_K,
+    ).select("vec_id")
     sweeps = []
     for n_probe in RECALL_PROBES:
         approx = _probe_and_rank(
-            spark, emb, assigned, centroids, cell_ids, n_probe=n_probe, qv=qnorm
+            spark, emb, assigned, centroids, cell_ids,
+            n_probe=n_probe, qv=qnorm, k=RECALL_K,
         ).select("vec_id", F.lit(n_probe).cast("long").alias("nprobe"))
         sweeps.append(approx)
     allp = sweeps[0]

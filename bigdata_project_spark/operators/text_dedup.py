@@ -1210,6 +1210,16 @@ def lcp_profile(corpus: DataFrame) -> DataFrame:
             )
         ).alias("m"),
     ).select("doc_id", "pos", F.col("m.n").alias("n"), F.col("m.ph").alias("ph"))
+    # hi is consumed twice (dup-count agg + flag join) but is deliberately
+    # NOT localCheckpoint'ed, unlike its siblings base/cands: the r8-verdict
+    # suggestion to checkpoint it was A/B'd at sf0.1 (5-run medians,
+    # back-to-back same hour) and measured SLOWER — 3.40 s without vs
+    # 4.19 s with. The melt re-derives cheaply from the already-
+    # checkpointed cands (itself bounded by duplicated mass), so a full
+    # materialization round-trip of the multi-level melt costs more than
+    # the recompute it saves. The module convention (truncate multi-
+    # consumer lineage) applies to full-corpus subtrees; this one is
+    # dup-mass-bounded and sits behind a checkpoint already.
     hi_dup = (
         hi.groupBy("ph")
         .agg(F.count(F.lit(1)).alias("c"))

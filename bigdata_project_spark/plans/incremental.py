@@ -53,6 +53,10 @@ _COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "batch_id"]
 #: application staging trees with an atexit cleanup already registered
 _CLEANUP_REGISTERED: set[str] = set()
 
+#: per-(application, fixture) invocation counter — see the staging-path
+#: comment in :func:`query_bronze_incremental_batches`
+_INVOCATIONS: dict[str, int] = {}
+
 
 def _stage_batches(spark: SparkSession, sf_dir: str, base: str) -> list[str]:
     """Write the three overlapping batches as parquet landing dirs."""
@@ -84,21 +88,31 @@ def _stage_batches(spark: SparkSession, sf_dir: str, base: str) -> list[str]:
 
 
 def query_bronze_incremental_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fixed overwrite-mode staging path keyed by (application, fixture) —
-    # not mkdtemp: repeated driver/bench sweeps within a session re-stage
-    # the same three dirs in place instead of accumulating an orphan tree
-    # per invocation, while the applicationId segment keeps concurrent
-    # processes (parallel oracle sweeps / A/B benches) from overwriting
-    # each other's landing dirs mid-read
+    # staging path keyed by (application, fixture, INVOCATION COUNTER).
+    # The applicationId segment keeps concurrent processes (parallel
+    # oracle sweeps / A/B benches) from overwriting each other's landing
+    # dirs; the invocation segment keeps re-invocations within ONE
+    # application from overwriting dirs a still-unconsumed DataFrame
+    # from a prior call reads lazily (the r8-review torn-read hazard of
+    # the fixed overwrite-mode path: concurrent bench/oracle threads, or
+    # a caller holding an earlier return value, would race mode-
+    # 'overwrite' against an in-flight scan). Every invocation writes a
+    # fresh tree — nothing is ever rewritten in place — and the ONE
+    # atexit below removes the whole per-application tree, so the
+    # session-leak the fixed path fixed stays fixed; within a session,
+    # disk grows by one small 3-batch tree per invocation (bounded by
+    # the bench's warm-up+runs count, ~MBs at sf0.1).
     app_dir = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_incr_ingest",
         spark.sparkContext.applicationId,
     )
-    base = os.path.join(app_dir, sf_dir.strip("/").replace("/", "_"))
+    fixture_key = sf_dir.strip("/").replace("/", "_")
+    inv_key = os.path.join(app_dir, fixture_key)
+    _INVOCATIONS[inv_key] = _INVOCATIONS.get(inv_key, 0) + 1
+    base = os.path.join(inv_key, f"inv={_INVOCATIONS[inv_key]}")
     # one cleanup per application tree, else every process run would
-    # leave an orphan staging tree behind (the leak the fixed path
-    # exists to prevent)
+    # leave an orphan staging tree behind
     if app_dir not in _CLEANUP_REGISTERED:
         _CLEANUP_REGISTERED.add(app_dir)
         atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
