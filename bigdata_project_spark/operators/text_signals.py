@@ -512,6 +512,25 @@ GROUP BY canonical_url
 OVERLAP_N = 8
 
 
+def _overlap_grams(docs: DataFrame) -> DataFrame:
+    """Distinct (source, gh) gram vocabulary — the melt both overlap
+    audits share. md5 makes the distinct/join key fixed-width; keying
+    the shingle melt by source instead of doc_id folds the per-doc
+    dimension away before the distinct."""
+    from bigdata_project_spark.operators.text_dedup import shingle_rows_raw
+
+    return (
+        shingle_rows_raw(
+            docs.select(F.col("source").alias("doc_id"), "text"), OVERLAP_N
+        )
+        .select(
+            F.col("doc_id").alias("source"),
+            F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("gh"),
+        )
+        .distinct()
+    )
+
+
 def query_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source n-gram overlap audit: for every pair of document
     sources that share at least one distinct OVERLAP_N-token gram,
@@ -531,22 +550,9 @@ def query_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources, swap the pairwise join for per-gram source-bitmap
     aggregation — the melt and distinct are unchanged.
     """
-    from bigdata_project_spark.operators.text_dedup import shingle_rows_raw
-
     docs = load_table(spark, sf_dir, "documents")
-    # the shared gram melt, keyed by source instead of doc_id; md5 makes
-    # the distinct/join key fixed-width
-    grams = (
-        shingle_rows_raw(
-            docs.select(F.col("source").alias("doc_id"), "text"), OVERLAP_N
-        )
-        .select(
-            F.col("doc_id").alias("source"),
-            F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("gh"),
-        )
-        .distinct()
-        # consumed three times (pair join both sides + totals)
-        .localCheckpoint(eager=False)
+    grams = _overlap_grams(docs).localCheckpoint(
+        eager=False  # consumed three times (pair join both sides + totals)
     )
     totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
@@ -609,3 +615,109 @@ FROM shared s
 JOIN totals ta ON ta.source = s.source_a
 JOIN totals tb ON tb.source = s.source_b
 """
+
+
+def query_text_source_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thousands-of-sources escape hatch the pairwise audit's
+    docstring promises: identical output to
+    :func:`query_text_source_overlap`, but the per-gram work is a
+    SOURCE BITMAP aggregation instead of a gram-keyed self-join.
+
+    Why this scales where the pairwise join stops: the self-join emits
+    one row per (gram, source-pair) — fan-out quadratic in per-gram
+    source count, and every row carries the 32-char gram key through
+    the shuffle. Here each gram folds to ceil(S/64) longs via bit_or
+    (one hash aggregate, combiner-friendly), then grams COLLAPSE BY
+    IDENTICAL BITMAP — the pair explode runs once per distinct
+    source-combination that actually occurs, not once per gram. On a
+    real corpus the distinct-bitmap count is tiny relative to the gram
+    vocabulary (every gram unique to one source folds into S singleton
+    bitmaps), so the quadratic step touches a frame that no longer
+    scales with corpus size at all.
+
+    The source dimension (names -> bit index, lexicographic so idx
+    order == the pairwise query's string order) is collected once at
+    plan time — a k-bounded driver collect of a true dimension table,
+    same policy class as ivf._seed_centroids.
+    """
+    return source_overlap_bitmap(spark, load_table(spark, sf_dir, "documents"))
+
+
+def source_overlap_bitmap(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The bitmap kernel over any (source, text) frame — split out so the
+    >64-source multi-word path is testable on a synthetic corpus (the
+    fixture has 20 sources, exercising only word 0)."""
+    sources = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    n_src = len(sources)
+    n_words = (n_src + 63) // 64
+    idx_df = F.broadcast(
+        spark.createDataFrame(
+            [(s, i) for i, s in enumerate(sources)], "source string, idx int"
+        )
+    )
+    grams = _overlap_grams(docs).join(idx_df, "source")
+    # per-gram bitmap: one bit_or per 64-source word, single hash agg
+    word_aggs = [
+        F.bit_or(
+            F.when(
+                F.expr("idx DIV 64") == w,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    bm = (
+        grams.groupBy("gh")
+        .agg(*word_aggs)
+        .select(F.array(*[F.col(f"w{w}") for w in range(n_words)]).alias("bitmap"))
+        .groupBy("bitmap")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        # consumed twice (totals + pair explode): the distinct-bitmap
+        # frame is tiny, so materializing it is free
+        .localCheckpoint(eager=False)
+    )
+    # decode set bits; arithmetic shiftright is safe under &1
+    idxs = F.expr(
+        f"filter(sequence(0, {n_src - 1}),"
+        " i -> (shiftright(element_at(bitmap, CAST(i DIV 64 AS INT) + 1),"
+        " CAST(i % 64 AS INT)) & 1) = 1)"
+    )
+    with_idxs = bm.select(idxs.alias("idxs"), "n_grams")
+    totals = (
+        with_idxs.select(F.explode("idxs").alias("idx"), "n_grams")
+        .groupBy("idx")
+        .agg(F.sum("n_grams").alias("n"))
+    )
+    pairs_expr = F.expr(
+        "flatten(transform(idxs, (x, xi) ->"
+        " transform(slice(idxs, xi + 2, size(idxs)),"
+        " y -> named_struct('ia', x, 'ib', y))))"
+    )
+    shared = (
+        with_idxs.filter(F.size("idxs") >= 2)
+        .select(F.explode(pairs_expr).alias("p"), "n_grams")
+        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
+        .agg(F.sum("n_grams").alias("n_shared"))
+    )
+    names_a = idx_df.select(F.col("idx").alias("ia"), F.col("source").alias("source_a"))
+    names_b = idx_df.select(F.col("idx").alias("ib"), F.col("source").alias("source_b"))
+    return (
+        shared.join(totals.select(F.col("idx").alias("ia"), F.col("n").alias("n_a")), "ia")
+        .join(totals.select(F.col("idx").alias("ib"), F.col("n").alias("n_b")), "ib")
+        .join(F.broadcast(names_a), "ia")
+        .join(F.broadcast(names_b), "ib")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            round_portable(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

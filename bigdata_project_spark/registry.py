@@ -335,6 +335,11 @@ def _load() -> None:
     # round-10 queue block 1: net-new round-9 registrations land HERE,
     # directly after slot 50, per rotation rule (1) — never-checked fill
     # the next window first (the r8 verdict correction).
+    register(
+        "text_source_overlap_bitmap",
+        text_signals.query_text_source_overlap_bitmap,
+        text_signals.ORACLE_TEXT_SOURCE_OVERLAP,
+    )
 
     # round-10 queue block 2: the 6 r6-deferred rows (hard ceiling at r10)
     register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)

@@ -57,3 +57,63 @@ def test_source_overlap_invariants(spark, sf_dir):
     expect = out["n_shared"] / (out["n_a"] + out["n_b"] - out["n_shared"])
     assert ((out["jaccard"] - expect).abs() <= 1e-6).all()
     assert ((out["jaccard"] > 0) & (out["jaccard"] <= 1)).all()
+
+
+def test_source_overlap_bitmap_equals_pairwise(spark, sf_dir):
+    """The bitmap escape hatch must be output-identical to the pairwise
+    join on the real fixture (20 sources, single-word bitmaps)."""
+    from bigdata_project_spark.operators.text_signals import (
+        query_text_source_overlap,
+        query_text_source_overlap_bitmap,
+    )
+
+    cols = ["source_a", "source_b"]
+    a = (
+        query_text_source_overlap(spark, sf_dir)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    b = (
+        query_text_source_overlap_bitmap(spark, sf_dir)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    assert a[cols].equals(b[cols])
+    for c in ("n_shared", "n_a", "n_b"):
+        assert (a[c].to_numpy() == b[c].to_numpy()).all()
+    assert (abs(a["jaccard"] - b["jaccard"]) <= 1e-9).all()
+
+
+def test_source_overlap_bitmap_multiword(spark):
+    """>64 sources forces ceil(S/64)=3 bitmap words; plant a known overlap
+    pattern and check the kernel decodes across word boundaries."""
+    from bigdata_project_spark.operators.text_signals import (
+        OVERLAP_N,
+        source_overlap_bitmap,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(OVERLAP_N))  # one shared gram
+    rows = []
+    # 130 sources; sources s000, s063, s064, s127, s128 share one gram
+    # (bits in words 0, 0, 1, 1, 2) — every other source gets a unique gram
+    sharers = {0, 63, 64, 127, 128}
+    for s in range(130):
+        name = f"s{s:03d}"
+        text = shared if s in sharers else " ".join(
+            f"only{s}_{i}" for i in range(OVERLAP_N)
+        )
+        rows.append((name, text))
+    docs = spark.createDataFrame(rows, "source string, text string")
+    out = source_overlap_bitmap(spark, docs).toPandas()
+    got = {tuple(r) for r in out[["source_a", "source_b"]].to_numpy()}
+    names = sorted(f"s{s:03d}" for s in sharers)
+    want = {
+        (a, b) for i, a in enumerate(names) for b in names[i + 1:]
+    }
+    assert got == want
+    assert (out["n_shared"] == 1).all()
+    assert (out["n_a"] == 1).all() and (out["n_b"] == 1).all()
+    assert (out["jaccard"] == 1.0).all()
