@@ -157,14 +157,20 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
 _J_NUM, _J_DEN = 9, 10
 
 
-def _prefix_filtered_pairs(sh: DataFrame) -> DataFrame:
-    """Exact Jaccard ≥ 0.9 pairs with PPJoin prefix filtering (Xiao,
-    Wang, Lin, Yu 2008): under any global shingle order, J(A,B) ≥ t
+def _prefix_filtered_pairs(
+    sh: DataFrame, j_num: int = _J_NUM, j_den: int = _J_DEN
+) -> DataFrame:
+    """Exact Jaccard ≥ j_num/j_den pairs with PPJoin prefix filtering
+    (Xiao, Wang, Lin, Yu 2008): under any global shingle order, J(A,B) ≥ t
     forces the first ``|X| - ceil(t|X|) + 1`` shingles of each side to
     intersect — so only prefix rows enter the candidate self-join, and
     candidate volume is bounded by (rare-)prefix bucket sizes instead of
     whole-corpus shingle buckets. The all-pairs formulation remains the
-    oracle/tests baseline; this produces identical output.
+    oracle/tests baseline; this produces identical output. The default
+    threshold is the registered 0.9 near-dup bar; the minhash recall
+    harness passes 7/10 (its planted variants sit in [0.7, 1))
+    — the returned jaccard column is unfiltered either way, callers
+    apply the final ≥ t cut.
 
     Plan: df-count per shingle (one hash agg), per-doc rank by global
     (freq, shingle) order (one shuffle on doc_id), prefix self-join on the
@@ -181,11 +187,12 @@ def _prefix_filtered_pairs(sh: DataFrame) -> DataFrame:
         ),
     )
     with_size = ranked.join(cnt, "doc_id")
-    # prefix length |A| - ceil(9|A|/10) + 1; `div` is Spark's integral
-    # division, so this stays in BIGINT end-to-end (no double rounding at
-    # any magnitude — F.floor(x/y) would round through double).
+    # prefix length |A| - ceil(t|A|) + 1 with t = j_num/j_den; `div` is
+    # Spark's integral division, so this stays in BIGINT end-to-end (no
+    # double rounding at any magnitude — F.floor(x/y) would round
+    # through double).
     prefix_len = F.expr(
-        f"c - (({_J_NUM} * c + {_J_DEN - 1}) div {_J_DEN}) + 1"
+        f"c - (({j_num} * c + {j_den - 1}) div {j_den}) + 1"
     )
     prefix = with_size.filter(F.col("pos") <= prefix_len).select("doc_id", "shingle")
 
@@ -389,17 +396,27 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return with_v.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signatures and bucket-join: candidates agree on ≥1 band."""
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Band the signatures and bucket-join: candidates agree on ≥1 band.
+    Banding geometry is parameterizable for the recall sweep; the
+    registered near-dup default stays 4×3."""
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
-                    "|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    "|",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
                 ).alias("sig"),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     melted = sigs.select("doc_id", F.explode(bands).alias("bs")).select(
@@ -519,6 +536,194 @@ def lsh_verified_pairs_sql(src: str, threshold: str = "0.9") -> str:
 ORACLE_DEDUP_MINHASH_LSH = f"""
 SELECT doc_a, doc_b, {round_portable_sql("jaccard", 6)} AS jaccard
 FROM ({lsh_verified_pairs_sql("documents")})
+"""
+
+# ----------------------------------------- MinHash banding recall sweep --
+
+#: (bands, rows-per-band) factorizations of the k=12 signature swept by
+#: the recall harness — from "one band of everything" (near-exact only)
+#: to "every hash its own band" (maximal candidate fan-out)
+MINHASH_RECALL_CONFIGS = ((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+
+#: ground-truth Jaccard threshold as an exact rational — 0.7 puts the
+#: planted drop-3-token variants (J ≈ 0.75-0.97 by doc length) squarely
+#: in the band where the configs disagree, which is the curve's point
+_RECALL_J_NUM, _RECALL_J_DEN = 7, 10
+
+
+def _corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic NEAR-dup variants (first 40 docs with
+    ≥15 tokens, last 3 tokens dropped, re-keyed +2e6): exact copies
+    (J=1) are recalled by every banding, so the exact-dup corpus used
+    by the other dedup queries cannot separate the configs — these
+    variants land at J ≈ (len-5)/(len-2) ∈ [0.75, 0.97), where the
+    1-(1-J^r)^b curves fan out."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens(F.col("text"))
+    variants = (
+        docs.filter(F.col("doc_id") < 40)
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 15)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("t"), 1, F.size("t") - 3)
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(variants)
+
+
+# DuckDB list slice t[1:n] is 1-based inclusive == Spark slice(t, 1, n);
+# rebuilding the variant text from lowercased tokens is harmless because
+# shingling lowercases + whitespace-splits anyway
+_NEARDUP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           array_to_string(t[1:len(t) - 3], ' ') AS text
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents WHERE doc_id < 40)
+    WHERE len(t) >= 15
+"""
+
+
+def query_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH parameter-sweep harness (r8 verdict item 5, the
+    missing counterpart to ``sim_ann_recall_at_k``): candidate
+    precision/recall of every (bands, rows) factorization of the k=12
+    signature against the EXACT Jaccard ≥ 0.7 pairs on a planted
+    near-dup corpus. One row per config — quantifies the
+    precision/recall trade the registered 4×3 geometry buys.
+
+    Scale shape: signatures are computed ONCE (one hash-aggregate pass,
+    localCheckpoint) and every geometry re-bands the same 12 columns —
+    the sweep adds band melts and bucket joins, never a second corpus
+    scan. Ground truth is the PPJoin prefix-filtered exact join
+    (bounded candidate generation at threshold 0.7), never all-pairs;
+    the DuckDB twin keeps the naive all-pairs form as the independent
+    baseline, which is exactly the cross-check's point."""
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    # shingles feed signatures + the 5-consumer PPJoin truth DAG
+    sh = shingle_rows(corpus).localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh).localCheckpoint(
+        eager=False  # re-banded by all six geometries
+    )
+    truth = (
+        _prefix_filtered_pairs(sh, _RECALL_J_NUM, _RECALL_J_DEN)
+        .filter(F.col("jaccard") >= _RECALL_J_NUM / _RECALL_J_DEN)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # consumed by the count + 6 hit joins
+    )
+    n_true_df = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    truth_marked = truth.withColumn("is_true", F.lit(1))
+    per_cfg = []
+    for nb, rpb in MINHASH_RECALL_CONFIGS:
+        stats = (
+            lsh_candidate_pairs(sigs, nb, rpb)
+            .join(truth_marked, ["doc_a", "doc_b"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.coalesce(F.sum("is_true"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(nb).cast("bigint").alias("n_bands"),
+                F.lit(rpb).cast("bigint").alias("rows_per_band"),
+                "n_candidates",
+                "n_hits",
+            )
+        )
+        per_cfg.append(stats)
+    allcfg = per_cfg[0]
+    for s in per_cfg[1:]:
+        allcfg = allcfg.unionByName(s)
+    prec = F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
+        round_portable(F.col("n_hits") / F.col("n_candidates"), 6)
+    )
+    rec = F.when(F.col("n_true") == 0, F.lit(0.0)).otherwise(
+        round_portable(F.col("n_hits") / F.col("n_true"), 6)
+    )
+    return allcfg.crossJoin(F.broadcast(n_true_df)).select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true",
+        "n_hits",
+        prec.alias("prec"),
+        rec.alias("recall"),
+    )
+
+
+def _recall_band_structs(nb: int, rpb: int) -> str:
+    return ", ".join(
+        "struct_pack(band := {b}, sig := {sig})".format(
+            b=b,
+            sig=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(nb)
+    )
+
+
+_recall_cfg_blocks = "\nUNION ALL\n".join(
+    f"""SELECT CAST({nb} AS BIGINT) AS n_bands,
+       CAST({rpb} AS BIGINT) AS rows_per_band,
+       COUNT(*) AS n_candidates,
+       CAST(COALESCE(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_hits
+FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM (SELECT doc_id, bs.band AS band, bs.sig AS sig
+          FROM sigs, UNNEST([{_recall_band_structs(nb, rpb)}]) AS u(bs)) a
+    JOIN (SELECT doc_id, bs.band AS band, bs.sig AS sig
+          FROM sigs, UNNEST([{_recall_band_structs(nb, rpb)}]) AS u(bs)) b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+) c
+LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b"""
+    for nb, rpb in MINHASH_RECALL_CONFIGS
+)
+
+#: the oracle keeps the naive all-pairs exact-Jaccard truth — the PPJoin
+#: prefix filter is provably output-identical, so the engines computing
+#: the same curve through different candidate generators is the check
+ORACLE_DEDUP_MINHASH_RECALL = f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+sh AS ({_SHINGLES_SQL.format(src="corpus")}),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE n_common * 1.0 / (ca.c + cb.c - n_common)
+          >= {_RECALL_J_NUM} * 1.0 / {_RECALL_J_DEN}
+),
+tt AS (SELECT COUNT(*) AS n_true FROM truth),
+shv AS (
+    SELECT doc_id, {HEX32_TO_INT_SQL.format(h="md5(shingle)")} AS v FROM sh
+),
+sigs AS (
+    SELECT doc_id,
+           {_mh_cols}
+    FROM shv GROUP BY doc_id
+),
+cfg AS (
+{_recall_cfg_blocks}
+)
+SELECT s.n_bands, s.rows_per_band, s.n_candidates, tt.n_true, s.n_hits,
+       CASE WHEN s.n_candidates = 0 THEN 0.0
+            ELSE {round_portable_sql("s.n_hits * 1.0 / s.n_candidates", 6)}
+       END AS prec,
+       CASE WHEN tt.n_true = 0 THEN 0.0
+            ELSE {round_portable_sql("s.n_hits * 1.0 / tt.n_true", 6)}
+       END AS recall
+FROM cfg s CROSS JOIN tt
 """
 
 # --------------------------------------------------------------- SimHash --

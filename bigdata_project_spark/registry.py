@@ -340,6 +340,11 @@ def _load() -> None:
         text_signals.query_text_source_overlap_bitmap,
         text_signals.ORACLE_TEXT_SOURCE_OVERLAP,
     )
+    register(
+        "dedup_minhash_recall",
+        text_dedup.query_dedup_minhash_recall,
+        text_dedup.ORACLE_DEDUP_MINHASH_RECALL,
+    )
 
     # round-10 queue block 2: the 6 r6-deferred rows (hard ceiling at r10)
     register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)

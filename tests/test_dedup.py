@@ -248,3 +248,35 @@ def test_lcp_profile_matches_bruteforce_on_planted_corpus(spark):
     assert expect[5][2] == 6
     assert expect[6] == (9, 0, 0) and expect[7] == (9, 0, 0)
     assert expect[8] == (7, 0, 0)
+
+
+def test_minhash_recall_sweep_curve(spark, sf_dir):
+    """The banding sweep must trace the textbook LSH trade: more/smaller
+    bands -> candidate set grows and recall rises toward 1.0, precision
+    decays; every config's hits are bounded by both candidate and truth
+    counts; the planted near-dup variants are present in the truth set."""
+    from bigdata_project_spark.operators.text_dedup import (
+        MINHASH_RECALL_CONFIGS,
+        query_dedup_minhash_recall,
+    )
+
+    out = (
+        query_dedup_minhash_recall(spark, sf_dir)
+        .toPandas()
+        .sort_values("n_bands")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_bands"]) == sorted(nb for nb, _ in MINHASH_RECALL_CONFIGS)
+    assert (out["n_true"] > 0).all()
+    assert (out["n_hits"] <= out["n_candidates"]).all()
+    assert (out["n_hits"] <= out["n_true"]).all()
+    # recall is non-decreasing in band count on the deterministic fixture,
+    # and the all-singleton-bands geometry recalls everything
+    assert (out["recall"].diff().dropna() >= 0).all()
+    assert out["recall"].iloc[-1] == 1.0
+    # the single-band (match-all-12) geometry is the strictest: fewest
+    # candidates, perfect-or-near precision, lowest recall
+    assert out["n_candidates"].iloc[0] == out["n_candidates"].min()
+    assert out["recall"].iloc[0] == out["recall"].min()
+    # the fan-out geometry pays for its recall in precision
+    assert out["prec"].iloc[-1] == out["prec"].min()
