@@ -52,13 +52,13 @@ SEQ_LEN = 512
 BUCKET_DOCS = 128
 
 
-def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
-    """Assign every document a [start_bin, end_bin] span of training
-    sequences via a distributed prefix sum over whitespace-token counts.
-
-    Returns one row per (doc_id, seq_id) with the token count that doc
-    contributes to that sequence.
-    """
+def _pack_segments(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """The shared packing core: one row per (doc_id, seq_id) carrying the
+    doc's global token offset ``off`` and length ``tok`` — everything
+    both the count summary (:func:`pack_sequences`) and the trainer
+    segment contract (:func:`pack_sequences_masked`) need is integer
+    arithmetic over these three columns, so the variants differ by
+    projections only (identical shuffle set)."""
     toks = docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("long").alias("tok"),
@@ -107,13 +107,63 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
         "off",
         "tok",
         F.explode(F.sequence("start_bin", "end_bin")).alias("seq_id"),
-    ).select(
+    )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Assign every document a [start_bin, end_bin] span of training
+    sequences via a distributed prefix sum over whitespace-token counts.
+
+    Returns one row per (doc_id, seq_id) with the token count that doc
+    contributes to that sequence.
+    """
+    return _pack_segments(docs, seq_len).select(
         "doc_id",
         "seq_id",
         (
             F.least(F.col("off") + F.col("tok"), (F.col("seq_id") + 1) * seq_len)
             - F.greatest(F.col("off"), F.col("seq_id") * seq_len)
         ).alias("seq_tokens"),
+    )
+
+
+def pack_sequences_masked(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """The trainer-contract form of packing: one row per (seq_id, doc)
+    SEGMENT with its position range inside the sequence and the
+    boundary/loss-mask fields a dataloader materializes attention and
+    loss masks from —
+
+    - ``seg_start``/``seg_len``: the segment's [start, start+len) token
+      window within the ``seq_len``-token sequence (segments of one
+      sequence tile it left-to-right; the last sequence may end short —
+      the pad tail is ``seq_len - sum(seg_len)``, derivable, not a row);
+    - ``doc_start``: the document's first token lies in this sequence —
+      the position that gets the BOS/boundary token and (convention)
+      no loss; also where block-diagonal attention resets;
+    - ``doc_end``: the document finishes in this sequence (false = it
+      continues into the next one, the split-across-boundary case);
+    - ``loss_tokens``: ``seg_len`` minus the masked boundary position
+      (``seg_len - 1`` when the doc starts here, else ``seg_len``).
+
+    Same two-pass distributed prefix sum as :func:`pack_sequences` —
+    the contract fields are pure integer arithmetic over (off, tok,
+    seq_id), so the plan's shuffle set is IDENTICAL to the summary
+    variant's (plan-asserted in tests)."""
+    seg = _pack_segments(docs, seq_len)
+    seq_lo = F.col("seq_id") * seq_len
+    seg_start_abs = F.greatest(F.col("off"), seq_lo)
+    seg_end_abs = F.least(F.col("off") + F.col("tok"), seq_lo + seq_len)
+    doc_start = F.col("off") >= seq_lo
+    return seg.select(
+        "seq_id",
+        "doc_id",
+        (seg_start_abs - seq_lo).alias("seg_start"),
+        (seg_end_abs - seg_start_abs).alias("seg_len"),
+        doc_start.alias("doc_start"),
+        (F.col("off") + F.col("tok") <= seq_lo + seq_len).alias("doc_end"),
+        (
+            seg_end_abs - seg_start_abs - doc_start.cast("long")
+        ).alias("loss_tokens"),
     )
 
 
@@ -169,6 +219,50 @@ SELECT seq_id,
        MAX(doc_id) AS last_doc
 FROM scored
 GROUP BY seq_id
+"""
+
+def query_pack_sequences_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment trainer contract over the documents corpus — see
+    :func:`pack_sequences_masked`."""
+    return pack_sequences_masked(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_PACK_SEQUENCES_MASKED = f"""
+WITH toks AS (
+    SELECT * FROM (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS tok
+        FROM documents
+    ) WHERE tok > 0
+),
+offs AS (
+    SELECT doc_id, tok,
+           COALESCE(SUM(tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM toks
+),
+spans AS (
+    SELECT doc_id, tok, CAST(off AS BIGINT) AS off,
+           CAST(off // {SEQ_LEN} AS BIGINT) AS start_bin,
+           CAST((off + tok - 1) // {SEQ_LEN} AS BIGINT) AS end_bin
+    FROM offs
+),
+exploded AS (
+    SELECT doc_id, off, tok,
+           unnest(generate_series(start_bin, end_bin)) AS seq_id
+    FROM spans
+)
+SELECT seq_id,
+       doc_id,
+       greatest(off, seq_id * {SEQ_LEN}) - seq_id * {SEQ_LEN} AS seg_start,
+       least(off + tok, (seq_id + 1) * {SEQ_LEN})
+         - greatest(off, seq_id * {SEQ_LEN}) AS seg_len,
+       off >= seq_id * {SEQ_LEN} AS doc_start,
+       off + tok <= (seq_id + 1) * {SEQ_LEN} AS doc_end,
+       least(off + tok, (seq_id + 1) * {SEQ_LEN})
+         - greatest(off, seq_id * {SEQ_LEN})
+         - CAST(off >= seq_id * {SEQ_LEN} AS BIGINT) AS loss_tokens
+FROM exploded
 """
 
 #: mixture weight numerators: domain ``src{i}`` gets weight (i+1)/210

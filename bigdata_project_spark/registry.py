@@ -345,6 +345,11 @@ def _load() -> None:
         text_dedup.query_dedup_minhash_recall,
         text_dedup.ORACLE_DEDUP_MINHASH_RECALL,
     )
+    register(
+        "pipeline_pack_masked",
+        packing.query_pack_sequences_masked,
+        packing.ORACLE_PACK_SEQUENCES_MASKED,
+    )
 
     # round-10 queue block 2: the 6 r6-deferred rows (hard ceiling at r10)
     register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)

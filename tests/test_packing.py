@@ -170,3 +170,61 @@ def test_domain_mixture_malformed_source_symmetric(spark):
         .collect()
     )
     assert all(r["i"] is not None for r in w)
+
+
+def test_pack_masked_trainer_contract(spark, sf_dir):
+    """Segment tiling + boundary/loss-mask invariants of the trainer
+    contract: segments tile each sequence gap-free from 0 (last sequence
+    may end short), every doc starts exactly once and ends exactly once,
+    and loss_tokens masks exactly the one boundary position per doc."""
+    from bigdata_project_spark.operators.packing import (
+        SEQ_LEN,
+        pack_sequences_masked,
+    )
+    from bigdata_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = pack_sequences_masked(docs).toPandas()
+    assert len(seg)
+    # per-sequence tiling: sorted segments are contiguous from 0
+    for seq_id, g in seg.groupby("seq_id"):
+        g = g.sort_values("seg_start")
+        assert g["seg_start"].iloc[0] == 0
+        ends = (g["seg_start"] + g["seg_len"]).to_numpy()
+        assert (g["seg_start"].to_numpy()[1:] == ends[:-1]).all()
+        assert ends[-1] <= SEQ_LEN
+    last_seq = seg["seq_id"].max()
+    full = seg[seg["seq_id"] < last_seq].groupby("seq_id")["seg_len"].sum()
+    assert (full == SEQ_LEN).all()
+    # each doc starts once, ends once, and its segments sum to its tokens
+    per_doc = seg.groupby("doc_id").agg(
+        starts=("doc_start", "sum"), ends=("doc_end", "sum")
+    )
+    assert (per_doc["starts"] == 1).all()
+    assert (per_doc["ends"] == 1).all()
+    # exactly one masked (no-loss) position per doc: its boundary token
+    assert (seg["loss_tokens"] == seg["seg_len"] - seg["doc_start"]).all()
+    assert (seg.groupby("doc_id")
+            .apply(lambda g: (g["seg_len"] - g["loss_tokens"]).sum(), include_groups=False)
+            == 1).all()
+
+
+def test_pack_masked_no_new_shuffle(spark, sf_dir):
+    """The trainer-contract variant must be projections over the same
+    two-pass prefix sum — identical Exchange count to the summary
+    variant's pre-aggregation core."""
+    from bigdata_project_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_masked,
+    )
+    from bigdata_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n_exchanges(df):
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        return phys.count("Exchange")
+
+    assert n_exchanges(pack_sequences_masked(docs)) == n_exchanges(
+        pack_sequences(docs)
+    )
