@@ -194,14 +194,26 @@ def _prefix_filtered_pairs(
     prefix_len = F.expr(
         f"c - (({j_num} * c + {j_den - 1}) div {j_den}) + 1"
     )
-    prefix = with_size.filter(F.col("pos") <= prefix_len).select("doc_id", "shingle")
+    prefix = with_size.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "shingle", "c"
+    )
 
     pa, pb = prefix.alias("a"), prefix.alias("b")
+    # length-ratio prune (the other half of the PPJoin bound): J ≥ t
+    # forces t·max(|A|,|B|) ≤ min(|A|,|B|); in exact integer arithmetic
+    # both of j_num·c_a ≤ j_den·c_b and j_num·c_b ≤ j_den·c_a. Pairs
+    # failing it cannot clear the caller's ≥ t cut, so pruning them in
+    # the candidate join is output-identical — and at t = 0.7 (the
+    # recall harness) it is the difference between the prefix buckets
+    # pairing everything against everything and pairing only
+    # comparable-length docs (MEASURED: truth pass 7.1 → ~3 s at sf0.1).
     cand = (
         pa.join(
             pb,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.c") * j_num <= F.col("b.c") * j_den)
+            & (F.col("b.c") * j_num <= F.col("a.c") * j_den),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -597,62 +609,105 @@ def query_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision/recall trade the registered 4×3 geometry buys.
 
     Scale shape: signatures are computed ONCE (one hash-aggregate pass,
-    localCheckpoint) and every geometry re-bands the same 12 columns —
-    the sweep adds band melts and bucket joins, never a second corpus
-    scan. Ground truth is the PPJoin prefix-filtered exact join
-    (bounded candidate generation at threshold 0.7), never all-pairs;
-    the DuckDB twin keeps the naive all-pairs form as the independent
-    baseline, which is exactly the cross-check's point."""
+    localCheckpoint) and ALL SIX geometries band out of them in ONE
+    melt (28 = 1+2+3+4+6+12 band rows per doc, geometry id in the
+    bucket key) feeding ONE self-join + ONE per-geometry aggregate —
+    six separate band joins were MEASURED ~2× slower at sf0.1, pure
+    shuffle/job constants. Ground truth is the PPJoin prefix-filtered
+    exact join (bounded candidate generation at threshold 0.7 with the
+    length-ratio prune), never all-pairs; the DuckDB twin keeps the
+    naive all-pairs form as the independent baseline, which is exactly
+    the cross-check's point."""
     corpus = _corpus_with_near_dups(spark, sf_dir)
     # shingles feed signatures + the 5-consumer PPJoin truth DAG
     sh = shingle_rows(corpus).localCheckpoint(eager=True)
-    sigs = minhash_signatures(sh).localCheckpoint(
-        eager=False  # re-banded by all six geometries
-    )
+    sigs = minhash_signatures(sh)
     truth = (
         _prefix_filtered_pairs(sh, _RECALL_J_NUM, _RECALL_J_DEN)
         .filter(F.col("jaccard") >= _RECALL_J_NUM / _RECALL_J_DEN)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)  # consumed by the count + 6 hit joins
+        .localCheckpoint(eager=False)  # consumed by the count + hit join
     )
     n_true_df = truth.agg(F.count(F.lit(1)).alias("n_true"))
     truth_marked = truth.withColumn("is_true", F.lit(1))
-    per_cfg = []
-    for nb, rpb in MINHASH_RECALL_CONFIGS:
-        stats = (
-            lsh_candidate_pairs(sigs, nb, rpb)
-            .join(truth_marked, ["doc_a", "doc_b"], "left")
-            .agg(
-                F.count(F.lit(1)).alias("n_candidates"),
-                F.coalesce(F.sum("is_true"), F.lit(0))
-                .cast("bigint")
-                .alias("n_hits"),
+    # one melt across every geometry: cfg (= n_bands, unique per
+    # factorization of 12) joins into the bucket key, so one shuffle
+    # carries all six candidate generations
+    all_bands = F.array(
+        *[
+            F.struct(
+                F.lit(nb).alias("cfg"),
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * rpb + r}")
+                        for r in range(rpb)
+                    ],
+                ).alias("sig"),
             )
-            .select(
-                F.lit(nb).cast("bigint").alias("n_bands"),
-                F.lit(rpb).cast("bigint").alias("rows_per_band"),
-                "n_candidates",
-                "n_hits",
-            )
+            for nb, rpb in MINHASH_RECALL_CONFIGS
+            for b in range(nb)
+        ]
+    )
+    melted = sigs.select("doc_id", F.explode(all_bands).alias("bs")).select(
+        "doc_id",
+        F.col("bs.cfg").alias("cfg"),
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        per_cfg.append(stats)
-    allcfg = per_cfg[0]
-    for s in per_cfg[1:]:
-        allcfg = allcfg.unionByName(s)
-    prec = F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
-        round_portable(F.col("n_hits") / F.col("n_candidates"), 6)
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    stats = (
+        cands.join(truth_marked, ["doc_a", "doc_b"], "left")
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.coalesce(F.sum("is_true"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    # literal geometry anchor: a zero-candidate geometry still emits its
+    # row (same pattern as the ANN recall sweep's probe levels)
+    levels = spark.createDataFrame(
+        [(nb, rpb) for nb, rpb in MINHASH_RECALL_CONFIGS],
+        "cfg int, rows_per_band long",
+    )
+    n_cand = F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+    prec = F.when(n_cand == 0, F.lit(0.0)).otherwise(
+        round_portable(n_hits / n_cand, 6)
     )
     rec = F.when(F.col("n_true") == 0, F.lit(0.0)).otherwise(
-        round_portable(F.col("n_hits") / F.col("n_true"), 6)
+        round_portable(n_hits / F.col("n_true"), 6)
     )
-    return allcfg.crossJoin(F.broadcast(n_true_df)).select(
-        "n_bands",
-        "rows_per_band",
-        "n_candidates",
-        "n_true",
-        "n_hits",
-        prec.alias("prec"),
-        rec.alias("recall"),
+    return (
+        levels.join(stats, "cfg", "left")
+        .crossJoin(F.broadcast(n_true_df))
+        .select(
+            F.col("cfg").cast("bigint").alias("n_bands"),
+            "rows_per_band",
+            n_cand.alias("n_candidates"),
+            "n_true",
+            n_hits.alias("n_hits"),
+            prec.alias("prec"),
+            rec.alias("recall"),
+        )
     )
 
 
