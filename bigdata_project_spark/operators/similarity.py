@@ -421,3 +421,99 @@ SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.35
 
 
 ORACLE_ANN_LSH = _ann_lsh_oracle()
+
+
+# ------------------------------------------------------------ k-NN join --
+
+#: query-set size and neighbours-per-query for the batch k-NN join
+KNN_QUERIES = 16
+KNN_K = 5
+
+
+def query_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-KNN_K cosine neighbours for EVERY query in a
+    KNN_QUERIES-vector query set (vec_id < 16), self excluded — the
+    multi-query generalization of ``sim_cosine_topk`` and the retrieval
+    shape embedding pipelines actually run (a batch of probes, not one).
+
+    Scale plan: the query matrix broadcasts (Q×d — KBs; at thousands of
+    queries still MBs), one Arrow ``mapInPandas`` pass BLAS-scores each
+    batch against ALL queries at once and keeps only each batch's LOCAL
+    top-k per query — ≤ Q·k rows leave any batch, so the shuffle is
+    bounded by Q·k·(batches), never N·Q. A final per-query window over
+    those candidates is exact: the global top-k is a subset of the
+    union of per-batch top-k's (every dropped row lost to k better rows
+    of the same query in its own batch). Ranking is deterministic end
+    to end: 1e-6-rounded cosine desc, vec_id asc — same contract as the
+    IVF family, so the DuckDB twin is exact.
+
+    Float parity: scores come from a float64 BLAS matmul; the oracle's
+    sequential fold differs by ≲1 ulp, far inside the 1e-6 rounding
+    (the established neardup_pairs/IVF assumption)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qpd = (
+        emb.filter(F.col("vec_id") < KNN_QUERIES).orderBy("vec_id").toPandas()
+    )  # k-bounded driver collect of the query set (Q rows)
+    Q = np.stack(qpd["embedding"].to_numpy()).astype(np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qpd["vec_id"].to_numpy()
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cos = np.floor(m @ Q.T * 1e6 + 0.5) / 1e6  # numpy round_portable
+            vids = pdf["vec_id"].to_numpy()
+            frames = []
+            for j, qid in enumerate(qids):
+                mask = vids != qid
+                col = cos[mask, j]
+                vv = vids[mask]
+                keep = np.lexsort((vv, -col))[:KNN_K]  # local exact top-k
+                frames.append(
+                    pd.DataFrame(
+                        {"q_id": qid, "vec_id": vv[keep], "cos_sim": col[keep]}
+                    )
+                )
+            yield pd.concat(frames)
+
+    local = emb.mapInPandas(
+        batches, schema="q_id long, vec_id long, cos_sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "vec_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+ORACLE_SIM_KNN_JOIN = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS q_emb
+    FROM embeddings WHERE vec_id < {KNN_QUERIES}
+),
+scored AS (
+    SELECT q.q_id, e.vec_id,
+           {round_portable_sql(_cos_sql("e.embedding", "q.q_emb"), 6)} AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, vec_id, cos_sim,
+           row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC
+           ) AS rnk
+    FROM scored
+)
+SELECT q_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {KNN_K}
+"""

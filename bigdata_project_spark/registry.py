@@ -350,6 +350,11 @@ def _load() -> None:
         packing.query_pack_sequences_masked,
         packing.ORACLE_PACK_SEQUENCES_MASKED,
     )
+    register(
+        "sim_knn_join",
+        similarity.query_sim_knn_join,
+        similarity.ORACLE_SIM_KNN_JOIN,
+    )
 
     # round-10 queue block 2: the 6 r6-deferred rows (hard ceiling at r10)
     register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)

@@ -85,3 +85,32 @@ def test_lsh_buckets_subset_of_brute_force(spark, sf_dir):
     labels = {r["vec_id"]: r["label"] for r in emb.collect()}
     same_label_lsh = {p for p in lsh if labels[p[0]] == labels[p[1]]}
     assert same_label_lsh <= brute
+
+
+def test_knn_join_agrees_with_brute_anchor(spark, sf_dir):
+    """Batch k-NN join invariants: exactly KNN_K ranked neighbours per
+    query, no self-matches, and the q_id=0 column must reproduce the
+    head of the registered brute-force anchor (same rounding, same
+    tiebreak) — proving the local-top-k-then-window plan is exact."""
+    from bigdata_project_spark.operators.similarity import (
+        KNN_K,
+        KNN_QUERIES,
+        query_cosine_topk,
+        query_sim_knn_join,
+    )
+
+    out = query_sim_knn_join(spark, sf_dir).toPandas()
+    assert set(out["q_id"]) == set(range(KNN_QUERIES))
+    per_q = out.groupby("q_id")
+    assert (per_q.size() == KNN_K).all()
+    assert (out["q_id"] != out["vec_id"]).all()
+    for _, g in per_q:
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, KNN_K + 1))
+        # ranking is (cos desc, vec_id asc)
+        key = list(zip(-g["cos_sim"], g["vec_id"]))
+        assert key == sorted(key)
+    anchor = query_cosine_topk(spark, sf_dir).toPandas().head(KNN_K)
+    q0 = out[out["q_id"] == 0].sort_values("rnk")
+    assert list(q0["vec_id"]) == list(anchor["vec_id"])
+    assert (abs(q0["cos_sim"].to_numpy() - anchor["cos_sim"].to_numpy()) == 0).all()
