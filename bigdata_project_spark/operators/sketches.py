@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_project_spark.functions.text import WORD_HASH16_SQL, tokens, word_hash16
+from bigdata_project_spark.functions.scalars import round_portable, round_portable_sql
+from bigdata_project_spark.functions.text import (
+    WORD_HASH16_SQL,
+    WORD_HASH32_SQL,
+    tokens,
+    word_hash16,
+)
 from bigdata_project_spark.sources.readers import load_table
 
 #: sketch depth (independent hash rows) and width (counters per row)
@@ -105,3 +111,158 @@ GROUP BY c.tok
 ORDER BY est_n DESC, tok
 LIMIT {TOP_K}
 """
+
+
+# ------------------------------------------------- HyperLogLog roll-up --
+
+#: HLL register count (b=8 index bits out of the 32-bit hash; the
+#: remaining 24 bits feed the leading-zero rank, rho ∈ [1, 25])
+HLL_M = 256
+#: bias constant alpha_256 = 0.7213 / (1 + 1.079/m) (Flajolet et al.
+#: 2007) — computed once in Python and injected as the SAME double
+#: literal into both engines
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: alpha·m² as ONE Python-computed double injected verbatim into both
+#: engines (computing it engine-side would multiply three doubles in
+#: engine-specific literal types — DuckDB parses bare decimals as
+#: DECIMAL, whose arithmetic rounds differently from double)
+HLL_ALPHA_MM = HLL_ALPHA * float(HLL_M) * float(HLL_M)
+#: small-range correction cut 2.5·m (exact in double)
+HLL_SMALL_CUT = 2.5 * float(HLL_M)
+
+
+def query_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users via MERGED DAILY HyperLogLog sketches — the
+    mergeability demo that is the whole reason sketches exist at 100 TB:
+    per-day (register, max rho) tables are what a pipeline persists, and
+    any time range folds out of them with a max per register, never
+    rescanning the events. The DuckDB twin sketches each week DIRECTLY
+    from the raw stream — daily-merge ≡ direct is exactly max's
+    associativity, so identical output IS the mergeability proof.
+
+    Float-parity design: every register term 2^-rho is a dyadic
+    rational ≥ 2^-25, so the register sum is EXACT in double under any
+    summation order (all partials are multiples of 2^-25 far below
+    2^53); powers come from 1/shiftleft(1,rho), never pow(); rho uses
+    integer bit-length (length(bin(w))), never log2. The one
+    transcendental — ln(m/V) in the standard small-range correction —
+    is cross-checked by parity on the fixed fixtures (both engines call
+    their libm once on the same exact double ratio).
+
+    Output per week: the HLL estimate, exact distinct (for the
+    fixture-sized error readout), zero-register count, relative error.
+    """
+    from bigdata_project_spark.functions.text import word_hash32
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    regs = (
+        ev.select("day", word_hash32(F.col("user_id").cast("string")).alias("h"))
+        .select(
+            "day",
+            F.expr(f"h % {HLL_M}").alias("register"),
+            F.expr(f"h div {HLL_M}").alias("w"),  # remaining 24 hash bits
+        )
+        .select(
+            "day",
+            "register",
+            F.when(F.col("w") == 0, F.lit(25))
+            .otherwise(F.lit(25) - F.length(F.expr("bin(w)")))
+            .alias("rho"),
+        )
+    )
+    # the persisted artifact: one (register, max rho) table per day
+    daily = regs.groupBy("day", "register").agg(F.max("rho").alias("rho"))
+    # the roll-up: max per register across the week's daily sketches
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week"),
+        "register",
+    ).agg(F.max("rho").alias("rho"))
+    parts = weekly.groupBy("week").agg(
+        F.count(F.lit(1)).alias("m_present"),
+        F.sum(F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)"))
+        .alias("sum_present"),
+    )
+    m = float(HLL_M)
+    v = F.lit(HLL_M) - F.col("m_present")
+    sum_inv = F.col("sum_present") + v.cast("double")  # absent registers: 2^-0
+    raw = F.lit(HLL_ALPHA_MM) / sum_inv
+    est = F.when(
+        (raw <= F.lit(HLL_SMALL_CUT)) & (v > 0),
+        F.lit(m) * F.log(F.lit(m) / v.cast("double")),
+    ).otherwise(raw)
+    exact = ev.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("n_users_exact"))
+    return (
+        parts.join(exact, "week")
+        .select(
+            # date-as-string: the repo's cross-engine convention for
+            # date-typed output columns (pandas fetch paths disagree on
+            # date vs midnight-timestamp otherwise)
+            F.col("week").cast("string").alias("week"),
+            round_portable(est, 6).alias("hll_estimate"),
+            "n_users_exact",
+            v.cast("bigint").alias("n_zero_registers"),
+            round_portable(
+                (est - F.col("n_users_exact")) / F.col("n_users_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+_ORACLE_HLL_T = f"""
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+           user_id
+    FROM events
+),
+h AS (
+    SELECT week, {{h32}} AS h FROM ev
+),
+rho AS (
+    SELECT week, h % {HLL_M} AS register,
+           CASE WHEN h // {HLL_M} = 0 THEN 25
+                ELSE 25 - length(bin(h // {HLL_M}))
+           END AS rho
+    FROM h
+),
+-- the oracle sketches each week DIRECTLY (no daily stage): daily-merge
+-- equivalence is max's associativity, which the parity check proves
+wk AS (SELECT week, register, MAX(rho) AS rho FROM rho GROUP BY 1, 2),
+parts AS (
+    SELECT week, COUNT(*) AS m_present,
+           SUM(1.0 / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)) AS sum_present
+    FROM wk GROUP BY week
+),
+est AS (
+    SELECT week, v,
+           CASE WHEN raw_e <= CAST({HLL_SMALL_CUT!r} AS DOUBLE) AND v > 0
+                THEN CAST({HLL_M} AS DOUBLE)
+                     * ln(CAST({HLL_M} AS DOUBLE) / CAST(v AS DOUBLE))
+                ELSE raw_e
+           END AS e
+    FROM (
+        SELECT week, {HLL_M} - m_present AS v,
+               CAST({HLL_ALPHA_MM!r} AS DOUBLE)
+                 / (sum_present + CAST({HLL_M} - m_present AS DOUBLE)) AS raw_e
+        FROM parts
+    )
+),
+exact AS (
+    SELECT week, COUNT(DISTINCT user_id) AS n_users_exact FROM ev GROUP BY week
+)
+SELECT CAST(est.week AS VARCHAR) AS week,
+       {round_portable_sql("est.e", 6)} AS hll_estimate,
+       exact.n_users_exact,
+       CAST(est.v AS BIGINT) AS n_zero_registers,
+       {round_portable_sql("(est.e - exact.n_users_exact) / exact.n_users_exact", 6)}
+           AS rel_err
+FROM est JOIN exact ON est.week = exact.week
+"""
+
+ORACLE_SKETCH_HLL_ROLLUP = _ORACLE_HLL_T.format(
+    h32=WORD_HASH32_SQL.format(w="CAST(user_id AS VARCHAR)")
+)

@@ -355,6 +355,11 @@ def _load() -> None:
         similarity.query_sim_knn_join,
         similarity.ORACLE_SIM_KNN_JOIN,
     )
+    register(
+        "sketch_hll_rollup",
+        sketches.query_sketch_hll_rollup,
+        sketches.ORACLE_SKETCH_HLL_ROLLUP,
+    )
 
     # round-10 queue block 2: the 6 r6-deferred rows (hard ceiling at r10)
     register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)

@@ -173,3 +173,60 @@ def test_quality_linear_score_bounded_by_feature_mass(spark, sf_dir):
         # |Σ n·w| ≤ Σn · max|w| = mass · 1000 milli-units
         assert abs(r["score_milli"]) <= feats[r["doc_id"]] * 1000
         assert abs(r["score"] - r["score_milli"] / 1000.0) < 1e-12
+
+
+def test_hll_rollup_error_bound_and_merge(spark, sf_dir):
+    """HLL weekly roll-up: estimates land inside the standard error
+    envelope (1.04/sqrt(m) ~ 6.5% at m=256; allow 3 sigma), registers
+    stay within [0, m], and merging the daily sketches in Spark equals
+    sketching each week directly — max-associativity, asserted here
+    engine-internally (the DuckDB twin asserts it cross-engine)."""
+    from bigdata_project_spark.functions.text import word_hash32
+    from bigdata_project_spark.operators.sketches import (
+        HLL_M,
+        query_sketch_hll_rollup,
+    )
+    from bigdata_project_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    out = query_sketch_hll_rollup(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["n_zero_registers"] >= 0).all()
+    assert (out["n_zero_registers"] <= HLL_M).all()
+    assert (out["rel_err"].abs() <= 3 * 1.04 / (HLL_M ** 0.5)).all()
+    # direct weekly sketch (no daily stage) must produce identical
+    # (week, register, rho) registers to the rolled-up form
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    regs = (
+        ev.select("day", word_hash32(F.col("user_id").cast("string")).alias("h"))
+        .select(
+            "day",
+            F.expr(f"h % {HLL_M}").alias("register"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select(
+            "day",
+            "register",
+            F.when(F.col("w") == 0, F.lit(25))
+            .otherwise(F.lit(25) - F.length(F.expr("bin(w)")))
+            .alias("rho"),
+        )
+    )
+    week = F.date_trunc("week", F.col("day")).cast("date").alias("week")
+    direct = (
+        regs.groupBy(week, "register").agg(F.max("rho").alias("rho")).toPandas()
+    )
+    merged = (
+        regs.groupBy("day", "register")
+        .agg(F.max("rho").alias("rho"))
+        .groupBy(week, "register")
+        .agg(F.max("rho").alias("rho"))
+        .toPandas()
+    )
+    key = ["week", "register"]
+    assert (
+        direct.sort_values(key).reset_index(drop=True)
+        .equals(merged.sort_values(key).reset_index(drop=True))
+    )

@@ -37,9 +37,10 @@ _CROSS_JOIN_OK = {
     "pipeline_domain_reweight",
     # Q22: 1-row (sum, cnt) balance aggregate crossed into the cohort
     "agg_dormant_customers",
-    # same 1-row broadcast query vector as sim_cosine_topk (the exact
-    # brute-force anchor inside the recall sweep)
-    "sim_ann_recall_at_k",
+    # 1-row global truth count crossed into the per-geometry stats
+    # (sim_ann_recall_at_k needed the same exemption until r9 derived
+    # its exact anchor from the all-cells probe — now exemption-free)
+    "dedup_minhash_recall",
 }
 
 
