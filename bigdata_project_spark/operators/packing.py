@@ -386,3 +386,65 @@ SELECT source, n_docs,
        {round_portable_sql("n_docs * (nn / (ss * n_docs))", 6)} AS effective_n
 FROM counts, tot
 """
+
+
+# ------------------------------------------------------- shard manifest --
+
+#: token budget per output shard for the registered manifest query
+SHARD_TOKENS = 4096
+
+
+def query_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard manifest: assign WHOLE documents to fixed-token-budget
+    training shards (docs never split — the shard-file counterpart of
+    ``pack_sequences``, which splits) and emit one manifest row per
+    shard: doc count, token sum, doc-id range. This is the "write N
+    balanced files" planning step every corpus export runs; the
+    manifest is what a trainer's data loader indexes.
+
+    Shard id is floor(cumulative-token-offset / budget) of each doc's
+    FIRST token — deterministic, order-preserving, and computed with
+    the same two-pass distributed prefix sum as packing (per-bucket
+    sums -> tiny bucket cumsum -> broadcast back; no global window).
+    Shards may overflow their budget by at most one document (the
+    standard greedy bound) — budget+max_doc is the true file-size cap.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    seg = _pack_segments(docs, SHARD_TOKENS)
+    # _pack_segments explodes docs spanning bin boundaries; the manifest
+    # wants each doc exactly once, in the shard its first token lands in
+    # = its minimum bin. Dropping the duplicated boundary rows is a
+    # filter on off: the doc's own start bin is off div budget.
+    first_bin = seg.filter(
+        F.col("seq_id") == F.expr(f"off div {SHARD_TOKENS}")
+    ).select("doc_id", F.col("seq_id").alias("shard_id"), "tok")
+    return first_bin.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_SHARD_MANIFEST = f"""
+WITH toks AS (
+    SELECT * FROM (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS tok
+        FROM documents
+    ) WHERE tok > 0
+),
+offs AS (
+    SELECT doc_id, tok,
+           COALESCE(SUM(tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM toks
+)
+SELECT CAST(off // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM offs
+GROUP BY 1
+"""

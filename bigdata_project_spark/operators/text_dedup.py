@@ -408,14 +408,14 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return with_v.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def _band_melt(
     sigs: DataFrame,
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """Band the signatures and bucket-join: candidates agree on ≥1 band.
-    Banding geometry is parameterizable for the recall sweep; the
-    registered near-dup default stays 4×3."""
+    """(doc_id, band, sig) melt of a signature frame — the LSH bucket
+    key rows both the self-join (within-corpus pairs) and the
+    asymmetric join (incremental new-vs-existing) bucket on."""
     bands = F.array(
         *[
             F.struct(
@@ -431,9 +431,20 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    melted = sigs.select("doc_id", F.explode(bands).alias("bs")).select(
+    return sigs.select("doc_id", F.explode(bands).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Band the signatures and bucket-join: candidates agree on ≥1 band.
+    Banding geometry is parameterizable for the recall sweep; the
+    registered near-dup default stays 4×3."""
+    melted = _band_melt(sigs, n_bands, rows_per_band)
     a, b = melted.alias("a"), melted.alias("b")
     return (
         a.join(
@@ -1546,4 +1557,221 @@ SELECT t.doc_id,
        COALESCE(a.n_dup_pos, 0) AS n_dup_pos,
        COALESCE(a.max_lcp, 0) AS max_lcp
 FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ------------------------------------------- incremental batch dedup --
+
+#: id offsets for the synthetic "new batch": near-dup variants reuse the
+#: recall corpus' +2e6 convention; exact re-submissions get +3e6
+_INCR_EXACT_LO, _INCR_EXACT_HI = 40, 60
+
+
+def _incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic NEW batch an incremental ingest sees: the
+    drop-3-token near-dup variants of docs 0..39 (J ≈ 0.75-0.97 vs
+    their originals) plus EXACT re-submissions of docs 40..59 — the
+    at-least-once-delivery case."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens(F.col("text"))
+    variants = (
+        docs.filter(F.col("doc_id") < 40)
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 15)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(F.col("t"), 1, F.size("t") - 3)).alias("text"),
+        )
+    )
+    exact = docs.filter(
+        (F.col("doc_id") >= _INCR_EXACT_LO) & (F.col("doc_id") < _INCR_EXACT_HI)
+    ).select((F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
+    return variants.unionByName(exact)
+
+
+_INCR_BATCH_SQL = f"""
+    SELECT doc_id + 2000000 AS doc_id,
+           array_to_string(t[1:len(t) - 3], ' ') AS text
+    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents WHERE doc_id < 40)
+    WHERE len(t) >= 15
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id, text
+    FROM documents
+    WHERE doc_id >= {_INCR_EXACT_LO} AND doc_id < {_INCR_EXACT_HI}
+"""
+
+
+def query_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the PRODUCTION near-dup case: a new
+    batch screened against the EXISTING corpus only (never against
+    itself; intra-batch dedup is a separate, later step). Verdict per
+    new doc:
+
+    - ``exact_dup``: content hash already present — caught by ONE
+      anti-join-shaped hash lookup before any LSH work (jaccard 1.0 by
+      identity, matched = lowest existing doc with that hash);
+    - ``near_dup``: an LSH band collision with an existing doc verified
+      at Jaccard ≥ 0.9 (matched = lowest verified existing doc, its
+      jaccard reported);
+    - ``kept``: neither — enters the corpus.
+
+    Scale shape is the asymmetric one that matters: the existing
+    corpus' signatures/shingles are the big side (in production,
+    PRECOMPUTED and stored — recomputed here only because the fixture
+    has no signature store); the new batch is tiny, so its band melt
+    broadcasts into the existing bands and verification ships only the
+    few candidate docs' shingle sets. Nothing new-x-new, nothing
+    all-pairs; batch cost ∝ batch size + collisions, not corpus size."""
+    existing = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = _incremental_batch(spark, sf_dir).localCheckpoint(
+        eager=False  # consumed by hash stage, LSH stage, and the spine
+    )
+    # stage 1: exact content hash against the existing hash set
+    ex_hash = existing.select(
+        content_hash(F.col("text")).alias("content_hash"),
+        F.col("doc_id").alias("ex_id"),
+    ).groupBy("content_hash").agg(F.min("ex_id").alias("exact_match"))
+    new_hashed = new.select(
+        "doc_id", "text", content_hash(F.col("text")).alias("content_hash")
+    )
+    staged = new_hashed.join(F.broadcast(ex_hash), "content_hash", "left")
+    survivors = staged.filter(F.col("exact_match").isNull()).select(
+        "doc_id", "text"
+    )
+    # stage 2: LSH bands of the (tiny) surviving batch broadcast against
+    # the existing corpus' bands; verify candidates at true Jaccard
+    ex_sh = shingle_rows(existing)
+    new_sh = shingle_rows(survivors)
+    ex_melt = _band_melt(minhash_signatures(ex_sh))
+    new_melt = _band_melt(minhash_signatures(new_sh))
+    cand = (
+        ex_melt.alias("e")
+        .join(
+            F.broadcast(new_melt.alias("n")),
+            (F.col("e.band") == F.col("n.band"))
+            & (F.col("e.sig") == F.col("n.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("e.doc_id").alias("ex_id"),
+        )
+        .distinct()
+    )
+    ex_sets = ex_sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_e"))
+    new_sets = new_sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_n"))
+    verified = (
+        cand.join(ex_sets.select(F.col("doc_id").alias("ex_id"), "sh_e"), "ex_id")
+        .join(F.broadcast(new_sets), "doc_id")
+        .withColumn("n_common", F.size(F.array_intersect("sh_e", "sh_n")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_e") + F.size("sh_n") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= 0.9)
+    )
+    # deterministic match: lowest verified existing doc id
+    from pyspark.sql import Window as W
+
+    best = (
+        verified.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("ex_id").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("ex_id").alias("near_match"), "jaccard")
+    )
+    return (
+        staged.select("doc_id", "exact_match")
+        .join(F.broadcast(best), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("matched_doc"),
+            F.when(F.col("exact_match").isNotNull(), F.lit(1.0))
+            .otherwise(round_portable(F.col("jaccard"), 6))
+            .alias("jaccard"),
+        )
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL_LSH = f"""
+WITH newb AS ({_INCR_BATCH_SQL}),
+ex_hash AS (
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS exact_match
+    FROM documents GROUP BY 1
+),
+staged AS (
+    SELECT n.doc_id, n.text, h.exact_match
+    FROM newb n
+    LEFT JOIN ex_hash h
+      ON md5(regexp_replace(trim(lower(n.text)), '\\s+', ' ', 'g')) = h.content_hash
+),
+survivors AS (SELECT doc_id, text FROM staged WHERE exact_match IS NULL),
+ex_sh AS ({_SHINGLES_SQL.format(src="documents")}),
+new_sh AS ({_SHINGLES_SQL.format(src="survivors")}),
+ex_sigs AS (
+    SELECT doc_id, {_mh_cols}
+    FROM (SELECT doc_id, {HEX32_TO_INT_SQL.format(h="md5(shingle)")} AS v FROM ex_sh)
+    GROUP BY doc_id
+),
+new_sigs AS (
+    SELECT doc_id, {_mh_cols}
+    FROM (SELECT doc_id, {HEX32_TO_INT_SQL.format(h="md5(shingle)")} AS v FROM new_sh)
+    GROUP BY doc_id
+),
+ex_melt AS (
+    SELECT doc_id, bs.band AS band, bs.sig AS sig
+    FROM ex_sigs, UNNEST([{_band_rows}]) AS t(bs)
+),
+new_melt AS (
+    SELECT doc_id, bs.band AS band, bs.sig AS sig
+    FROM new_sigs, UNNEST([{_band_rows}]) AS t(bs)
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS doc_id, e.doc_id AS ex_id
+    FROM new_melt n JOIN ex_melt e ON n.band = e.band AND n.sig = e.sig
+),
+inter AS (
+    SELECT c.doc_id, c.ex_id, COUNT(*) AS n_common
+    FROM cand c
+    JOIN new_sh ns ON ns.doc_id = c.doc_id
+    JOIN ex_sh es ON es.doc_id = c.ex_id AND es.shingle = ns.shingle
+    GROUP BY 1, 2
+),
+verified AS (
+    SELECT i.doc_id, i.ex_id,
+           i.n_common * 1.0 / (ce.c + cn.c - i.n_common) AS jaccard
+    FROM inter i
+    JOIN (SELECT doc_id, COUNT(*) AS c FROM ex_sh GROUP BY 1) ce
+      ON ce.doc_id = i.ex_id
+    JOIN (SELECT doc_id, COUNT(*) AS c FROM new_sh GROUP BY 1) cn
+      ON cn.doc_id = i.doc_id
+    WHERE i.n_common * 1.0 / (ce.c + cn.c - i.n_common) >= 0.9
+),
+best AS (
+    SELECT doc_id, ex_id AS near_match, jaccard
+    FROM (
+        SELECT doc_id, ex_id, jaccard,
+               row_number() OVER (PARTITION BY doc_id ORDER BY ex_id ASC) AS rn
+        FROM verified
+    ) WHERE rn = 1
+)
+SELECT s.doc_id,
+       CASE WHEN s.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN b.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'kept'
+       END AS verdict,
+       COALESCE(s.exact_match, b.near_match) AS matched_doc,
+       CASE WHEN s.exact_match IS NOT NULL THEN 1.0
+            ELSE {round_portable_sql("b.jaccard", 6)}
+       END AS jaccard
+FROM staged s LEFT JOIN best b ON b.doc_id = s.doc_id
 """

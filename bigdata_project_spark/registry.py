@@ -360,6 +360,16 @@ def _load() -> None:
         sketches.query_sketch_hll_rollup,
         sketches.ORACLE_SKETCH_HLL_ROLLUP,
     )
+    register(
+        "pipeline_shard_manifest",
+        packing.query_shard_manifest,
+        packing.ORACLE_SHARD_MANIFEST,
+    )
+    register(
+        "dedup_incremental_lsh",
+        text_dedup.query_dedup_incremental_lsh,
+        text_dedup.ORACLE_DEDUP_INCREMENTAL_LSH,
+    )
 
     # round-10 queue block 2: the 6 r6-deferred rows (hard ceiling at r10)
     register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)

@@ -280,3 +280,32 @@ def test_minhash_recall_sweep_curve(spark, sf_dir):
     assert out["recall"].iloc[0] == out["recall"].min()
     # the fan-out geometry pays for its recall in precision
     assert out["prec"].iloc[-1] == out["prec"].min()
+
+
+def test_incremental_dedup_verdicts(spark, sf_dir):
+    """Incremental ingest semantics: every exact re-submission is caught
+    as exact_dup with its original as the match; near-dup variants are
+    flagged only at verified Jaccard >= 0.9 (with a real existing match);
+    kept docs carry no match columns."""
+    from bigdata_project_spark.operators.text_dedup import (
+        _INCR_EXACT_HI,
+        _INCR_EXACT_LO,
+        query_dedup_incremental_lsh,
+    )
+
+    out = query_dedup_incremental_lsh(spark, sf_dir).toPandas()
+    resub = out[out["doc_id"].between(3_000_000 + _INCR_EXACT_LO,
+                                      3_000_000 + _INCR_EXACT_HI - 1)]
+    assert len(resub) == _INCR_EXACT_HI - _INCR_EXACT_LO
+    assert (resub["verdict"] == "exact_dup").all()
+    assert (resub["jaccard"] == 1.0).all()
+    # an exact re-submission's match has the SAME normalized text; the
+    # min-doc-id rule may pick an even older identical doc, never a newer
+    assert (resub["matched_doc"] <= resub["doc_id"] - 3_000_000).all()
+    near = out[out["verdict"] == "near_dup"]
+    assert len(near) > 0
+    assert (near["jaccard"] >= 0.9).all() and (near["jaccard"] <= 1.0).all()
+    assert near["matched_doc"].notna().all()
+    assert (near["matched_doc"] < 2_000_000).all()  # matches are existing docs
+    kept = out[out["verdict"] == "kept"]
+    assert kept["matched_doc"].isna().all() and kept["jaccard"].isna().all()
