@@ -81,11 +81,16 @@ def _load() -> None:
     queue as ordinary r7-checked stale.
 
     Round 10 queue (in priority order, pre-staged directly after slot
-    50): (1) net-new round-9 registrations (never-driver-checked —
-    rule (1) fills the next window first, the r8 verdict correction);
-    (2) the 6 r6-deferred rows above, at their hard ceiling; (3) the
-    r7-checked rows, stalest-first, dedup_fuzzy_lev leading for
-    auditability; (4) the 50 r8-checked rows wait for ~r11."""
+    50): (1) the 7 net-new round-9 registrations, never-driver-checked
+    — rule (1) fills the next window first, the r8 verdict correction
+    (text_source_overlap_bitmap, dedup_minhash_recall,
+    pipeline_pack_masked, sim_knn_join, sketch_hll_rollup,
+    pipeline_shard_manifest, dedup_incremental_lsh — each
+    sf0.001+sf0.01 oracle-green at registration); (2) the 6
+    r6-deferred rows above, at their hard ceiling; (3) the r7-checked
+    rows, stalest-first, dedup_fuzzy_lev leading for auditability;
+    (4) the 50 r8-checked rows wait for ~r11. 7+6+37 = the r10 window;
+    the 12 least-stale r7 rows spill to r11 with the r8 block."""
     if _QUERIES:
         return
 

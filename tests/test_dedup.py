@@ -309,3 +309,47 @@ def test_incremental_dedup_verdicts(spark, sf_dir):
     assert (near["matched_doc"] < 2_000_000).all()  # matches are existing docs
     kept = out[out["verdict"] == "kept"]
     assert kept["matched_doc"].isna().all() and kept["jaccard"].isna().all()
+
+
+def test_prefix_filter_equals_all_pairs_on_random_corpora(spark):
+    """PPJoin completeness after the r9 length-ratio prune: on seeded
+    random corpora, prefix-filtered pairs filtered at t must equal the
+    naive all-pairs Jaccard join filtered at t, for both the registered
+    0.9 threshold and the recall harness' 0.7."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.operators.text_dedup import (
+        _jaccard_pairs,
+        _prefix_filtered_pairs,
+        shingle_rows,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        for d in range(40):
+            n = rng.randint(5, 25)
+            rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+        # plant a few heavy overlaps so >=0.9 is non-empty
+        for k in range(3):
+            base = rows[k][1]
+            rows.append((100 + k, base + " extraword"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = shingle_rows(docs).localCheckpoint(eager=True)
+        naive = _jaccard_pairs(sh).select("doc_a", "doc_b", "jaccard")
+        for j_num, j_den in ((9, 10), (7, 10)):
+            t = j_num / j_den
+            want = {
+                (r["doc_a"], r["doc_b"])
+                for r in naive.filter(F.col("jaccard") >= t).collect()
+            }
+            got = {
+                (r["doc_a"], r["doc_b"])
+                for r in _prefix_filtered_pairs(sh, j_num, j_den)
+                .filter(F.col("jaccard") >= t)
+                .collect()
+            }
+            assert got == want, f"seed={seed} t={t}"
