@@ -174,12 +174,26 @@ def query_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the persisted artifact: one (register, max rho) table per day
     daily = regs.groupBy("day", "register").agg(F.max("rho").alias("rho"))
-    # the roll-up: max per register across the week's daily sketches
-    weekly = daily.groupBy(
-        F.date_trunc("week", F.col("day")).cast("date").alias("week"),
-        "register",
-    ).agg(F.max("rho").alias("rho"))
-    parts = weekly.groupBy("week").agg(
+    # the roll-up: max per register across the week's daily sketches;
+    # date-as-string: the repo's cross-engine convention for date-typed
+    # output columns (pandas fetch paths disagree on date vs
+    # midnight-timestamp otherwise)
+    week = F.date_trunc("week", F.col("day")).cast("date").cast("string")
+    weekly = daily.groupBy(week.alias("week"), "register").agg(
+        F.max("rho").alias("rho")
+    )
+    exact = ev.groupBy(week.alias("week")).agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return hll_finalize(weekly, exact, "week")
+
+
+def hll_finalize(regs: DataFrame, exact: DataFrame, key: str) -> DataFrame:
+    """Estimate columns from a merged (key, register, rho) register frame
+    + a (key, n_users_exact) frame — shared by the batch roll-up and the
+    streaming sketch (both converge to the same registers, so the same
+    finalizer proves them against the same oracle arithmetic)."""
+    parts = regs.groupBy(key).agg(
         F.count(F.lit(1)).alias("m_present"),
         F.sum(F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)"))
         .alias("sum_present"),
@@ -192,16 +206,10 @@ def query_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw <= F.lit(HLL_SMALL_CUT)) & (v > 0),
         F.lit(m) * F.log(F.lit(m) / v.cast("double")),
     ).otherwise(raw)
-    exact = ev.groupBy(
-        F.date_trunc("week", F.col("day")).cast("date").alias("week")
-    ).agg(F.countDistinct("user_id").alias("n_users_exact"))
     return (
-        parts.join(exact, "week")
+        parts.join(exact, key)
         .select(
-            # date-as-string: the repo's cross-engine convention for
-            # date-typed output columns (pandas fetch paths disagree on
-            # date vs midnight-timestamp otherwise)
-            F.col("week").cast("string").alias("week"),
+            key,
             round_portable(est, 6).alias("hll_estimate"),
             "n_users_exact",
             v.cast("bigint").alias("n_zero_registers"),
@@ -264,5 +272,57 @@ FROM est JOIN exact ON est.week = exact.week
 """
 
 ORACLE_SKETCH_HLL_ROLLUP = _ORACLE_HLL_T.format(
+    h32=WORD_HASH32_SQL.format(w="CAST(user_id AS VARCHAR)")
+)
+
+
+# DuckDB twin for the STREAMING per-event-type HLL (streaming/stateful.py
+# query_stream_hll_users): the batch sketch keyed by event_type — the
+# drained increment stream max-merges to exactly these registers
+_ORACLE_HLL_TYPE_T = f"""
+WITH h AS (
+    SELECT event_type, {{h32}} AS h FROM events
+),
+rho AS (
+    SELECT event_type, h % {HLL_M} AS register,
+           CASE WHEN h // {HLL_M} = 0 THEN 25
+                ELSE 25 - length(bin(h // {HLL_M}))
+           END AS rho
+    FROM h
+),
+reg AS (SELECT event_type, register, MAX(rho) AS rho FROM rho GROUP BY 1, 2),
+parts AS (
+    SELECT event_type, COUNT(*) AS m_present,
+           SUM(1.0 / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)) AS sum_present
+    FROM reg GROUP BY event_type
+),
+est AS (
+    SELECT event_type, v,
+           CASE WHEN raw_e <= CAST({HLL_SMALL_CUT!r} AS DOUBLE) AND v > 0
+                THEN CAST({HLL_M} AS DOUBLE)
+                     * ln(CAST({HLL_M} AS DOUBLE) / CAST(v AS DOUBLE))
+                ELSE raw_e
+           END AS e
+    FROM (
+        SELECT event_type, {HLL_M} - m_present AS v,
+               CAST({HLL_ALPHA_MM!r} AS DOUBLE)
+                 / (sum_present + CAST({HLL_M} - m_present AS DOUBLE)) AS raw_e
+        FROM parts
+    )
+),
+exact AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact
+    FROM events GROUP BY event_type
+)
+SELECT est.event_type,
+       {round_portable_sql("est.e", 6)} AS hll_estimate,
+       exact.n_users_exact,
+       CAST(est.v AS BIGINT) AS n_zero_registers,
+       {round_portable_sql("(est.e - exact.n_users_exact) / exact.n_users_exact", 6)}
+           AS rel_err
+FROM est JOIN exact ON est.event_type = exact.event_type
+"""
+
+ORACLE_STREAM_HLL_USERS = _ORACLE_HLL_TYPE_T.format(
     h32=WORD_HASH32_SQL.format(w="CAST(user_id AS VARCHAR)")
 )

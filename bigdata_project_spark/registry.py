@@ -375,6 +375,11 @@ def _load() -> None:
         text_dedup.query_dedup_incremental_lsh,
         text_dedup.ORACLE_DEDUP_INCREMENTAL_LSH,
     )
+    register(
+        "stream_hll_users",
+        stream_stateful.query_stream_hll_users,
+        sketches.ORACLE_STREAM_HLL_USERS,
+    )
 
     # round-10 queue block 2: the 6 r6-deferred rows (hard ceiling at r10)
     register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)

@@ -171,3 +171,122 @@ def query_stream_transitions(spark, sf_dir: str) -> DataFrame:
         "n",
         round_portable((F.col("n") * F.lit(1.0)) / F.sum("n").over(w), 6).alias("p"),
     )
+
+
+# ------------------------------------------- streaming HyperLogLog ------
+
+HLL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("register", T.LongType()),
+        T.StructField("rho", T.LongType()),
+    ]
+)
+
+HLL_STATE_SCHEMA = T.StructType(
+    [T.StructField("regs", T.ArrayType(T.LongType()))]
+)
+
+
+def _hll_rho32(uid: int, m: int) -> tuple[int, int]:
+    """(register, rho) from the portable md5-derived 32-bit hash — the
+    EXACT Python twin of the relational form in operators/sketches.py
+    (int(hexdigest[:8], 16) IS the Horner fold hex32_to_int computes)."""
+    import hashlib
+
+    h = int(hashlib.md5(str(uid).encode("utf-8")).hexdigest()[:8], 16)
+    w = h // m
+    return h % m, (25 - w.bit_length()) if w else 25
+
+
+def _emit_hll_increments(m: int):
+    """Per-key stateful worker: maintain the m-register sketch in state;
+    emit ONLY the registers a batch RAISED (the sketch-update stream —
+    output ∝ sketch changes, never ∝ events; at most m·log₂ increments
+    per key over any stream length). Downstream max-merge of the emitted
+    increments reconstructs the exact register table, whatever the batch
+    order — max associativity, the same property the batch roll-up
+    leans on."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        regs = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(m, dtype=np.int64)
+        )
+        new = regs.copy()
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for uid in pd.unique(pdf["user_id"]):
+                r, rho = _hll_rho32(int(uid), m)
+                if rho > new[r]:
+                    new[r] = rho
+        changed = np.nonzero(new > regs)[0]
+        if len(changed):
+            yield pd.DataFrame(
+                {
+                    "event_type": key[0],
+                    "register": changed.astype(np.int64),
+                    "rho": new[changed],
+                }
+            )
+        state.update((new.tolist(),))
+
+    return fn
+
+
+def hll_increments_stateful(events: DataFrame, m: int) -> DataFrame:
+    return events.groupBy("event_type").applyInPandasWithState(
+        _emit_hll_increments(m),
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def query_stream_hll_users(spark, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user sketch per event type — HLL registers
+    maintained in ``applyInPandasWithState`` state, with the sketch-
+    UPDATE stream (register increments) as the emitted records: the
+    deployment shape where downstream consumers (dashboards, the batch
+    lake) fold tiny increment records instead of re-reading events.
+
+    Drained increments max-merge into exactly the batch sketch's
+    register table, so the final estimates share the batch HLL's
+    arithmetic (operators/sketches.py hll_finalize) and get a FULL
+    value-hash oracle: the stream must converge to the batch answer
+    bit-for-bit, transcendental included."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.operators.sketches import HLL_M, hll_finalize
+    from bigdata_project_spark.sources.readers import load_table
+    from bigdata_project_spark.streaming.windows import (
+        drain_to_memory,
+        read_event_stream,
+        stream_shuffle_partitions,
+    )
+
+    qname = f"hll_stream_{uuid.uuid4().hex[:8]}"
+    with stream_shuffle_partitions(spark, 16):
+        drain_to_memory(
+            hll_increments_stateful(read_event_stream(spark, sf_dir), HLL_M),
+            qname,
+            "append",
+        )
+    inc = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    regs = inc.groupBy("event_type", "register").agg(F.max("rho").alias("rho"))
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    return hll_finalize(regs, exact, "event_type")

@@ -254,3 +254,79 @@ def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
     assert (
         final.groupBy("event_id").count().filter(F.col("count") != 2).count() == 0
     )
+
+
+def test_stream_hll_python_twin_matches_relational(spark):
+    """The streaming worker's Python (register, rho) must equal the
+    relational md5 form in operators/sketches.py for the same user ids —
+    the identity the stream-vs-batch oracle convergence rests on."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.functions.text import word_hash32
+    from bigdata_project_spark.operators.sketches import HLL_M
+    from bigdata_project_spark.streaming.stateful import _hll_rho32
+
+    ids = list(range(0, 2000, 37)) + [2**31, 2**40 + 123]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    rel = (
+        df.select("user_id", word_hash32(F.col("user_id").cast("string")).alias("h"))
+        .select(
+            "user_id",
+            F.expr(f"h % {HLL_M}").alias("register"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select(
+            "user_id",
+            "register",
+            F.when(F.col("w") == 0, F.lit(25))
+            .otherwise(F.lit(25) - F.length(F.expr("bin(w)")))
+            .alias("rho"),
+        )
+        .collect()
+    )
+    for row in rel:
+        assert (row["register"], row["rho"]) == _hll_rho32(row["user_id"], HLL_M)
+
+
+def test_stream_hll_matches_batch_sketch(spark, sf_dir):
+    """Drained increment records max-merge to EXACTLY the batch register
+    table per event type (stream == batch, engine-internally; the DuckDB
+    oracle asserts the same cross-engine)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.functions.text import word_hash32
+    from bigdata_project_spark.operators.sketches import HLL_M
+    from bigdata_project_spark.streaming.stateful import query_stream_hll_users
+    from bigdata_project_spark.sources.readers import load_table
+
+    streamed = query_stream_hll_users(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    batch = (
+        ev.select(
+            "event_type", word_hash32(F.col("user_id").cast("string")).alias("h")
+        )
+        .select(
+            "event_type",
+            F.expr(f"h % {HLL_M}").alias("register"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select(
+            "event_type",
+            "register",
+            F.when(F.col("w") == 0, F.lit(25))
+            .otherwise(F.lit(25) - F.length(F.expr("bin(w)")))
+            .alias("rho"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            (F.lit(HLL_M) - F.countDistinct("register")).alias("n_zero_registers"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    got = streamed.set_index("event_type")
+    assert (
+        got["n_zero_registers"].sort_index()
+        == batch["n_zero_registers"].sort_index()
+    ).all()
