@@ -230,3 +230,20 @@ def test_hll_rollup_error_bound_and_merge(spark, sf_dir):
         direct.sort_values(key).reset_index(drop=True)
         .equals(merged.sort_values(key).reset_index(drop=True))
     )
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: every true join row passes the prefilter
+    (n_pass >= n_true, n_false_pos >= 0) and the FP rate stays under the
+    theoretical bound for the observed fill (with slack)."""
+    from bigdata_project_spark.operators.bloom import (
+        BLOOM_BITS,
+        BLOOM_K,
+        query_join_bloom_prefilter,
+    )
+
+    row = query_join_bloom_prefilter(spark, sf_dir).collect()[0]
+    assert row["n_pass"] >= row["n_true"]
+    assert row["n_false_pos"] == row["n_pass"] - row["n_true"]
+    fill = 1.0 - (1.0 - 1.0 / BLOOM_BITS) ** (BLOOM_K * row["n_keys"])
+    assert row["fp_rate"] <= 3 * fill**BLOOM_K + 1e-9

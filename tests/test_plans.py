@@ -453,3 +453,17 @@ def test_corpus_audit_joins_survive_disabled_auto_broadcast(spark, sf_dir):
             assert df.count() >= 0  # plan executes
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_prefilter_scan_side_no_join(spark, sf_dir):
+    """The bloom membership test must be a pure Filter over the fact
+    scan — no join/exchange between the lineitem scan and the filter
+    (the whole point vs a semi-join). The exact-count branches join, so
+    assert on the pass-count subtree via the full plan's shape: the
+    filter appears, and no CartesianProduct/BNLJ anywhere."""
+    from bigdata_project_spark.operators.bloom import query_join_bloom_prefilter
+
+    df = query_join_bloom_prefilter(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "shiftright" in plan  # the scan-side membership expression
