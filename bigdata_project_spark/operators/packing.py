@@ -448,3 +448,70 @@ SELECT CAST(off // {SHARD_TOKENS} AS BIGINT) AS shard_id,
 FROM offs
 GROUP BY 1
 """
+
+
+# ------------------------------------------- temperature-scaled mixture --
+
+#: temperature exponent for the sampling distribution q_i ∝ p_i^alpha —
+#: the standard multilingual/multi-domain up-weighting of rare sources
+#: (alpha=1 is proportional, alpha=0 uniform)
+MIX_ALPHA = 0.3
+#: sampling budget for the expected-docs readout (docs)
+MIX_BUDGET = 10_000
+
+
+def query_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights: q_i ∝ p_i^alpha over
+    the per-source document shares — the standard way multilingual /
+    multi-domain pretraining up-weights rare sources without flattening
+    the mixture entirely. Per source: docs, share p, sampling weight q,
+    and expected docs drawn under a MIX_BUDGET-doc budget.
+
+    Float-parity note: p_i^alpha is transcendental (engine libm pow,
+    same accepted class as the HLL ln branch) — but its NORMALIZATION is
+    made order-free by rounding each p^alpha to a scaled INTEGER first
+    (floor(x*1e6 + 0.5), exact on both engines) and summing integers, so
+    Spark's partition-parallel sum and DuckDB's sequential one cannot
+    diverge; q is then one IEEE division of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    p = F.col("n_docs") / F.col("total").cast("double")
+    r = F.floor(
+        F.pow(p, F.lit(MIX_ALPHA)) * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    scored = counts.crossJoin(F.broadcast(total)).select(
+        "source", "n_docs", p.alias("p"), r.alias("r")
+    )
+    rsum = scored.agg(F.sum("r").alias("rsum"))
+    q = F.col("r") / F.col("rsum").cast("double")
+    return scored.crossJoin(F.broadcast(rsum)).select(
+        "source",
+        "n_docs",
+        round_portable(F.col("p"), 6).alias("p"),
+        round_portable(q, 6).alias("q"),
+        round_portable(q * F.lit(float(MIX_BUDGET)), 6).alias("expected_docs"),
+    )
+
+
+ORACLE_MIXTURE_TEMPERATURE = f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total FROM counts),
+scored AS (
+    SELECT source, n_docs,
+           n_docs / tot.total AS p,
+           CAST(floor(pow(n_docs / tot.total,
+                          CAST({MIX_ALPHA!r} AS DOUBLE)) * 1e6 + 0.5)
+                AS BIGINT) AS r
+    FROM counts, tot
+),
+rs AS (SELECT CAST(SUM(r) AS DOUBLE) AS rsum FROM scored)
+SELECT source, n_docs,
+       {round_portable_sql("p", 6)} AS p,
+       {round_portable_sql("r / rs.rsum", 6)} AS q,
+       {round_portable_sql(f"r / rs.rsum * CAST({float(MIX_BUDGET)!r} AS DOUBLE)", 6)}
+           AS expected_docs
+FROM scored, rs
+"""

@@ -492,3 +492,66 @@ SELECT doc_id,
        score_milli / 1000.0 AS score
 FROM scored
 """
+
+
+# ----------------------------------------------------- inverted index --
+
+#: minimum document frequency for a term to enter the index summary
+IDX_MIN_DF = 5
+
+
+def query_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index summary: for every term with document frequency ≥
+    IDX_MIN_DF, its df, collection frequency, and the head posting (the
+    doc where it occurs most, ties to the lowest doc_id) — the
+    statistics a BM25/posting-list build materializes per term.
+
+    Plan: one tokenize+explode (map-side), one (term, doc) hash
+    aggregate, one term aggregate where the head posting falls out of a
+    max over (tf, -doc_id) structs — all combiner-friendly, key space =
+    vocabulary, no windows, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    best = F.max(F.struct(F.col("tf"), (-F.col("doc_id")).alias("neg_doc")))
+    agg = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        best.alias("best"),
+    )
+    return agg.filter(F.col("df") >= IDX_MIN_DF).select(
+        "term",
+        "df",
+        "cf",
+        (-F.col("best.neg_doc")).alias("top_doc_id"),
+        F.col("best.tf").alias("top_tf"),
+    )
+
+
+ORACLE_TEXT_INVERTED_INDEX = f"""
+WITH tf AS (
+    SELECT term, doc_id, COUNT(*) AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    )
+    GROUP BY term, doc_id
+),
+ranked AS (
+    SELECT term, doc_id, tf,
+           COUNT(*) OVER (PARTITION BY term) AS df,
+           SUM(tf) OVER (PARTITION BY term) AS cf,
+           row_number() OVER (
+               PARTITION BY term ORDER BY tf DESC, doc_id ASC
+           ) AS rn
+    FROM tf
+)
+SELECT term, df, CAST(cf AS BIGINT) AS cf,
+       doc_id AS top_doc_id, tf AS top_tf
+FROM ranked
+WHERE rn = 1 AND df >= {IDX_MIN_DF}
+"""

@@ -81,16 +81,17 @@ def _load() -> None:
     queue as ordinary r7-checked stale.
 
     Round 10 queue (in priority order, pre-staged directly after slot
-    50): (1) the 9 net-new round-9 registrations, never-driver-checked
+    50): (1) the 11 net-new round-9 registrations, never-driver-checked
     — rule (1) fills the next window first, the r8 verdict correction
     (text_source_overlap_bitmap, dedup_minhash_recall,
     pipeline_pack_masked, sim_knn_join, sketch_hll_rollup,
     pipeline_shard_manifest, dedup_incremental_lsh, stream_hll_users,
-    join_bloom_prefilter — each sf0.001+sf0.01 oracle-green at
+    join_bloom_prefilter, pipeline_mixture_temperature,
+    text_inverted_index — each sf0.001+sf0.01 oracle-green at
     registration); (2) the 6 r6-deferred rows above, at their hard
     ceiling; (3) the r7-checked rows, stalest-first, dedup_fuzzy_lev
     leading for auditability; (4) the 50 r8-checked rows wait for
-    ~r11. 9+6+35 = the r10 window; the 14 least-stale r7 rows spill
+    ~r11. 11+6+33 = the r10 window; the 16 least-stale r7 rows spill
     to r11 with the r8 block."""
     if _QUERIES:
         return
@@ -386,6 +387,16 @@ def _load() -> None:
         "join_bloom_prefilter",
         bloom.query_join_bloom_prefilter,
         bloom.ORACLE_JOIN_BLOOM_PREFILTER,
+    )
+    register(
+        "pipeline_mixture_temperature",
+        packing.query_mixture_temperature,
+        packing.ORACLE_MIXTURE_TEMPERATURE,
+    )
+    register(
+        "text_inverted_index",
+        text_analysis.query_text_inverted_index,
+        text_analysis.ORACLE_TEXT_INVERTED_INDEX,
     )
 
     # round-10 queue block 2: the 6 r6-deferred rows (hard ceiling at r10)

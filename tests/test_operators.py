@@ -247,3 +247,64 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     assert row["n_false_pos"] == row["n_pass"] - row["n_true"]
     fill = 1.0 - (1.0 - 1.0 / BLOOM_BITS) ** (BLOOM_K * row["n_keys"])
     assert row["fp_rate"] <= 3 * fill**BLOOM_K + 1e-9
+
+
+def test_mixture_temperature_flattens_toward_uniform(spark, sf_dir):
+    """Temperature alpha<1 must up-weight rare sources: q > p wherever
+    p is below the mean share, q sums to ~1, expected docs sum to ~the
+    budget."""
+    from bigdata_project_spark.operators.packing import (
+        MIX_BUDGET,
+        query_mixture_temperature,
+    )
+
+    out = query_mixture_temperature(spark, sf_dir).toPandas()
+    assert abs(out["p"].sum() - 1.0) < 1e-4
+    assert abs(out["q"].sum() - 1.0) < 1e-4
+    assert abs(out["expected_docs"].sum() - MIX_BUDGET) < 1.0
+    mean_p = 1.0 / len(out)
+    rare = out[out["p"] < mean_p * 0.9]
+    common = out[out["p"] > mean_p * 1.1]
+    if len(rare):
+        assert (rare["q"] > rare["p"]).all()
+    if len(common):
+        assert (common["q"] < common["p"]).all()
+
+
+def test_inverted_index_head_posting(spark, sf_dir):
+    """The head posting is the true argmax: its tf bounds every other
+    posting's tf for a sampled set of terms, df/cf are consistent."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.functions.text import tokens
+    from bigdata_project_spark.operators.text_analysis import (
+        IDX_MIN_DF,
+        query_text_inverted_index,
+    )
+    from bigdata_project_spark.sources.readers import load_table
+
+    out = query_text_inverted_index(spark, sf_dir).toPandas()
+    assert len(out) and (out["df"] >= IDX_MIN_DF).all()
+    assert (out["cf"] >= out["df"]).all()
+    assert (out["top_tf"] >= 1).all()
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    sample = out.nlargest(5, "cf")
+    got = {r["term"]: (r["top_doc_id"], r["top_tf"]) for _, r in sample.iterrows()}
+    check = (
+        tf.filter(F.col("term").isin(list(got)))
+        .toPandas()
+        .groupby("term")
+        .apply(
+            lambda g: g.sort_values(["tf", "doc_id"], ascending=[False, True]).iloc[0],
+            include_groups=False,
+        )
+    )
+    for term, (top_doc, top_tf) in got.items():
+        assert check.loc[term, "tf"] == top_tf
+        assert check.loc[term].name == term
+        assert int(check.loc[term, "doc_id"]) == top_doc

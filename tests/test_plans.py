@@ -43,6 +43,9 @@ _CROSS_JOIN_OK = {
     "dedup_minhash_recall",
     # 1-row dim-key count crossed into the single-pass fact counts
     "join_bloom_prefilter",
+    # 1-row corpus total + 1-row scaled-integer normalizer crossed into
+    # the 20-row per-source weights
+    "pipeline_mixture_temperature",
 }
 
 
