@@ -628,7 +628,17 @@ def query_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact join (bounded candidate generation at threshold 0.7 with the
     length-ratio prune), never all-pairs; the DuckDB twin keeps the
     naive all-pairs form as the independent baseline, which is exactly
-    the cross-check's point."""
+    the cross-check's point.
+
+    Deployment note: this is a banding CALIBRATION harness, not a
+    pipeline stage — at corpus scale it runs on a bounded sample (as
+    every production LSH calibration does), because the sweep
+    deliberately includes the (12,1) single-hash geometry, the
+    unbounded fan-out extreme of the trade curve: on a pathological
+    ~100%-duplicate corpus its candidate set degenerates toward
+    all-pairs (that IS the measurement the curve reports). The
+    production geometry it helps choose (the registered 4×3) has the
+    usual per-band-bucket bound and is what the scale probes exercise."""
     corpus = _corpus_with_near_dups(spark, sf_dir)
     # shingles feed signatures + the 5-consumer PPJoin truth DAG
     sh = shingle_rows(corpus).localCheckpoint(eager=True)

@@ -54,6 +54,21 @@ PROBES = [
     ("asof_join", "join_asof"),
     ("char_entropy", "text_char_entropy"),
     ("global_shuffle", "pipeline_global_shuffle"),
+    # r9 additions: incremental new-vs-existing screen (cost must track
+    # batch size + collisions, never corpus size), the broadcast bloom
+    # prune, and the prefix-sum shard planner.
+    # dedup_minhash_recall is deliberately NOT probed: its sweep includes
+    # the (12,1) single-hash geometry — the intentionally unbounded
+    # fan-out extreme of the calibration curve — which on this probe's
+    # adversarial ~100%-duplicate corpus degenerates to all-pairs (hot
+    # single-minhash buckets of >10k docs). The harness is a banding
+    # CALIBRATION tool: at scale it runs on a bounded sample (as every
+    # production LSH calibration does), never the full corpus; the
+    # bounded-geometry production path (4x3) is probed above as
+    # dedup_minhash_lsh.
+    ("incremental_dedup", "dedup_incremental_lsh"),
+    ("bloom_prefilter", "join_bloom_prefilter"),
+    ("shard_manifest", "pipeline_shard_manifest"),
 ]
 
 TABLES = [
@@ -123,6 +138,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--out", default="/tmp/spark_graft_scale_probe")
+    ap.add_argument("--only", nargs="*", help="probe names to run (default all)")
     args = ap.parse_args()
 
     from bigdata_project_spark import registry
@@ -155,8 +171,14 @@ def main() -> None:
         "asof_join": "events",
         "char_entropy": "documents",
         "global_shuffle": "documents",
+        "incremental_dedup": "documents",
+        "minhash_recall_sweep": "documents",
+        "bloom_prefilter": "lineitem",
+        "shard_manifest": "documents",
     }
     for probe, name in PROBES:
+        if args.only and probe not in args.only:
+            continue
         small_s = time_query(q[name], spark, SMALL)
         big_s = time_query(q[name], spark, big_dir)
         growth = big_s / max(small_s, 1e-9)
