@@ -485,3 +485,46 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def query_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the Structured Streaming feature
+    every event pipeline leans on (micro-batch events joined to a slowly
+    changing dimension without any stream state): the event stream inner-
+    joins the STATIC customer table on user_id, broadcast-hinted so each
+    micro-batch is a map-side hash join, then rolls up per nation.
+
+    Stream-static inner joins are stateless by definition (the static
+    side is re-planned per micro-batch; no watermark, no state store) —
+    which is why this is the right shape for dimension enrichment at any
+    scale, and why the drained result must equal the batch join exactly."""
+    import uuid
+
+    from bigdata_project_spark.sources.readers import load_table
+
+    qname = f"enrich_{uuid.uuid4().hex[:8]}"
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    enriched = read_event_stream(spark, sf_dir).join(
+        F.broadcast(customers),
+        F.col("user_id") == F.col("c_custkey"),
+        "inner",
+    )
+    with stream_shuffle_partitions(spark):
+        drain_to_memory(enriched, qname, "append")
+    rec = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    return rec.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_STREAM_STATIC_ENRICH = """
+SELECT c.c_nationkey,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+"""
