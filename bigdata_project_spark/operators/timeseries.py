@@ -248,3 +248,75 @@ WINDOW w AS (PARTITION BY event_type ORDER BY h)
 
 
 ORACLE_TS_EWMA_HOURLY = _ewma_sql()
+
+
+# ----------------------------------------------------------------- OHLC --
+
+
+def query_ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling of the event value stream per type — the
+    classic resample (open/high/low/close + volume) every metrics /
+    market-data pipeline materializes. Open/close are the values of the
+    hour's first/last event under the total order (ts, event_id) —
+    event_id breaks ts ties deterministically (unique in the fixture,
+    and any real pipeline carries such an id).
+
+    Plan: ONE hash aggregate per (type, hour). Open/close fall out of
+    min/max over (ts, event_id, value) structs — Spark compares struct
+    fields lexicographically, so the value rides along as payload — no
+    windows, no second scan, map-side combinable. The DuckDB twin uses
+    row_number windows instead, proving the struct-extremum trick against
+    an independent formulation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    agg = ev.groupBy("event_type", "h").agg(
+        first_s.alias("fs"),
+        last_s.alias("ls"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "h",
+        F.col("fs.value").alias("open"),
+        "high",
+        "low",
+        F.col("ls.value").alias("close"),
+        "n_events",
+    )
+
+
+ORACLE_TS_OHLC_HOURLY = """
+WITH ev AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+    FROM events
+),
+ranked AS (
+    SELECT event_type, h, value,
+           row_number() OVER (
+               PARTITION BY event_type, h ORDER BY ts ASC, event_id ASC
+           ) AS rn_open,
+           row_number() OVER (
+               PARTITION BY event_type, h ORDER BY ts DESC, event_id DESC
+           ) AS rn_close
+    FROM ev
+),
+hl AS (
+    SELECT event_type, h,
+           MAX(value) AS high, MIN(value) AS low, COUNT(*) AS n_events
+    FROM ev GROUP BY 1, 2
+)
+SELECT hl.event_type, hl.h,
+       o.value AS open, hl.high, hl.low, c.value AS close, hl.n_events
+FROM hl
+JOIN ranked o ON o.event_type = hl.event_type AND o.h = hl.h AND o.rn_open = 1
+JOIN ranked c ON c.event_type = hl.event_type AND c.h = hl.h AND c.rn_close = 1
+"""

@@ -81,18 +81,19 @@ def _load() -> None:
     queue as ordinary r7-checked stale.
 
     Round 10 queue (in priority order, pre-staged directly after slot
-    50): (1) the 12 net-new round-9 registrations, never-driver-checked
+    50): (1) the 13 net-new round-9 registrations, never-driver-checked
     — rule (1) fills the next window first, the r8 verdict correction
     (text_source_overlap_bitmap, dedup_minhash_recall,
     pipeline_pack_masked, sim_knn_join, sketch_hll_rollup,
     pipeline_shard_manifest, dedup_incremental_lsh, stream_hll_users,
     join_bloom_prefilter, pipeline_mixture_temperature,
-    text_inverted_index, stream_static_enrich — each sf0.001+sf0.01
-    oracle-green at registration); (2) the 6 r6-deferred rows above,
-    at their hard ceiling; (3) the r7-checked rows, stalest-first,
-    dedup_fuzzy_lev leading for auditability; (4) the 50 r8-checked
-    rows wait for ~r11. 12+6+32 = the r10 window; the 17 least-stale
-    r7 rows spill to r11 with the r8 block."""
+    text_inverted_index, stream_static_enrich, ts_ohlc_hourly — each
+    sf0.001+sf0.01 oracle-green at registration); (2) the 6
+    r6-deferred rows above, at their hard ceiling; (3) the r7-checked
+    rows, stalest-first, dedup_fuzzy_lev leading for auditability;
+    (4) the 50 r8-checked rows wait for ~r11. 13+6+31 = the r10
+    window; the 18 least-stale r7 rows spill to r11 with the r8
+    block."""
     if _QUERIES:
         return
 
@@ -402,6 +403,11 @@ def _load() -> None:
         "stream_static_enrich",
         stream_windows.query_stream_static_enrich,
         stream_windows.ORACLE_STREAM_STATIC_ENRICH,
+    )
+    register(
+        "ts_ohlc_hourly",
+        timeseries.query_ts_ohlc_hourly,
+        timeseries.ORACLE_TS_OHLC_HOURLY,
     )
 
     # round-10 queue block 2: the 6 r6-deferred rows (hard ceiling at r10)
