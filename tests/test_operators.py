@@ -308,3 +308,37 @@ def test_inverted_index_head_posting(spark, sf_dir):
         assert check.loc[term, "tf"] == top_tf
         assert check.loc[term].name == term
         assert int(check.loc[term, "doc_id"]) == top_doc
+
+
+def test_ohlc_open_close_are_time_extrema(spark, sf_dir):
+    """OHLC semantics: open/close equal the values of each hour's
+    earliest/latest event under (ts, event_id), and low <= open, close,
+    high with high/low the true value extrema."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.operators.timeseries import query_ts_ohlc_hourly
+    from bigdata_project_spark.sources.readers import load_table
+
+    out = query_ts_ohlc_hourly(spark, sf_dir).toPandas()
+    assert len(out)
+    assert (out["low"] <= out["high"]).all()
+    assert (out["low"] <= out["open"]).all() and (out["open"] <= out["high"]).all()
+    assert (out["low"] <= out["close"]).all() and (out["close"] <= out["high"]).all()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .toPandas()
+    )
+    g = ev.sort_values(["ts", "event_id"]).groupby(["event_type", "h"])
+    want_open = g["value"].first()
+    want_close = g["value"].last()
+    got = out.set_index(["event_type", "h"])
+    assert (got["open"].sort_index() == want_open.sort_index()).all()
+    assert (got["close"].sort_index() == want_close.sort_index()).all()
+    assert (got["n_events"].sort_index() == g.size().sort_index()).all()
