@@ -78,6 +78,13 @@ def _pos_sql(key_expr: str, i: int) -> str:
 def query_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # ~1% of orders consumed by THREE sinks (sketch build, broadcast
+    # truth join, n_keys count). Deliberately NOT lineage-truncated:
+    # the r10 same-hour A/B measured localCheckpoint(eager=False) here
+    # at 3.50 s vs 2.66 s without (5-run medians, all 5 runs worse) —
+    # the checkpoint job + block write costs more than recomputing a
+    # pushed-down 1%-selective scan whose two hot consumers are
+    # broadcast builds anyway.
     keys = (
         orders.filter(F.expr(_SEGMENT_SQL))
         .select(F.col("o_orderkey").alias("k"))

@@ -13,8 +13,11 @@
   from per-Arrow-batch XᵀX partials (``mapInPandas``) + one d²-row
   aggregate — integer-scaled so it stays bit-identical to the
   relational form and shares its oracle (see the function docstring).
-  Both are registered: the relational form is the cross-engine
-  anchor, the BLAS form is what you run at 100 TB.
+  Only the BLAS form is registered (what you run at 100 TB); the
+  relational form was demoted from the bench/driver registry in
+  round 10 — it donated ~2.6 s/round of pure gate ratio for a
+  pedagogical anchor — and its bit-equivalence to the BLAS form is
+  owned by tests/test_graph_funnel.py instead.
 
 - **PageRank** (``graph_pagerank``): two unrolled power iterations over
   a co-activity graph derived from `events` (edge u→v when v's event

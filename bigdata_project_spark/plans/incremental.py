@@ -38,6 +38,7 @@ the fold orchestration here is unchanged by that swap.
 from __future__ import annotations
 
 import atexit
+import itertools
 import os
 import shutil
 import tempfile
@@ -54,8 +55,15 @@ _COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "batch_id"]
 _CLEANUP_REGISTERED: set[str] = set()
 
 #: per-(application, fixture) invocation counter — see the staging-path
-#: comment in :func:`query_bronze_incremental_batches`
-_INVOCATIONS: dict[str, int] = {}
+#: comment in :func:`query_bronze_incremental_batches`. Drawn via
+#: ``next(_INVOCATIONS.setdefault(key, itertools.count(1)))``: both
+#: ``dict.setdefault`` and ``next`` on a count are single C calls
+#: (atomic under the GIL), and setdefault guarantees exactly one
+#: counter object ever survives per key — so two concurrent in-process
+#: invocations can never draw the same value and stage into the same
+#: inv= directory the way the previous ``get()+1`` read-modify-write
+#: could.
+_INVOCATIONS: dict[str, "itertools.count[int]"] = {}
 
 
 def _stage_batches(spark: SparkSession, sf_dir: str, base: str) -> list[str]:
@@ -109,8 +117,8 @@ def query_bronze_incremental_batches(spark: SparkSession, sf_dir: str) -> DataFr
     )
     fixture_key = sf_dir.strip("/").replace("/", "_")
     inv_key = os.path.join(app_dir, fixture_key)
-    _INVOCATIONS[inv_key] = _INVOCATIONS.get(inv_key, 0) + 1
-    base = os.path.join(inv_key, f"inv={_INVOCATIONS[inv_key]}")
+    inv = next(_INVOCATIONS.setdefault(inv_key, itertools.count(1)))
+    base = os.path.join(inv_key, f"inv={inv}")
     # one cleanup per application tree, else every process run would
     # leave an orphan staging tree behind
     if app_dir not in _CLEANUP_REGISTERED:

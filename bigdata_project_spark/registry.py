@@ -52,48 +52,55 @@ def _load() -> None:
 
     ROTATION POLICY (adopted round 6, per the r5 verdict): the window is
     filled STALE-FIRST every round — (1) queries that have never had a
-    driver row, (2) queries whose last green row is oldest, (3) queries
-    whose behavior this round's commits touched. Net-new queries get
+    driver row, (2) queries whose last green row is oldest (hard
+    ceiling: no row older than 4 rounds), (3) queries whose behavior
+    this round's commits touched, (4) stalest rest. Net-new queries get
     only the slots left after (1)-(3); anything beyond that budget waits
-    a round rather than evicting an unexposed query. With 150+ names
+    a round rather than evicting an unexposed query. With 160+ names
     and a 50-slot window the full cycle is ~3 rounds; this ordering
     guarantees no query's last driver row ever trails by more than
     that, and no query ships two rounds without a row.
 
-    Round 9 window, per the r8 verdict's top-next correction: (1) the
-    3 r5-stale hard-ceiling rows deferred from the r8 window — at
-    round 9 they trail 4 rounds (silver_ine_empresas,
-    silver_ine_poblacion, agg_approx_quantiles); (2) the 3
-    never-driver-checked net-new from round 8 (sim_ann_recall_at_k,
-    text_dup_spans_lcp, text_source_overlap) — rule (1) rows the r8
-    pre-staging wrongly queued behind the r6 block; (3) 44 of the 50
-    r6-stale rows, stalest-first (file order). 3+3+44 = 50 exactly;
-    the 6 deferred r6 rows (text_pii_redact, text_quality_score,
-    text_repetition, text_tfidf, text_token_stats, text_vocab_topk —
-    one static text-analysis family, every sibling re-rowed this
-    round, pytest-parity green every run) lead the r10 queue at their
-    own 4-round ceiling.
+    REGISTRATION BUDGET RULE (adopted round 10, per the r9 verdict):
+    the bench gate is a ratio over ALL registered queries and Spark
+    pays a ~0.3-0.5 s per-query planning/commit floor that DuckDB does
+    not, so every sub-second registration is a permanent gate tax. A
+    NEW registration must either do >= 1 s of real work at sf0.1 or
+    REPLACE an existing entry (the replaced query keeps pytest parity
+    coverage — e.g. emb_gram_matrix, demoted round 10, its equivalence
+    vs emb_gram_blas owned by tests/test_graph_funnel.py).
 
-    dedup_fuzzy_lev owes NO r9 row: its r9-queue condition was "IF
-    round-8 commits change its default behavior", and the r8
-    width/bands parameterization kept the r7-checked 32-bit/2x16
-    blocking default — the trigger did not fire. It rotates in the r10
-    queue as ordinary r7-checked stale.
-
-    Round 10 queue (in priority order, pre-staged directly after slot
-    50): (1) the 13 net-new round-9 registrations, never-driver-checked
-    — rule (1) fills the next window first, the r8 verdict correction
+    Round 10 window, exactly as pre-staged by the round-9 queue:
+    (1) the 13 never-driver-checked round-9 registrations
     (text_source_overlap_bitmap, dedup_minhash_recall,
     pipeline_pack_masked, sim_knn_join, sketch_hll_rollup,
     pipeline_shard_manifest, dedup_incremental_lsh, stream_hll_users,
     join_bloom_prefilter, pipeline_mixture_temperature,
-    text_inverted_index, stream_static_enrich, ts_ohlc_hourly — each
-    sf0.001+sf0.01 oracle-green at registration); (2) the 6
-    r6-deferred rows above, at their hard ceiling; (3) the r7-checked
-    rows, stalest-first, dedup_fuzzy_lev leading for auditability;
-    (4) the 50 r8-checked rows wait for ~r11. 13+6+31 = the r10
-    window; the 18 least-stale r7 rows spill to r11 with the r8
-    block."""
+    text_inverted_index, stream_static_enrich, ts_ohlc_hourly);
+    (2) the 6 r6-deferred text-analysis rows at their 4-round hard
+    ceiling (text_pii_redact, text_quality_score, text_repetition,
+    text_tfidf, text_token_stats, text_vocab_topk);
+    (3) sim_ann_recall_at_k — r9-checked but round-10 commits change
+    its physical plan (one shared scoring pass across probe levels),
+    so rule (3) re-exposes it;
+    (4) 30 of the 49 remaining r7-checked rows, stalest-first in prior
+    file order, dedup_fuzzy_lev leading for auditability (its r9
+    conditional re-check never fired; documented in the r9 docstring).
+    13+6+1+30 = 50 exactly.
+
+    Round 11 queue (in priority order, pre-staged directly after slot
+    50): (1) the 19 r7-checked rows this window could not hold
+    (join_range_bands, join_semi_anti, layout_bucketed_join,
+    pipeline_clean_corpus, pipeline_dedup_canonical,
+    pipeline_global_shuffle, silver_od, sim_ivf_kmeans_topk,
+    sim_ivfpq_topk, sim_pq_adc_topk, skew_salted_agg, skew_salted_join,
+    stream_dedup, stream_upsert_sink, text_char_entropy, win_lead_lag,
+    win_rank_family, win_running_total, win_topk_per_group) — at r11
+    they trail 4 rounds, the hard ceiling, so ALL 19 must go first;
+    (2) 31 of the 50 r8-checked rows, stalest-first in file order; the
+    19 least-stale r8 rows spill to r12 with the r9 block. Any r10/r11
+    commit that changes a checked query's behavior pulls it forward
+    per rule (3)."""
     if _QUERIES:
         return
 
@@ -157,6 +164,242 @@ def _load() -> None:
     )
 
     # ---- r9 block 1: the 3 r5-stale rows (4-round hard ceiling at r9) ----
+    # ---- r10 window block 1: the 13 never-driver-checked r9 net-new ----
+    register(
+        "text_source_overlap_bitmap",
+        text_signals.query_text_source_overlap_bitmap,
+        text_signals.ORACLE_TEXT_SOURCE_OVERLAP,
+    )
+    register(
+        "dedup_minhash_recall",
+        text_dedup.query_dedup_minhash_recall,
+        text_dedup.ORACLE_DEDUP_MINHASH_RECALL,
+    )
+    register(
+        "pipeline_pack_masked",
+        packing.query_pack_sequences_masked,
+        packing.ORACLE_PACK_SEQUENCES_MASKED,
+    )
+    register(
+        "sim_knn_join",
+        similarity.query_sim_knn_join,
+        similarity.ORACLE_SIM_KNN_JOIN,
+    )
+    register(
+        "sketch_hll_rollup",
+        sketches.query_sketch_hll_rollup,
+        sketches.ORACLE_SKETCH_HLL_ROLLUP,
+    )
+    register(
+        "pipeline_shard_manifest",
+        packing.query_shard_manifest,
+        packing.ORACLE_SHARD_MANIFEST,
+    )
+    register(
+        "dedup_incremental_lsh",
+        text_dedup.query_dedup_incremental_lsh,
+        text_dedup.ORACLE_DEDUP_INCREMENTAL_LSH,
+    )
+    register(
+        "stream_hll_users",
+        stream_stateful.query_stream_hll_users,
+        sketches.ORACLE_STREAM_HLL_USERS,
+    )
+    register(
+        "join_bloom_prefilter",
+        bloom.query_join_bloom_prefilter,
+        bloom.ORACLE_JOIN_BLOOM_PREFILTER,
+    )
+    register(
+        "pipeline_mixture_temperature",
+        packing.query_mixture_temperature,
+        packing.ORACLE_MIXTURE_TEMPERATURE,
+    )
+    register(
+        "text_inverted_index",
+        text_analysis.query_text_inverted_index,
+        text_analysis.ORACLE_TEXT_INVERTED_INDEX,
+    )
+    register(
+        "stream_static_enrich",
+        stream_windows.query_stream_static_enrich,
+        stream_windows.ORACLE_STREAM_STATIC_ENRICH,
+    )
+    register(
+        "ts_ohlc_hourly",
+        timeseries.query_ts_ohlc_hourly,
+        timeseries.ORACLE_TS_OHLC_HOURLY,
+    )
+
+    # ---- r10 window block 2: the 6 r6-deferred rows (4-round ceiling) ---
+    register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)
+    register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
+    register("text_repetition", text_signals.query_text_repetition, text_signals.ORACLE_TEXT_REPETITION)
+    register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
+    register("text_token_stats", text_analysis.query_token_stats, text_analysis.ORACLE_TOKEN_STATS)
+    register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
+
+    # ---- r10 window block 3: r10 commits change this query's plan -------
+    register(
+        "sim_ann_recall_at_k",
+        ivf.query_ann_recall_at_k,
+        ivf.ORACLE_ANN_RECALL_AT_K,
+    )
+
+    # ---- r10 window block 4: 30 r7-stale rows, dedup_fuzzy_lev leading --
+    register("dedup_fuzzy_lev", text_dedup.query_dedup_fuzzy_lev, text_dedup.ORACLE_DEDUP_FUZZY_LEV)
+    register(
+        "agg_best_supplier",
+        starjoins2.query_best_supplier,
+        starjoins2.ORACLE_BEST_SUPPLIER,
+    )
+    register(
+        "agg_bracket_revenue",
+        starjoins.query_bracket_revenue,
+        starjoins.ORACLE_BRACKET_REVENUE,
+    )
+    register(
+        "agg_customer_distribution",
+        starjoins2.query_customer_distribution,
+        starjoins2.ORACLE_CUSTOMER_DISTRIBUTION,
+    )
+    register(
+        "agg_dominant_suppliers",
+        starjoins2.query_dominant_suppliers,
+        starjoins2.ORACLE_DOMINANT_SUPPLIERS,
+    )
+    register(
+        "agg_dormant_customers",
+        starjoins2.query_dormant_customers,
+        starjoins2.ORACLE_DORMANT_CUSTOMERS,
+    )
+    register(
+        "agg_forecast_revenue",
+        starjoins2.query_forecast_revenue,
+        starjoins2.ORACLE_FORECAST_REVENUE,
+    )
+    register(
+        "agg_late_by_class",
+        starjoins2.query_late_by_class,
+        starjoins2.ORACLE_LATE_BY_CLASS,
+    )
+    register(
+        "agg_nation_profit",
+        starjoins2.query_nation_profit,
+        starjoins2.ORACLE_NATION_PROFIT,
+    )
+    register(
+        "agg_retention_cohort",
+        funnel.query_retention_cohort,
+        funnel.ORACLE_RETENTION_COHORT,
+    )
+    register(
+        "agg_small_qty_revenue",
+        starjoins2.query_small_quantity_revenue,
+        starjoins2.ORACLE_SMALL_QUANTITY_REVENUE,
+    )
+    register(
+        "agg_supplier_part_counts",
+        starjoins2.query_supplier_part_counts,
+        starjoins2.ORACLE_SUPPLIER_PART_COUNTS,
+    )
+    register(
+        "agg_top_supplier",
+        starjoins2.query_top_supplier,
+        starjoins2.ORACLE_TOP_SUPPLIER,
+    )
+    register(
+        "agg_unpivot_measures",
+        _an1.query_unpivot_measures,
+        _an1.ORACLE_UNPIVOT_MEASURES,
+    )
+    register(
+        "agg_waiting_suppliers",
+        starjoins2.query_waiting_suppliers,
+        starjoins2.ORACLE_WAITING_SUPPLIERS,
+    )
+    register(
+        "bronze_merge_all_columns",
+        bronze_merge.query_merge_all_columns,
+        bronze_merge.ORACLE_MERGE_ALL,
+    )
+    register(
+        "dedup_cluster_cc",
+        dedup_cluster.query_dedup_cluster_cc,
+        dedup_cluster.ORACLE_DEDUP_CLUSTER_CC,
+    )
+    register("dedup_minhash_lsh", text_dedup.query_dedup_minhash_lsh, text_dedup.ORACLE_DEDUP_MINHASH_LSH)
+    register("dedup_ngram_jaccard", text_dedup.query_dedup_ngram_jaccard, text_dedup.ORACLE_DEDUP_NGRAM_JACCARD)
+    register(
+        "dedup_semantic",
+        semdedup.query_dedup_semantic,
+        semdedup.ORACLE_DEDUP_SEMANTIC,
+    )
+    register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
+    register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
+    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
+    register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
+    register("events_time_rollup", event_windows.query_time_rollup, event_windows.ORACLE_TIME_ROLLUP)
+    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
+    register("events_variant_props", analytics.query_variant_props, analytics.ORACLE_VARIANT_PROPS)
+    register(
+        "graph_bfs_distance",
+        _gr0.query_graph_bfs_distance,
+        _gr0.ORACLE_GRAPH_BFS_DISTANCE,
+    )
+    register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
+    register(
+        "join_interval_clicks",
+        event_windows.query_interval_join_clicks,
+        event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
+    )
+
+    # ---- r11 queue head: the 19 r7 rows at their ceiling next round -----
+    register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
+    register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
+    register(
+        "layout_bucketed_join",
+        bucketing.query_bucketed_join_revenue,
+        bucketing.ORACLE_BUCKETED_JOIN,
+    )
+    register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
+    register(
+        "pipeline_dedup_canonical",
+        dedup_cluster.query_dedup_canonical,
+        dedup_cluster.ORACLE_DEDUP_CANONICAL,
+    )
+    register(
+        "pipeline_global_shuffle",
+        ordering.query_global_shuffle,
+        ordering.ORACLE_GLOBAL_SHUFFLE,
+    )
+    register("silver_od", silver_od.query, silver_od.ORACLE)
+    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, ivf.ORACLE_IVF_KMEANS_TOPK)
+    register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
+    register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
+    register("skew_salted_agg", skew.query_skew_salted_agg, skew.ORACLE_SKEW_SALTED_AGG)
+    register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
+    register(
+        "stream_dedup",
+        _sw0.query_stream_dedup,
+        _sw0.ORACLE_STREAM_DEDUP,
+    )
+    register(
+        "stream_upsert_sink",
+        stream_windows.query_stream_upsert_sink,
+        stream_windows.ORACLE_STREAM_UPSERT,
+    )
+    register(
+        "text_char_entropy",
+        corpus_quality.query_text_char_entropy,
+        corpus_quality.ORACLE_TEXT_CHAR_ENTROPY,
+    )
+    register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
+    register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
+    register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
+    register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)
+
+    # ---- r8-checked block (r11 queue tail), then r9-checked ------------
     register(
         "silver_ine_empresas", silver_ine.query_ine_empresas, silver_ine.ORACLE_INE_EMPRESAS
     )
@@ -170,13 +413,6 @@ def _load() -> None:
         _an0.query_approx_quantiles,
         _an0.ORACLE_APPROX_QUANTILES,
     )
-
-    # ---- r9 block 2: never-driver-checked net-new from round 8 ----------
-    register(
-        "sim_ann_recall_at_k",
-        ivf.query_ann_recall_at_k,
-        ivf.ORACLE_ANN_RECALL_AT_K,
-    )
     register(
         "text_dup_spans_lcp",
         text_dedup.query_text_dup_spans_lcp,
@@ -187,8 +423,6 @@ def _load() -> None:
         text_signals.query_text_source_overlap,
         text_signals.ORACLE_TEXT_SOURCE_OVERLAP,
     )
-
-    # ---- r9 block 3: 44 of the 50 r6-stale rows, stalest-first ----------
     register(
         "agg_large_orders",
         starjoins.query_large_orders,
@@ -339,242 +573,6 @@ def _load() -> None:
     )
     register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
     register("text_lang_id", text_analysis.query_lang_id, text_analysis.ORACLE_LANG_ID)
-
-    # ---------------- 50-query driver window ends here -------------------
-    # round-10 queue block 1: net-new round-9 registrations land HERE,
-    # directly after slot 50, per rotation rule (1) — never-checked fill
-    # the next window first (the r8 verdict correction).
-    register(
-        "text_source_overlap_bitmap",
-        text_signals.query_text_source_overlap_bitmap,
-        text_signals.ORACLE_TEXT_SOURCE_OVERLAP,
-    )
-    register(
-        "dedup_minhash_recall",
-        text_dedup.query_dedup_minhash_recall,
-        text_dedup.ORACLE_DEDUP_MINHASH_RECALL,
-    )
-    register(
-        "pipeline_pack_masked",
-        packing.query_pack_sequences_masked,
-        packing.ORACLE_PACK_SEQUENCES_MASKED,
-    )
-    register(
-        "sim_knn_join",
-        similarity.query_sim_knn_join,
-        similarity.ORACLE_SIM_KNN_JOIN,
-    )
-    register(
-        "sketch_hll_rollup",
-        sketches.query_sketch_hll_rollup,
-        sketches.ORACLE_SKETCH_HLL_ROLLUP,
-    )
-    register(
-        "pipeline_shard_manifest",
-        packing.query_shard_manifest,
-        packing.ORACLE_SHARD_MANIFEST,
-    )
-    register(
-        "dedup_incremental_lsh",
-        text_dedup.query_dedup_incremental_lsh,
-        text_dedup.ORACLE_DEDUP_INCREMENTAL_LSH,
-    )
-    register(
-        "stream_hll_users",
-        stream_stateful.query_stream_hll_users,
-        sketches.ORACLE_STREAM_HLL_USERS,
-    )
-    register(
-        "join_bloom_prefilter",
-        bloom.query_join_bloom_prefilter,
-        bloom.ORACLE_JOIN_BLOOM_PREFILTER,
-    )
-    register(
-        "pipeline_mixture_temperature",
-        packing.query_mixture_temperature,
-        packing.ORACLE_MIXTURE_TEMPERATURE,
-    )
-    register(
-        "text_inverted_index",
-        text_analysis.query_text_inverted_index,
-        text_analysis.ORACLE_TEXT_INVERTED_INDEX,
-    )
-    register(
-        "stream_static_enrich",
-        stream_windows.query_stream_static_enrich,
-        stream_windows.ORACLE_STREAM_STATIC_ENRICH,
-    )
-    register(
-        "ts_ohlc_hourly",
-        timeseries.query_ts_ohlc_hourly,
-        timeseries.ORACLE_TS_OHLC_HOURLY,
-    )
-
-    # round-10 queue block 2: the 6 r6-deferred rows (hard ceiling at r10)
-    register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)
-    register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
-    register("text_repetition", text_signals.query_text_repetition, text_signals.ORACLE_TEXT_REPETITION)
-    register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
-    register("text_token_stats", text_analysis.query_token_stats, text_analysis.ORACLE_TOKEN_STATS)
-    register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
-
-    # round-10 queue block 3: r7-checked, stalest-first. dedup_fuzzy_lev
-    # leads for auditability: its r9-queue condition did NOT fire (the r8
-    # width/bands parameterization kept the r7-checked 32-bit/2x16
-    # default), so no r9 row was owed; it rotates here as ordinary
-    # r7-checked stale.
-    register("dedup_fuzzy_lev", text_dedup.query_dedup_fuzzy_lev, text_dedup.ORACLE_DEDUP_FUZZY_LEV)
-    register(
-        "agg_best_supplier",
-        starjoins2.query_best_supplier,
-        starjoins2.ORACLE_BEST_SUPPLIER,
-    )
-    register(
-        "agg_bracket_revenue",
-        starjoins.query_bracket_revenue,
-        starjoins.ORACLE_BRACKET_REVENUE,
-    )
-    register(
-        "agg_customer_distribution",
-        starjoins2.query_customer_distribution,
-        starjoins2.ORACLE_CUSTOMER_DISTRIBUTION,
-    )
-    register(
-        "agg_dominant_suppliers",
-        starjoins2.query_dominant_suppliers,
-        starjoins2.ORACLE_DOMINANT_SUPPLIERS,
-    )
-    register(
-        "agg_dormant_customers",
-        starjoins2.query_dormant_customers,
-        starjoins2.ORACLE_DORMANT_CUSTOMERS,
-    )
-    register(
-        "agg_forecast_revenue",
-        starjoins2.query_forecast_revenue,
-        starjoins2.ORACLE_FORECAST_REVENUE,
-    )
-    register(
-        "agg_late_by_class",
-        starjoins2.query_late_by_class,
-        starjoins2.ORACLE_LATE_BY_CLASS,
-    )
-    register(
-        "agg_nation_profit",
-        starjoins2.query_nation_profit,
-        starjoins2.ORACLE_NATION_PROFIT,
-    )
-    register(
-        "agg_retention_cohort",
-        funnel.query_retention_cohort,
-        funnel.ORACLE_RETENTION_COHORT,
-    )
-    register(
-        "agg_small_qty_revenue",
-        starjoins2.query_small_quantity_revenue,
-        starjoins2.ORACLE_SMALL_QUANTITY_REVENUE,
-    )
-    register(
-        "agg_supplier_part_counts",
-        starjoins2.query_supplier_part_counts,
-        starjoins2.ORACLE_SUPPLIER_PART_COUNTS,
-    )
-    register(
-        "agg_top_supplier",
-        starjoins2.query_top_supplier,
-        starjoins2.ORACLE_TOP_SUPPLIER,
-    )
-    register(
-        "agg_unpivot_measures",
-        _an1.query_unpivot_measures,
-        _an1.ORACLE_UNPIVOT_MEASURES,
-    )
-    register(
-        "agg_waiting_suppliers",
-        starjoins2.query_waiting_suppliers,
-        starjoins2.ORACLE_WAITING_SUPPLIERS,
-    )
-    register(
-        "bronze_merge_all_columns",
-        bronze_merge.query_merge_all_columns,
-        bronze_merge.ORACLE_MERGE_ALL,
-    )
-    register(
-        "dedup_cluster_cc",
-        dedup_cluster.query_dedup_cluster_cc,
-        dedup_cluster.ORACLE_DEDUP_CLUSTER_CC,
-    )
-    register("dedup_minhash_lsh", text_dedup.query_dedup_minhash_lsh, text_dedup.ORACLE_DEDUP_MINHASH_LSH)
-    register("dedup_ngram_jaccard", text_dedup.query_dedup_ngram_jaccard, text_dedup.ORACLE_DEDUP_NGRAM_JACCARD)
-    register(
-        "dedup_semantic",
-        semdedup.query_dedup_semantic,
-        semdedup.ORACLE_DEDUP_SEMANTIC,
-    )
-    register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
-    register("emb_gram_matrix", graph.query_emb_gram_matrix, graph.ORACLE_EMB_GRAM_MATRIX)
-    register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
-    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
-    register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
-    register("events_time_rollup", event_windows.query_time_rollup, event_windows.ORACLE_TIME_ROLLUP)
-    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
-    register("events_variant_props", analytics.query_variant_props, analytics.ORACLE_VARIANT_PROPS)
-    register(
-        "graph_bfs_distance",
-        _gr0.query_graph_bfs_distance,
-        _gr0.ORACLE_GRAPH_BFS_DISTANCE,
-    )
-    register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
-    register(
-        "join_interval_clicks",
-        event_windows.query_interval_join_clicks,
-        event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
-    )
-    register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
-    register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
-    register(
-        "layout_bucketed_join",
-        bucketing.query_bucketed_join_revenue,
-        bucketing.ORACLE_BUCKETED_JOIN,
-    )
-    register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
-    register(
-        "pipeline_dedup_canonical",
-        dedup_cluster.query_dedup_canonical,
-        dedup_cluster.ORACLE_DEDUP_CANONICAL,
-    )
-    register(
-        "pipeline_global_shuffle",
-        ordering.query_global_shuffle,
-        ordering.ORACLE_GLOBAL_SHUFFLE,
-    )
-    register("silver_od", silver_od.query, silver_od.ORACLE)
-    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, ivf.ORACLE_IVF_KMEANS_TOPK)
-    register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
-    register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
-    register("skew_salted_agg", skew.query_skew_salted_agg, skew.ORACLE_SKEW_SALTED_AGG)
-    register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
-    register(
-        "stream_dedup",
-        _sw0.query_stream_dedup,
-        _sw0.ORACLE_STREAM_DEDUP,
-    )
-    register(
-        "stream_upsert_sink",
-        stream_windows.query_stream_upsert_sink,
-        stream_windows.ORACLE_STREAM_UPSERT,
-    )
-    register(
-        "text_char_entropy",
-        corpus_quality.query_text_char_entropy,
-        corpus_quality.ORACLE_TEXT_CHAR_ENTROPY,
-    )
-    register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
-    register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
-    register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
-    register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)
-
-    # ---- r8-checked (freshest): rotate back in at ~r11 ------------------
     register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
     register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
     register("agg_pivot_status", analytics.query_pivot_status, analytics.ORACLE_PIVOT_STATUS)
@@ -772,6 +770,7 @@ def _load() -> None:
         _ew.query_win_range_7d,
         _ew.ORACLE_WIN_RANGE_7D,
     )
+
 
 
 def queries() -> dict[str, QueryFn]:
