@@ -8,9 +8,14 @@ The reference deduplicates bronze loads with DuckDB MERGE in two flavors:
 - **keyed MERGE** — explicit key list (``Id``/``COD``/``ID``), matched rows
   take the incoming values (bronze/utils.py:442-454, 697-711).
 
-Without a transactional table format (Delta/Iceberg — jars not in this
-image) these are emulated as pure DataFrame expressions; with one on the
-classpath the same call sites can switch to a real ``MERGE INTO``.
+Without a transactional table format these are emulated as pure DataFrame
+expressions; with one on the classpath the same call sites can switch to a
+real ``MERGE INTO``. Availability was PROBED round 10
+(tools/delta_probe.py → tools/delta_probe_result.json): neither the
+delta-spark/pyiceberg python packages nor the ``delta``/``iceberg``
+datasources exist in this image (DATA_SOURCE_NOT_FOUND from both the
+DataFrameReader and catalog-SQL paths), so the emulation is the only
+executable form here — recorded once, caveat closed.
 
 Scale notes
 -----------
