@@ -1,11 +1,14 @@
 """Gold layer: the aggregate consumption tier the reference declares and
-never builds (reference README.md:215-216 — "Gold layer: TODO"). One
-demonstration rollup over the flagship silver table goes one step past
-the reference's own roadmap.
+never builds (reference README.md:215-216 — "Gold layer: TODO"). Two
+demonstration rollups go one step past the reference's own roadmap.
 
 ``gold_od_daily``: daily trip/km rollup of ``silver_od`` per
 (zone_level, day, is_holiday) with an exact origin-cardinality count —
 the table a dashboard would read instead of re-scanning silver.
+
+``gold_income_mobility`` (round 10): income × mobility — the
+queries.ipynb cells 36-41 analysis as a first-class gold table (see its
+docstring).
 
 Architecture (fixed round 6 after the r5 audit): the gold tier reads
 the MATERIALIZED silver table, exactly as the tiering contract says —
@@ -46,29 +49,44 @@ from bigdata_project_spark.sources.sinks import (
 
 _DEC = "decimal(27,6)"
 
-# session-local memo of fixtures already materialized: keyed by the JVM
-# app id + sf_dir so a fresh session (new warehouse state) re-writes.
-_MATERIALIZED: set[tuple[str, str]] = set()
+# session-local memo of silver tables already materialized: keyed by
+# (app id, sf_dir, silver name) so a fresh session (new warehouse
+# state) re-writes and distinct silvers don't collide.
+_MATERIALIZED: set[tuple[str, str, str]] = set()
 
 
-def _silver_table(spark: SparkSession, sf_dir: str) -> str:
+def _materialize_silver(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Materialize one silver table for the gold tier (once per
+    session+fixture, the CREATE OR REPLACE runner path) and return its
+    catalog name. ``build`` is the silver query fn (spark, sf_dir) →
+    DataFrame."""
     # readable tag + a hash of the RAW path: sanitization alone is lossy
     # ('/data/sf0.1' and '/data/sf0_1' would share a table and the memo
     # would then serve one fixture's rollup for the other)
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
-    table = f"silver_od__{tag}_{digest}"
-    key = (spark.sparkContext.applicationId, sf_dir)
+    table = f"{name}__{tag}_{digest}"
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _MATERIALIZED:
         # a previous PROCESS may have left the managed location behind
         # with no catalog entry (fresh session, same warehouse dir) —
         # saveAsTable then refuses with LOCATION_ALREADY_EXISTS
         drop_table_and_orphan_location(spark, table)
-        replace_table(
-            silver_od.query(spark, sf_dir), table, partition_by=["zone_level"]
-        )
+        replace_table(build(spark, sf_dir), table, partition_by=partition_by)
         _MATERIALIZED.add(key)
     return table
+
+
+def _silver_table(spark: SparkSession, sf_dir: str) -> str:
+    return _materialize_silver(
+        spark, sf_dir, "silver_od", silver_od.query, partition_by=["zone_level"]
+    )
 
 
 def query_gold_od_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,3 +122,88 @@ SELECT zone_level,
 FROM silver
 GROUP BY zone_level, substring(datetime, 1, 10), is_holiday
 """
+
+
+def query_gold_income_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second gold-tier rollup: income × mobility — the analysis the
+    reference's queries.ipynb cells 36-41 assemble by hand (join INE
+    income per zone onto the mobility tables, compare presence across
+    income strata). Fixture mapping: ``silver_ine_renta``'s per-part
+    income plays the per-zone income table (zone key = p_partkey as
+    string, unique per zone), joined onto ``silver_people_day``'s
+    (zone_level, date, zone_id, people) rows; people-days then roll up
+    per (zone_level, income_bracket) where a bracket is 100 renta
+    units.
+
+    Gold-tier contract (same as ``gold_od_daily``): BOTH silver inputs
+    are read from tables materialized through the runner's
+    ``replace_table`` path, never re-derived per dashboard query.
+
+    Scale shape: the income side is dimension-sized (one row per zone)
+    → broadcast; the fact side aggregates on (zone_level, bracket) —
+    a handful of groups, full map-side combine, one exchange of
+    partial rows. Float portability: brackets and the renta mean run
+    on the scaled-integer form of renta (floor(renta·10 + 0.5), the
+    round_portable twin), sums through DECIMAL — every cross-engine
+    reduction is exact."""
+    from bigdata_project_spark.plans import silver_ine, silver_people_day
+
+    people = spark.table(
+        _materialize_silver(
+            spark,
+            sf_dir,
+            "silver_people_day",
+            silver_people_day.query,
+            partition_by=["zone_level"],
+        )
+    )
+    renta = spark.table(
+        _materialize_silver(
+            spark, sf_dir, "silver_ine_renta", silver_ine.query_ine_renta
+        )
+    )
+    zones = renta.select(
+        F.col("p_partkey").cast("string").alias("zone_id"),
+        F.floor(F.col("renta") * 10 + F.lit(0.5)).cast("bigint").alias("ri"),
+    )
+    joined = people.join(F.broadcast(zones), "zone_id")
+    return (
+        joined.groupBy(
+            "zone_level", F.expr("ri div 1000").alias("income_bracket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("zone_id").alias("n_zones"),
+            round_portable(
+                F.sum(F.col("people").cast(_DEC)).cast("double"), 2
+            ).alias("sum_people"),
+            round_portable(
+                (F.sum("ri") / (F.lit(10.0) * F.count(F.lit(1)))), 6
+            ).alias("avg_renta"),
+        )
+    )
+
+
+def _oracle_gold_income_mobility() -> str:
+    from bigdata_project_spark.plans import silver_ine, silver_people_day
+
+    return f"""
+WITH people AS ({silver_people_day.ORACLE}),
+renta AS ({silver_ine.ORACLE_INE_RENTA}),
+zones AS (
+    SELECT CAST(p_partkey AS VARCHAR) AS zone_id,
+           CAST(FLOOR(renta * 10 + 0.5) AS BIGINT) AS ri
+    FROM renta
+)
+SELECT p.zone_level,
+       z.ri // 1000 AS income_bracket,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT p.zone_id) AS n_zones,
+       {round_portable_sql("CAST(SUM(CAST(p.people AS DECIMAL(27,6))) AS DOUBLE)", 2)} AS sum_people,
+       {round_portable_sql("SUM(z.ri) / (10.0 * COUNT(*))", 6)} AS avg_renta
+FROM people p JOIN zones z USING (zone_id)
+GROUP BY p.zone_level, z.ri // 1000
+"""
+
+
+ORACLE_GOLD_INCOME_MOBILITY = _oracle_gold_income_mobility()

@@ -89,7 +89,10 @@ def _load() -> None:
     13+6+1+30 = 50 exactly.
 
     Round 11 queue (in priority order, pre-staged directly after slot
-    50): (1) the 19 r7-checked rows this window could not hold
+    50): (0) gold_income_mobility — the one r10 net-new registration
+    (it replaces the demoted emb_gram_matrix slot per the budget rule),
+    never driver-checked, so rule (1) puts it first;
+    (1) the 19 r7-checked rows this window could not hold
     (join_range_bands, join_semi_anti, layout_bucketed_join,
     pipeline_clean_corpus, pipeline_dedup_canonical,
     pipeline_global_shuffle, silver_od, sim_ivf_kmeans_topk,
@@ -352,6 +355,14 @@ def _load() -> None:
         "join_interval_clicks",
         event_windows.query_interval_join_clicks,
         event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
+    )
+
+    # ---- r10 net-new (after slot 50 per rotation policy; REPLACES the
+    # demoted emb_gram_matrix slot per the registration budget rule) ----
+    register(
+        "gold_income_mobility",
+        gold.query_gold_income_mobility,
+        gold.ORACLE_GOLD_INCOME_MOBILITY,
     )
 
     # ---- r11 queue head: the 19 r7 rows at their ceiling next round -----
