@@ -311,6 +311,24 @@ def test_incremental_dedup_verdicts(spark, sf_dir):
     assert kept["matched_doc"].isna().all() and kept["jaccard"].isna().all()
 
 
+def test_incremental_store_backs_the_batch_screen(spark, sf_dir):
+    """The r10 signature-store contract: after the first call, the
+    corpus' hashes/bands live in catalog tables, the per-batch plan
+    READS those stores (no full-corpus signature recompute in the
+    screen), and repeat calls reuse the same store without rewriting."""
+    from bigdata_project_spark.operators import text_dedup as td
+
+    df = td.query_dedup_incremental_lsh(spark, sf_dir)
+    hash_t, band_t = td._incremental_sig_store(spark, sf_dir)
+    assert spark.catalog.tableExists(hash_t)
+    assert spark.catalog.tableExists(band_t)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the batch screen scans the stored tables, not re-derived signatures
+    assert "incr_hash_store__" in plan and "incr_band_store__" in plan
+    # memo: a second invocation maps to the SAME tables (no rewrite churn)
+    assert td._incremental_sig_store(spark, sf_dir) == (hash_t, band_t)
+
+
 def test_prefix_filter_equals_all_pairs_on_random_corpora(spark):
     """PPJoin completeness after the r9 length-ratio prune: on seeded
     random corpora, prefix-filtered pairs filtered at t must equal the

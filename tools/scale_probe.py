@@ -69,6 +69,14 @@ PROBES = [
     ("incremental_dedup", "dedup_incremental_lsh"),
     ("bloom_prefilter", "join_bloom_prefilter"),
     ("shard_manifest", "pipeline_shard_manifest"),
+    # r10 additions: the STORE-BACKED incremental screen (store build is
+    # amortized by the warm-up run; the timed screen must track batch
+    # size + collisions — this is the contract the signature store
+    # exists to prove) is covered by incremental_dedup above; the gold
+    # income×mobility rollup (broadcast dim join + low-cardinality agg
+    # over a materialized silver table — growth must track the fact
+    # scan) is probed here.
+    ("gold_income_mobility", "gold_income_mobility"),
 ]
 
 TABLES = [
@@ -153,7 +161,7 @@ def main() -> None:
     # (lineitem 10x between sf dirs; documents/embeddings are fixed-size
     # at small sf), so per-probe ratios must use the driving table
     counts = {}
-    for t in ("lineitem", "events", "documents", "embeddings"):
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         from bigdata_project_spark.sources.readers import load_table
 
         counts[t] = {
@@ -175,6 +183,9 @@ def main() -> None:
         "minhash_recall_sweep": "documents",
         "bloom_prefilter": "lineitem",
         "shard_manifest": "documents",
+        # silver_people_day derives from orders; the renta dim (part) is
+        # broadcast-sized by construction
+        "gold_income_mobility": "orders",
     }
     for probe, name in PROBES:
         if args.only and probe not in args.only:
