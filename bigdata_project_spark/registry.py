@@ -103,7 +103,15 @@ def _load() -> None:
     (2) 31 of the 50 r8-checked rows, stalest-first in file order; the
     19 least-stale r8 rows spill to r12 with the r9 block. Any r10/r11
     commit that changes a checked query's behavior pulls it forward
-    per rule (3)."""
+    per rule (3).
+
+    r11 budget candidates (apply the registration budget rule in
+    reverse): once its r10 driver row lands, text_source_overlap_bitmap
+    is the next demotion candidate — it is the output-identical
+    >64-source escape hatch benched beside its sibling (r9 verdict:
+    'one could be pytest-only'), ~2.1 s of gate ratio whose behavior
+    tests/test_text_signals.py already pins on a 130-source synthetic
+    corpus."""
     if _QUERIES:
         return
 
