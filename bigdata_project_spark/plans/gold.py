@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,8 +52,12 @@ _DEC = "decimal(27,6)"
 
 # session-local memo of silver tables already materialized: keyed by
 # (app id, sf_dir, silver name) so a fresh session (new warehouse
-# state) re-writes and distinct silvers don't collide.
+# state) re-writes and distinct silvers don't collide. The lock guards
+# the check-then-write: two concurrent first invocations of the same
+# gold query must not race two replace_table writers against the same
+# table name (r10 ADVICE; mirrors text_dedup._INCR_STORE_LOCK).
 _MATERIALIZED: set[tuple[str, str, str]] = set()
+_MATERIALIZED_LOCK = threading.Lock()
 
 
 def _materialize_silver(
@@ -73,13 +78,14 @@ def _materialize_silver(
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
     table = f"{name}__{tag}_{digest}"
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    if key not in _MATERIALIZED:
-        # a previous PROCESS may have left the managed location behind
-        # with no catalog entry (fresh session, same warehouse dir) —
-        # saveAsTable then refuses with LOCATION_ALREADY_EXISTS
-        drop_table_and_orphan_location(spark, table)
-        replace_table(build(spark, sf_dir), table, partition_by=partition_by)
-        _MATERIALIZED.add(key)
+    with _MATERIALIZED_LOCK:
+        if key not in _MATERIALIZED:
+            # a previous PROCESS may have left the managed location behind
+            # with no catalog entry (fresh session, same warehouse dir) —
+            # saveAsTable then refuses with LOCATION_ALREADY_EXISTS
+            drop_table_and_orphan_location(spark, table)
+            replace_table(build(spark, sf_dir), table, partition_by=partition_by)
+            _MATERIALIZED.add(key)
     return table
 
 
@@ -169,7 +175,14 @@ def query_gold_income_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = people.join(F.broadcast(zones), "zone_id")
     return (
         joined.groupBy(
-            "zone_level", F.expr("ri div 1000").alias("income_bracket")
+            "zone_level",
+            # floor division, NOT `div`: Spark's `div` truncates toward
+            # zero while the DuckDB oracle's `//` floors, so a negative
+            # renta would land in different brackets per engine (r10
+            # ADVICE). FLOOR(ri/1000) is exact for |ri| < 2^52.
+            F.floor(F.col("ri") / F.lit(1000))
+            .cast("bigint")
+            .alias("income_bracket"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -70,48 +70,44 @@ def _load() -> None:
     coverage — e.g. emb_gram_matrix, demoted round 10, its equivalence
     vs emb_gram_blas owned by tests/test_graph_funnel.py).
 
-    Round 10 window, exactly as pre-staged by the round-9 queue:
-    (1) the 13 never-driver-checked round-9 registrations
-    (text_source_overlap_bitmap, dedup_minhash_recall,
-    pipeline_pack_masked, sim_knn_join, sketch_hll_rollup,
-    pipeline_shard_manifest, dedup_incremental_lsh, stream_hll_users,
-    join_bloom_prefilter, pipeline_mixture_temperature,
-    text_inverted_index, stream_static_enrich, ts_ohlc_hourly);
-    (2) the 6 r6-deferred text-analysis rows at their 4-round hard
-    ceiling (text_pii_redact, text_quality_score, text_repetition,
-    text_tfidf, text_token_stats, text_vocab_topk);
-    (3) sim_ann_recall_at_k — r9-checked but round-10 commits change
-    its physical plan (one shared scoring pass across probe levels),
-    so rule (3) re-exposes it;
-    (4) 30 of the 49 remaining r7-checked rows, stalest-first in prior
-    file order, dedup_fuzzy_lev leading for auditability (its r9
-    conditional re-check never fired; documented in the r9 docstring).
-    13+6+1+30 = 50 exactly.
-
-    Round 11 queue (in priority order, pre-staged directly after slot
-    50): (0) gold_income_mobility — the one r10 net-new registration
-    (it replaces the demoted emb_gram_matrix slot per the budget rule),
-    never driver-checked, so rule (1) puts it first;
-    (1) the 19 r7-checked rows this window could not hold
+    Round 11 window, exactly as pre-staged by the round-10 queue
+    (CORRECTNESS_r10.json confirmed all 50 r10 slots green, so the
+    queue advances unchanged):
+    (1) gold_income_mobility — the one registered query with no driver
+    row ever (the r10 net-new that replaced the demoted
+    emb_gram_matrix slot), rule (1) puts it first;
+    (2) the 19 r7-checked rows at their 4-round hard ceiling
     (join_range_bands, join_semi_anti, layout_bucketed_join,
     pipeline_clean_corpus, pipeline_dedup_canonical,
     pipeline_global_shuffle, silver_od, sim_ivf_kmeans_topk,
     sim_ivfpq_topk, sim_pq_adc_topk, skew_salted_agg, skew_salted_join,
     stream_dedup, stream_upsert_sink, text_char_entropy, win_lead_lag,
-    win_rank_family, win_running_total, win_topk_per_group) — at r11
-    they trail 4 rounds, the hard ceiling, so ALL 19 must go first;
-    (2) 31 of the 50 r8-checked rows, stalest-first in file order; the
-    19 least-stale r8 rows spill to r12 with the r9 block. Any r10/r11
-    commit that changes a checked query's behavior pulls it forward
-    per rule (3).
+    win_rank_family, win_running_total, win_topk_per_group);
+    (3) dedup_incremental_lsh per rule (3): round-11 commits change its
+    stage-1 physical plan (the batch's content hashes now broadcast
+    into the stored hash-table scan — the store is never broadcast,
+    matching stage 2's direction and the 100 TB contract) and extract
+    the store lifecycle into build/screen/append functions;
+    (4) 29 of the 50 r8-checked rows, stalest-first in prior file
+    order (agg_pricing_summary … layout_partition_pruning;
+    ml_group_ols spills to the r12 queue head). 1+19+1+29 = 50.
 
-    r11 budget candidates (apply the registration budget rule in
-    reverse): once its r10 driver row lands, text_source_overlap_bitmap
-    is the next demotion candidate — it is the output-identical
-    >64-source escape hatch benched beside its sibling (r9 verdict:
-    'one could be pytest-only'), ~2.1 s of gate ratio whose behavior
-    tests/test_text_signals.py already pins on a 130-source synthetic
-    corpus."""
+    DEMOTED round 11 (registration budget rule, pre-staged by the r10
+    docstring): text_source_overlap_bitmap — its r10 driver row landed
+    green, it is the output-identical >64-source escape hatch benched
+    beside text_source_overlap, and its behavior is pinned by
+    tests/test_text_signals.py (exact-equality vs the pairwise sibling
+    on the real fixture + a 130-source multi-word-bitmap kernel test).
+    168 registrations remain.
+
+    Round 12 queue (pre-staged directly after slot 50): (1) the 21
+    r8-checked rows this window could not hold (ml_group_ols,
+    pipeline_chunk_docs … win_range_7d) — they hit the 4-round ceiling
+    at r12, so all 21 go first; (2) 29 of the 49 r9-checked rows,
+    stalest-first in file order; the remaining 20 r9 rows go to r13
+    with the r10 block (reaching, not exceeding, the ceiling). Any
+    r11/r12 commit that changes a checked query's behavior pulls it
+    forward per rule (3)."""
     if _QUERIES:
         return
 
@@ -174,206 +170,14 @@ def _load() -> None:
         windows as stream_windows,
     )
 
-    # ---- r9 block 1: the 3 r5-stale rows (4-round hard ceiling at r9) ----
-    # ---- r10 window block 1: the 13 never-driver-checked r9 net-new ----
-    register(
-        "text_source_overlap_bitmap",
-        text_signals.query_text_source_overlap_bitmap,
-        text_signals.ORACLE_TEXT_SOURCE_OVERLAP,
-    )
-    register(
-        "dedup_minhash_recall",
-        text_dedup.query_dedup_minhash_recall,
-        text_dedup.ORACLE_DEDUP_MINHASH_RECALL,
-    )
-    register(
-        "pipeline_pack_masked",
-        packing.query_pack_sequences_masked,
-        packing.ORACLE_PACK_SEQUENCES_MASKED,
-    )
-    register(
-        "sim_knn_join",
-        similarity.query_sim_knn_join,
-        similarity.ORACLE_SIM_KNN_JOIN,
-    )
-    register(
-        "sketch_hll_rollup",
-        sketches.query_sketch_hll_rollup,
-        sketches.ORACLE_SKETCH_HLL_ROLLUP,
-    )
-    register(
-        "pipeline_shard_manifest",
-        packing.query_shard_manifest,
-        packing.ORACLE_SHARD_MANIFEST,
-    )
-    register(
-        "dedup_incremental_lsh",
-        text_dedup.query_dedup_incremental_lsh,
-        text_dedup.ORACLE_DEDUP_INCREMENTAL_LSH,
-    )
-    register(
-        "stream_hll_users",
-        stream_stateful.query_stream_hll_users,
-        sketches.ORACLE_STREAM_HLL_USERS,
-    )
-    register(
-        "join_bloom_prefilter",
-        bloom.query_join_bloom_prefilter,
-        bloom.ORACLE_JOIN_BLOOM_PREFILTER,
-    )
-    register(
-        "pipeline_mixture_temperature",
-        packing.query_mixture_temperature,
-        packing.ORACLE_MIXTURE_TEMPERATURE,
-    )
-    register(
-        "text_inverted_index",
-        text_analysis.query_text_inverted_index,
-        text_analysis.ORACLE_TEXT_INVERTED_INDEX,
-    )
-    register(
-        "stream_static_enrich",
-        stream_windows.query_stream_static_enrich,
-        stream_windows.ORACLE_STREAM_STATIC_ENRICH,
-    )
-    register(
-        "ts_ohlc_hourly",
-        timeseries.query_ts_ohlc_hourly,
-        timeseries.ORACLE_TS_OHLC_HOURLY,
-    )
-
-    # ---- r10 window block 2: the 6 r6-deferred rows (4-round ceiling) ---
-    register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)
-    register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
-    register("text_repetition", text_signals.query_text_repetition, text_signals.ORACLE_TEXT_REPETITION)
-    register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
-    register("text_token_stats", text_analysis.query_token_stats, text_analysis.ORACLE_TOKEN_STATS)
-    register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
-
-    # ---- r10 window block 3: r10 commits change this query's plan -------
-    register(
-        "sim_ann_recall_at_k",
-        ivf.query_ann_recall_at_k,
-        ivf.ORACLE_ANN_RECALL_AT_K,
-    )
-
-    # ---- r10 window block 4: 30 r7-stale rows, dedup_fuzzy_lev leading --
-    register("dedup_fuzzy_lev", text_dedup.query_dedup_fuzzy_lev, text_dedup.ORACLE_DEDUP_FUZZY_LEV)
-    register(
-        "agg_best_supplier",
-        starjoins2.query_best_supplier,
-        starjoins2.ORACLE_BEST_SUPPLIER,
-    )
-    register(
-        "agg_bracket_revenue",
-        starjoins.query_bracket_revenue,
-        starjoins.ORACLE_BRACKET_REVENUE,
-    )
-    register(
-        "agg_customer_distribution",
-        starjoins2.query_customer_distribution,
-        starjoins2.ORACLE_CUSTOMER_DISTRIBUTION,
-    )
-    register(
-        "agg_dominant_suppliers",
-        starjoins2.query_dominant_suppliers,
-        starjoins2.ORACLE_DOMINANT_SUPPLIERS,
-    )
-    register(
-        "agg_dormant_customers",
-        starjoins2.query_dormant_customers,
-        starjoins2.ORACLE_DORMANT_CUSTOMERS,
-    )
-    register(
-        "agg_forecast_revenue",
-        starjoins2.query_forecast_revenue,
-        starjoins2.ORACLE_FORECAST_REVENUE,
-    )
-    register(
-        "agg_late_by_class",
-        starjoins2.query_late_by_class,
-        starjoins2.ORACLE_LATE_BY_CLASS,
-    )
-    register(
-        "agg_nation_profit",
-        starjoins2.query_nation_profit,
-        starjoins2.ORACLE_NATION_PROFIT,
-    )
-    register(
-        "agg_retention_cohort",
-        funnel.query_retention_cohort,
-        funnel.ORACLE_RETENTION_COHORT,
-    )
-    register(
-        "agg_small_qty_revenue",
-        starjoins2.query_small_quantity_revenue,
-        starjoins2.ORACLE_SMALL_QUANTITY_REVENUE,
-    )
-    register(
-        "agg_supplier_part_counts",
-        starjoins2.query_supplier_part_counts,
-        starjoins2.ORACLE_SUPPLIER_PART_COUNTS,
-    )
-    register(
-        "agg_top_supplier",
-        starjoins2.query_top_supplier,
-        starjoins2.ORACLE_TOP_SUPPLIER,
-    )
-    register(
-        "agg_unpivot_measures",
-        _an1.query_unpivot_measures,
-        _an1.ORACLE_UNPIVOT_MEASURES,
-    )
-    register(
-        "agg_waiting_suppliers",
-        starjoins2.query_waiting_suppliers,
-        starjoins2.ORACLE_WAITING_SUPPLIERS,
-    )
-    register(
-        "bronze_merge_all_columns",
-        bronze_merge.query_merge_all_columns,
-        bronze_merge.ORACLE_MERGE_ALL,
-    )
-    register(
-        "dedup_cluster_cc",
-        dedup_cluster.query_dedup_cluster_cc,
-        dedup_cluster.ORACLE_DEDUP_CLUSTER_CC,
-    )
-    register("dedup_minhash_lsh", text_dedup.query_dedup_minhash_lsh, text_dedup.ORACLE_DEDUP_MINHASH_LSH)
-    register("dedup_ngram_jaccard", text_dedup.query_dedup_ngram_jaccard, text_dedup.ORACLE_DEDUP_NGRAM_JACCARD)
-    register(
-        "dedup_semantic",
-        semdedup.query_dedup_semantic,
-        semdedup.ORACLE_DEDUP_SEMANTIC,
-    )
-    register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
-    register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
-    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
-    register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
-    register("events_time_rollup", event_windows.query_time_rollup, event_windows.ORACLE_TIME_ROLLUP)
-    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
-    register("events_variant_props", analytics.query_variant_props, analytics.ORACLE_VARIANT_PROPS)
-    register(
-        "graph_bfs_distance",
-        _gr0.query_graph_bfs_distance,
-        _gr0.ORACLE_GRAPH_BFS_DISTANCE,
-    )
-    register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
-    register(
-        "join_interval_clicks",
-        event_windows.query_interval_join_clicks,
-        event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
-    )
-
-    # ---- r10 net-new (after slot 50 per rotation policy; REPLACES the
-    # demoted emb_gram_matrix slot per the registration budget rule) ----
+    # ---- r11 window slot 1: the one never-driver-checked query ------
     register(
         "gold_income_mobility",
         gold.query_gold_income_mobility,
         gold.ORACLE_GOLD_INCOME_MOBILITY,
     )
-
-    # ---- r11 queue head: the 19 r7 rows at their ceiling next round -----
+    # ---- r11 window slots 2-20: the 19 r7-checked rows at their -----
+    # ---- 4-round hard ceiling ----------------------------------------
     register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
     register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
     register(
@@ -417,8 +221,218 @@ def _load() -> None:
     register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
     register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
     register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)
+    # ---- r11 window slot 21 (rule 3): round-11 commits change this ---
+    # ---- query's stage-1 physical plan (batch hashes now broadcast ----
+    # ---- into the store scan, never the store into the batch) ---------
+    register(
+        "dedup_incremental_lsh",
+        text_dedup.query_dedup_incremental_lsh,
+        text_dedup.ORACLE_DEDUP_INCREMENTAL_LSH,
+    )
 
-    # ---- r8-checked block (r11 queue tail), then r9-checked ------------
+    # ---- r11 window slots 22-50: 29 r8-checked rows, stalest-first ---
+    # ---- in prior file order (ml_group_ols spills to the r12 head) ----
+    register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
+    register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
+    register("agg_pivot_status", analytics.query_pivot_status, analytics.ORACLE_PIVOT_STATUS)
+    register("agg_rollup_summary", analytics.query_rollup_summary, analytics.ORACLE_ROLLUP_SUMMARY)
+    register("agg_cube_summary", analytics.query_cube_summary, analytics.ORACLE_CUBE_SUMMARY)
+    register("agg_grouping_sets", analytics.query_grouping_sets, analytics.ORACLE_GROUPING_SETS)
+    register("agg_distinct_counts", analytics.query_distinct_counts, analytics.ORACLE_DISTINCT_COUNTS)
+    register("agg_approx_distinct", analytics.query_approx_distinct, analytics.ORACLE_APPROX_DISTINCT)
+    register("agg_percentiles", asof_range.query_percentiles_by_type, asof_range.ORACLE_PERCENTILES)
+    register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
+    register("cogroup_activity", analytics.query_cogroup_activity, analytics.ORACLE_COGROUP_ACTIVITY)
+    register(
+        "graph_triangles",
+        graph.query_graph_triangles,
+        graph.ORACLE_GRAPH_TRIANGLES,
+    )
+    register(
+        "layout_zorder_extents",
+        zorder.query_zorder_extents,
+        zorder.ORACLE_ZORDER_EXTENTS,
+    )
+    register(
+        "feature_binning_equidepth",
+        profiling.query_feature_binning_equidepth,
+        profiling.ORACLE_FEATURE_BINNING_EQUIDEPTH,
+    )
+    register(
+        "stream_transitions",
+        stream_stateful.query_stream_transitions,
+        funnel.ORACLE_EVENTS_TRANSITIONS,
+    )
+    register(
+        "bronze_incremental_batches",
+        incremental.query_bronze_incremental_batches,
+        incremental.ORACLE_BRONZE_INCREMENTAL,
+    )
+    register(
+        "silver_zones_geom",
+        silver_distances.query_zones_geom,
+        silver_distances.ORACLE_ZONES_WKT,
+    )
+    register(
+        "cdc_snapshot_diff",
+        cdc.query_cdc_snapshot_diff,
+        cdc.ORACLE_CDC_SNAPSHOT_DIFF,
+    )
+    register(
+        "dedup_paragraph",
+        text_dedup.query_dedup_paragraph,
+        text_dedup.ORACLE_DEDUP_PARAGRAPH,
+    )
+    register(
+        "dedup_span_removal",
+        text_dedup.query_dedup_span_removal,
+        text_dedup.ORACLE_DEDUP_SPAN_REMOVAL,
+    )
+    register(
+        "dedup_url_canonical",
+        text_signals.query_dedup_url_canonical,
+        text_signals.ORACLE_DEDUP_URL_CANONICAL,
+    )
+    register("emb_gram_blas", graph.query_emb_gram_blas, graph.ORACLE_EMB_GRAM_BLAS)
+    register(
+        "emb_int8_quantize",
+        embedding_stats.query_emb_int8_quantize,
+        embedding_stats.ORACLE_EMB_INT8_QUANTIZE,
+    )
+    register(
+        "emb_pca_project",
+        pca.query_emb_pca_project,
+        pca.oracle_emb_pca_sql(),
+        oracle_builder=pca.oracle_emb_pca_sql,
+    )
+    register(
+        "events_dau_wau", funnel.query_events_dau_wau, funnel.ORACLE_EVENTS_DAU_WAU
+    )
+    register("events_funnel", funnel.query_events_funnel, funnel.ORACLE_EVENTS_FUNNEL)
+    register(
+        "events_transitions",
+        funnel.query_events_transitions,
+        funnel.ORACLE_EVENTS_TRANSITIONS,
+    )
+    register(
+        "feature_corr_matrix",
+        stats.query_feature_corr_matrix,
+        stats.ORACLE_FEATURE_CORR_MATRIX,
+    )
+    register(
+        "layout_partition_pruning",
+        layout_scan.query_layout_partition_pruning,
+        layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
+    )
+    # ---- r12 queue head: the 21 r8-checked rows this window could ----
+    # ---- not hold (they hit the 4-round ceiling at r12) ---------------
+    register(
+        "ml_group_ols",
+        stats.query_ml_group_ols,
+        stats.ORACLE_ML_GROUP_OLS,
+    )
+    register(
+        "pipeline_chunk_docs",
+        chunking.query_pipeline_chunk_docs,
+        chunking.ORACLE_PIPELINE_CHUNK_DOCS,
+    )
+    register(
+        "pipeline_domain_reweight",
+        packing.query_domain_reweight,
+        packing.ORACLE_DOMAIN_REWEIGHT,
+    )
+    register(
+        "pipeline_pack_sequences",
+        packing.query_pack_sequences,
+        packing.ORACLE_PACK_SEQUENCES,
+    )
+    register(
+        "pipeline_quality_funnel",
+        corpus_quality.query_pipeline_quality_funnel,
+        corpus_quality.ORACLE_PIPELINE_QUALITY_FUNNEL,
+    )
+    register(
+        "sketch_cms_topk",
+        sketches.query_cms_heavy_hitters,
+        sketches.ORACLE_CMS_HEAVY_HITTERS,
+    )
+    register(
+        "source_orc_roundtrip",
+        layout_scan.query_source_orc_roundtrip,
+        layout_scan.ORACLE_SOURCE_ORC_ROUNDTRIP,
+    )
+    register(
+        "source_text_logs",
+        layout_scan.query_source_text_logs,
+        layout_scan.ORACLE_SOURCE_TEXT_LOGS,
+    )
+    register(
+        "stream_interval_join",
+        _sw.query_stream_interval_join,
+        _ew.ORACLE_INTERVAL_JOIN_CLICKS,
+    )
+    register(
+        "stream_sessionize",
+        _sw.query_stream_sessionize,
+        _sw.ORACLE_STREAM_SESSIONIZE,
+    )
+    register(
+        "stream_tumbling",
+        _sw.query_stream_tumbling,
+        _ew.ORACLE_TUMBLING_1H,
+    )
+    register(
+        "text_bigram_perplexity",
+        corpus_quality.query_text_bigram_perplexity,
+        corpus_quality.ORACLE_TEXT_BIGRAM_PERPLEXITY,
+    )
+    register(
+        "text_dup_spans",
+        text_dedup.query_text_dup_spans,
+        text_dedup.ORACLE_TEXT_DUP_SPANS,
+    )
+    register(
+        "text_hashing_features",
+        text_analysis.query_hashing_features,
+        text_analysis.ORACLE_HASHING_FEATURES,
+    )
+    register(
+        "text_ngram_novelty",
+        text_analysis.query_text_ngram_novelty,
+        text_analysis.ORACLE_TEXT_NGRAM_NOVELTY,
+    )
+    register(
+        "text_oov_rate",
+        corpus_quality.query_text_oov_rate,
+        corpus_quality.ORACLE_TEXT_OOV_RATE,
+    )
+    register(
+        "text_quality_linear",
+        text_analysis.query_text_quality_linear,
+        text_analysis.ORACLE_TEXT_QUALITY_LINEAR,
+    )
+    register(
+        "text_url_domains",
+        text_signals.query_text_url_domains,
+        text_signals.ORACLE_TEXT_URL_DOMAINS,
+    )
+    register(
+        "ts_ewma_hourly",
+        timeseries.query_ts_ewma_hourly,
+        timeseries.ORACLE_TS_EWMA_HOURLY,
+    )
+    register(
+        "ts_gapfill_ffill",
+        timeseries.query_ts_gapfill_ffill,
+        timeseries.ORACLE_TS_GAPFILL_FFILL,
+    )
+    register(
+        "win_range_7d",
+        _ew.query_win_range_7d,
+        _ew.ORACLE_WIN_RANGE_7D,
+    )
+    # ---- r12 queue tail: 49 r9-checked rows (30 stalest fill r12 ------
+    # ---- after the r8 block; the rest go r13 with the r10 block) ------
     register(
         "silver_ine_empresas", silver_ine.query_ine_empresas, silver_ine.ORACLE_INE_EMPRESAS
     )
@@ -592,202 +606,178 @@ def _load() -> None:
     )
     register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
     register("text_lang_id", text_analysis.query_lang_id, text_analysis.ORACLE_LANG_ID)
-    register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
-    register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
-    register("agg_pivot_status", analytics.query_pivot_status, analytics.ORACLE_PIVOT_STATUS)
-    register("agg_rollup_summary", analytics.query_rollup_summary, analytics.ORACLE_ROLLUP_SUMMARY)
-    register("agg_cube_summary", analytics.query_cube_summary, analytics.ORACLE_CUBE_SUMMARY)
-    register("agg_grouping_sets", analytics.query_grouping_sets, analytics.ORACLE_GROUPING_SETS)
-    register("agg_distinct_counts", analytics.query_distinct_counts, analytics.ORACLE_DISTINCT_COUNTS)
-    register("agg_approx_distinct", analytics.query_approx_distinct, analytics.ORACLE_APPROX_DISTINCT)
-    register("agg_percentiles", asof_range.query_percentiles_by_type, asof_range.ORACLE_PERCENTILES)
-    register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
-    register("cogroup_activity", analytics.query_cogroup_activity, analytics.ORACLE_COGROUP_ACTIVITY)
+    # ---- r10-checked rows (freshest; due r13-r14) ---------------------
     register(
-        "graph_triangles",
-        graph.query_graph_triangles,
-        graph.ORACLE_GRAPH_TRIANGLES,
+        "dedup_minhash_recall",
+        text_dedup.query_dedup_minhash_recall,
+        text_dedup.ORACLE_DEDUP_MINHASH_RECALL,
     )
     register(
-        "layout_zorder_extents",
-        zorder.query_zorder_extents,
-        zorder.ORACLE_ZORDER_EXTENTS,
+        "pipeline_pack_masked",
+        packing.query_pack_sequences_masked,
+        packing.ORACLE_PACK_SEQUENCES_MASKED,
     )
     register(
-        "feature_binning_equidepth",
-        profiling.query_feature_binning_equidepth,
-        profiling.ORACLE_FEATURE_BINNING_EQUIDEPTH,
+        "sim_knn_join",
+        similarity.query_sim_knn_join,
+        similarity.ORACLE_SIM_KNN_JOIN,
     )
     register(
-        "stream_transitions",
-        stream_stateful.query_stream_transitions,
-        funnel.ORACLE_EVENTS_TRANSITIONS,
+        "sketch_hll_rollup",
+        sketches.query_sketch_hll_rollup,
+        sketches.ORACLE_SKETCH_HLL_ROLLUP,
     )
     register(
-        "bronze_incremental_batches",
-        incremental.query_bronze_incremental_batches,
-        incremental.ORACLE_BRONZE_INCREMENTAL,
+        "pipeline_shard_manifest",
+        packing.query_shard_manifest,
+        packing.ORACLE_SHARD_MANIFEST,
     )
     register(
-        "silver_zones_geom",
-        silver_distances.query_zones_geom,
-        silver_distances.ORACLE_ZONES_WKT,
+        "stream_hll_users",
+        stream_stateful.query_stream_hll_users,
+        sketches.ORACLE_STREAM_HLL_USERS,
     )
     register(
-        "cdc_snapshot_diff",
-        cdc.query_cdc_snapshot_diff,
-        cdc.ORACLE_CDC_SNAPSHOT_DIFF,
+        "join_bloom_prefilter",
+        bloom.query_join_bloom_prefilter,
+        bloom.ORACLE_JOIN_BLOOM_PREFILTER,
     )
     register(
-        "dedup_paragraph",
-        text_dedup.query_dedup_paragraph,
-        text_dedup.ORACLE_DEDUP_PARAGRAPH,
+        "pipeline_mixture_temperature",
+        packing.query_mixture_temperature,
+        packing.ORACLE_MIXTURE_TEMPERATURE,
     )
     register(
-        "dedup_span_removal",
-        text_dedup.query_dedup_span_removal,
-        text_dedup.ORACLE_DEDUP_SPAN_REMOVAL,
+        "text_inverted_index",
+        text_analysis.query_text_inverted_index,
+        text_analysis.ORACLE_TEXT_INVERTED_INDEX,
     )
     register(
-        "dedup_url_canonical",
-        text_signals.query_dedup_url_canonical,
-        text_signals.ORACLE_DEDUP_URL_CANONICAL,
-    )
-    register("emb_gram_blas", graph.query_emb_gram_blas, graph.ORACLE_EMB_GRAM_BLAS)
-    register(
-        "emb_int8_quantize",
-        embedding_stats.query_emb_int8_quantize,
-        embedding_stats.ORACLE_EMB_INT8_QUANTIZE,
+        "stream_static_enrich",
+        stream_windows.query_stream_static_enrich,
+        stream_windows.ORACLE_STREAM_STATIC_ENRICH,
     )
     register(
-        "emb_pca_project",
-        pca.query_emb_pca_project,
-        pca.oracle_emb_pca_sql(),
-        oracle_builder=pca.oracle_emb_pca_sql,
+        "ts_ohlc_hourly",
+        timeseries.query_ts_ohlc_hourly,
+        timeseries.ORACLE_TS_OHLC_HOURLY,
+    )
+    register("text_pii_redact", text_signals.query_text_pii_redact, text_signals.ORACLE_TEXT_PII_REDACT)
+    register("text_quality_score", text_analysis.query_quality_score, text_analysis.ORACLE_QUALITY_SCORE)
+    register("text_repetition", text_signals.query_text_repetition, text_signals.ORACLE_TEXT_REPETITION)
+    register("text_tfidf", text_analysis.query_tfidf, text_analysis.ORACLE_TFIDF)
+    register("text_token_stats", text_analysis.query_token_stats, text_analysis.ORACLE_TOKEN_STATS)
+    register("text_vocab_topk", text_analysis.query_vocab_topk, text_analysis.ORACLE_VOCAB_TOPK)
+    register(
+        "sim_ann_recall_at_k",
+        ivf.query_ann_recall_at_k,
+        ivf.ORACLE_ANN_RECALL_AT_K,
+    )
+    register("dedup_fuzzy_lev", text_dedup.query_dedup_fuzzy_lev, text_dedup.ORACLE_DEDUP_FUZZY_LEV)
+    register(
+        "agg_best_supplier",
+        starjoins2.query_best_supplier,
+        starjoins2.ORACLE_BEST_SUPPLIER,
     )
     register(
-        "events_dau_wau", funnel.query_events_dau_wau, funnel.ORACLE_EVENTS_DAU_WAU
-    )
-    register("events_funnel", funnel.query_events_funnel, funnel.ORACLE_EVENTS_FUNNEL)
-    register(
-        "events_transitions",
-        funnel.query_events_transitions,
-        funnel.ORACLE_EVENTS_TRANSITIONS,
+        "agg_bracket_revenue",
+        starjoins.query_bracket_revenue,
+        starjoins.ORACLE_BRACKET_REVENUE,
     )
     register(
-        "feature_corr_matrix",
-        stats.query_feature_corr_matrix,
-        stats.ORACLE_FEATURE_CORR_MATRIX,
+        "agg_customer_distribution",
+        starjoins2.query_customer_distribution,
+        starjoins2.ORACLE_CUSTOMER_DISTRIBUTION,
     )
     register(
-        "layout_partition_pruning",
-        layout_scan.query_layout_partition_pruning,
-        layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
+        "agg_dominant_suppliers",
+        starjoins2.query_dominant_suppliers,
+        starjoins2.ORACLE_DOMINANT_SUPPLIERS,
     )
     register(
-        "ml_group_ols",
-        stats.query_ml_group_ols,
-        stats.ORACLE_ML_GROUP_OLS,
+        "agg_dormant_customers",
+        starjoins2.query_dormant_customers,
+        starjoins2.ORACLE_DORMANT_CUSTOMERS,
     )
     register(
-        "pipeline_chunk_docs",
-        chunking.query_pipeline_chunk_docs,
-        chunking.ORACLE_PIPELINE_CHUNK_DOCS,
+        "agg_forecast_revenue",
+        starjoins2.query_forecast_revenue,
+        starjoins2.ORACLE_FORECAST_REVENUE,
     )
     register(
-        "pipeline_domain_reweight",
-        packing.query_domain_reweight,
-        packing.ORACLE_DOMAIN_REWEIGHT,
+        "agg_late_by_class",
+        starjoins2.query_late_by_class,
+        starjoins2.ORACLE_LATE_BY_CLASS,
     )
     register(
-        "pipeline_pack_sequences",
-        packing.query_pack_sequences,
-        packing.ORACLE_PACK_SEQUENCES,
+        "agg_nation_profit",
+        starjoins2.query_nation_profit,
+        starjoins2.ORACLE_NATION_PROFIT,
     )
     register(
-        "pipeline_quality_funnel",
-        corpus_quality.query_pipeline_quality_funnel,
-        corpus_quality.ORACLE_PIPELINE_QUALITY_FUNNEL,
+        "agg_retention_cohort",
+        funnel.query_retention_cohort,
+        funnel.ORACLE_RETENTION_COHORT,
     )
     register(
-        "sketch_cms_topk",
-        sketches.query_cms_heavy_hitters,
-        sketches.ORACLE_CMS_HEAVY_HITTERS,
+        "agg_small_qty_revenue",
+        starjoins2.query_small_quantity_revenue,
+        starjoins2.ORACLE_SMALL_QUANTITY_REVENUE,
     )
     register(
-        "source_orc_roundtrip",
-        layout_scan.query_source_orc_roundtrip,
-        layout_scan.ORACLE_SOURCE_ORC_ROUNDTRIP,
+        "agg_supplier_part_counts",
+        starjoins2.query_supplier_part_counts,
+        starjoins2.ORACLE_SUPPLIER_PART_COUNTS,
     )
     register(
-        "source_text_logs",
-        layout_scan.query_source_text_logs,
-        layout_scan.ORACLE_SOURCE_TEXT_LOGS,
+        "agg_top_supplier",
+        starjoins2.query_top_supplier,
+        starjoins2.ORACLE_TOP_SUPPLIER,
     )
     register(
-        "stream_interval_join",
-        _sw.query_stream_interval_join,
-        _ew.ORACLE_INTERVAL_JOIN_CLICKS,
+        "agg_unpivot_measures",
+        _an1.query_unpivot_measures,
+        _an1.ORACLE_UNPIVOT_MEASURES,
     )
     register(
-        "stream_sessionize",
-        _sw.query_stream_sessionize,
-        _sw.ORACLE_STREAM_SESSIONIZE,
+        "agg_waiting_suppliers",
+        starjoins2.query_waiting_suppliers,
+        starjoins2.ORACLE_WAITING_SUPPLIERS,
     )
     register(
-        "stream_tumbling",
-        _sw.query_stream_tumbling,
-        _ew.ORACLE_TUMBLING_1H,
+        "bronze_merge_all_columns",
+        bronze_merge.query_merge_all_columns,
+        bronze_merge.ORACLE_MERGE_ALL,
     )
     register(
-        "text_bigram_perplexity",
-        corpus_quality.query_text_bigram_perplexity,
-        corpus_quality.ORACLE_TEXT_BIGRAM_PERPLEXITY,
+        "dedup_cluster_cc",
+        dedup_cluster.query_dedup_cluster_cc,
+        dedup_cluster.ORACLE_DEDUP_CLUSTER_CC,
     )
+    register("dedup_minhash_lsh", text_dedup.query_dedup_minhash_lsh, text_dedup.ORACLE_DEDUP_MINHASH_LSH)
+    register("dedup_ngram_jaccard", text_dedup.query_dedup_ngram_jaccard, text_dedup.ORACLE_DEDUP_NGRAM_JACCARD)
     register(
-        "text_dup_spans",
-        text_dedup.query_text_dup_spans,
-        text_dedup.ORACLE_TEXT_DUP_SPANS,
+        "dedup_semantic",
+        semdedup.query_dedup_semantic,
+        semdedup.ORACLE_DEDUP_SEMANTIC,
     )
+    register("dedup_simhash_pairs", text_dedup.query_dedup_simhash_pairs, text_dedup.ORACLE_DEDUP_SIMHASH_PAIRS)
+    register("events_json_props", analytics.query_json_props, analytics.ORACLE_JSON_PROPS)
+    register("events_sessionize", event_windows.query_sessionize, event_windows.ORACLE_SESSIONIZE)
+    register("events_sliding_10m_5m", event_windows.query_sliding_10m_5m, event_windows.ORACLE_SLIDING_10M_5M)
+    register("events_time_rollup", event_windows.query_time_rollup, event_windows.ORACLE_TIME_ROLLUP)
+    register("events_tumbling_1h", event_windows.query_tumbling_1h, event_windows.ORACLE_TUMBLING_1H)
+    register("events_variant_props", analytics.query_variant_props, analytics.ORACLE_VARIANT_PROPS)
     register(
-        "text_hashing_features",
-        text_analysis.query_hashing_features,
-        text_analysis.ORACLE_HASHING_FEATURES,
+        "graph_bfs_distance",
+        _gr0.query_graph_bfs_distance,
+        _gr0.ORACLE_GRAPH_BFS_DISTANCE,
     )
+    register("graph_pagerank", graph.query_graph_pagerank, graph.ORACLE_GRAPH_PAGERANK)
     register(
-        "text_ngram_novelty",
-        text_analysis.query_text_ngram_novelty,
-        text_analysis.ORACLE_TEXT_NGRAM_NOVELTY,
-    )
-    register(
-        "text_oov_rate",
-        corpus_quality.query_text_oov_rate,
-        corpus_quality.ORACLE_TEXT_OOV_RATE,
-    )
-    register(
-        "text_quality_linear",
-        text_analysis.query_text_quality_linear,
-        text_analysis.ORACLE_TEXT_QUALITY_LINEAR,
-    )
-    register(
-        "text_url_domains",
-        text_signals.query_text_url_domains,
-        text_signals.ORACLE_TEXT_URL_DOMAINS,
-    )
-    register(
-        "ts_ewma_hourly",
-        timeseries.query_ts_ewma_hourly,
-        timeseries.ORACLE_TS_EWMA_HOURLY,
-    )
-    register(
-        "ts_gapfill_ffill",
-        timeseries.query_ts_gapfill_ffill,
-        timeseries.ORACLE_TS_GAPFILL_FFILL,
-    )
-    register(
-        "win_range_7d",
-        _ew.query_win_range_7d,
-        _ew.ORACLE_WIN_RANGE_7D,
+        "join_interval_clicks",
+        event_windows.query_interval_join_clicks,
+        event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
     )
 
 

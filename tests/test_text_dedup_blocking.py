@@ -105,3 +105,117 @@ def test_unsupported_geometry_rejected(spark, sf_dir):
     # ZeroDivisionError from the geometry modulo
     with pytest.raises(ValueError):
         simhash_band_pair_keys(corpus, bits=32, band_bits=0)
+
+
+def test_incremental_store_append_two_batches(spark, duck, sf_dir):
+    """The 100 TB incremental contract end-to-end (r10 verdict item 4):
+    build the signature store once, screen batch 1, APPEND the kept
+    docs' signatures, then screen batch 2 against the GROWN store.
+    Three independent checks pin the append path:
+
+    1. semantics — batch-2 exact resubmissions of batch-1 kept docs are
+       ``exact_dup`` matched to the batch-1 doc (only the grown store
+       knows those hashes), trimmed variants near-dup against batch-1
+       docs, fresh docs stay ``kept``;
+    2. append ≡ rebuild — the grown store screens batch 2 identically
+       to a store rebuilt from scratch over corpus ∪ kept₁;
+    3. oracle parity — DuckDB recomputes the batch-2 screen over the
+       grown corpus via ``incremental_screen_sql`` and must match.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.functions.text import tokens
+    from bigdata_project_spark.operators import text_dedup as td
+    from bigdata_project_spark.oracle_check import canonicalize
+    from bigdata_project_spark.sources.readers import load_table
+    from bigdata_project_spark.sources.sinks import drop_table_and_orphan_location
+
+    hash_t, band_t = "t_incr_append_hash", "t_incr_append_band"
+    hash_t2, band_t2 = "t_incr_rebuild_hash", "t_incr_rebuild_band"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    td.build_sig_store(spark, docs, hash_t, band_t)
+    try:
+        # ---- batch 1: screen, then append the kept docs ----
+        batch1 = td._incremental_batch(spark, sf_dir)
+        out1 = td.screen_batch_against_store(
+            spark, docs, batch1, hash_t, band_t
+        ).toPandas()
+        kept_ids = sorted(
+            int(i) for i in out1.loc[out1.verdict == "kept", "doc_id"]
+        )
+        assert kept_ids, "fixture batch 1 must keep at least one doc"
+        kept1 = batch1.filter(F.col("doc_id").isin(kept_ids))
+        td.append_batch_to_store(spark, kept1, hash_t, band_t)
+
+        # ---- batch 2: resubmissions + variants of kept₁, plus fresh ----
+        t = tokens(F.col("text"))
+        exact2 = kept1.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+        variants2 = (
+            kept1.select("doc_id", t.alias("t"))
+            .filter(F.size("t") >= 24)  # J=(m-4)/(m-2) >= 0.9 vs source
+            .select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), 1, F.size("t") - 2)
+                ).alias("text"),
+            )
+        )
+        fresh2 = spark.range(3).select(
+            (F.col("id") + 9_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"zq{k}x"), F.col("id").cast("string"))
+                    for k in range(30)
+                ],
+            ).alias("text"),
+        )
+        batch2 = exact2.unionByName(variants2).unionByName(fresh2)
+        corpus2 = docs.unionByName(kept1)
+        out2 = td.screen_batch_against_store(
+            spark, corpus2, batch2, hash_t, band_t
+        )
+        out2_pdf = out2.toPandas()
+        by_id = out2_pdf.set_index("doc_id")
+
+        # 1) semantics on the grown store
+        for k in kept_ids:  # exact resubmissions -> their batch-1 doc
+            assert by_id.loc[k + 2_000_000, "verdict"] == "exact_dup"
+            assert int(by_id.loc[k + 2_000_000, "matched_doc"]) == k
+        near = out2_pdf[
+            (out2_pdf.doc_id >= 3_000_000) & (out2_pdf.doc_id < 9_000_000)
+        ]
+        assert (
+            (near.verdict == "near_dup") & (near.matched_doc >= 2_000_000)
+        ).any(), "a trimmed variant must near-dup its batch-1 source"
+        assert (by_id.loc[9_000_000:, "verdict"] == "kept").all()
+
+        # 2) append-per-batch == full rebuild over the grown corpus
+        td.build_sig_store(spark, corpus2, hash_t2, band_t2)
+        out2_rebuilt = td.screen_batch_against_store(
+            spark, corpus2, batch2, hash_t2, band_t2
+        ).toPandas()
+        assert canonicalize(out2_pdf).equals(canonicalize(out2_rebuilt))
+
+        # 3) DuckDB oracle over the grown corpus (exact same texts —
+        # the batch/corpus frames are handed over; the SCREEN itself is
+        # recomputed from scratch by incremental_screen_sql)
+        duck.register("t_corpus2", corpus2.toPandas())
+        duck.register("t_batch2", batch2.toPandas())
+        oracle = duck.execute(
+            td.incremental_screen_sql(
+                "t_corpus2", "SELECT doc_id, text FROM t_batch2"
+            )
+        ).fetchdf()
+        assert len(oracle) == len(out2_pdf)
+        assert canonicalize(out2_pdf).equals(canonicalize(oracle))
+    finally:
+        for tbl in (hash_t, band_t, hash_t2, band_t2):
+            drop_table_and_orphan_location(spark, tbl)
+        for v in ("t_corpus2", "t_batch2"):
+            try:
+                duck.unregister(v)
+            except Exception:
+                pass
