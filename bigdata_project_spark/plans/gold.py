@@ -10,6 +10,10 @@ the table a dashboard would read instead of re-scanning silver.
 queries.ipynb cells 36-41 analysis as a first-class gold table (see its
 docstring).
 
+``gold_overnights_seasonality`` (round 11): overnight stays by calendar
+structure (month × weekend × holiday) — the remaining queries.ipynb
+analysis family as a gold table (see its docstring).
+
 Architecture (fixed round 6 after the r5 audit): the gold tier reads
 the MATERIALIZED silver table, exactly as the tiering contract says —
 a dashboard query must not re-execute the silver scan→union→semi-join
@@ -195,6 +199,101 @@ def query_gold_income_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_renta"),
         )
     )
+
+
+def query_gold_overnights_seasonality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Third gold-tier rollup (round 11): overnight-stay seasonality —
+    the remaining queries.ipynb analysis family (overnights sliced by
+    calendar structure: month × weekend × holiday). The reference
+    notebook assembles this by hand from the silver overnights table
+    and the holidays feed; here it is a first-class gold table.
+
+    Gold-tier contract (as ``gold_od_daily``): reads the MATERIALIZED
+    ``silver_overnights`` table (zone_level-partitioned), never
+    re-derives the silver chain per dashboard refresh. The holiday
+    dimension is the same month-start dim ``silver_od`` uses
+    (reference bronze/tasks/spanish_holidays.py ingests the real feed;
+    the fixture twin derives it from lineitem months).
+
+    Scale shape: broadcast holiday dim onto the fact scan (no shuffle
+    to flag), then ONE hash aggregate on low-cardinality keys
+    (zone_level × month × 2 flags); the two COUNT(DISTINCT ...) run
+    through Catalyst's expand+two-pass plan — exact, and the expand
+    factor is 3 on an already-partitioned scan. Sums through DECIMAL,
+    weekend flag uses the intended Sat+Sun semantics
+    (functions/scalars.py F4 note)."""
+    from bigdata_project_spark.functions.scalars import weekend_flag
+    from bigdata_project_spark.plans import silver_people_day
+    from bigdata_project_spark.sources.readers import load_table
+
+    ov = spark.table(
+        _materialize_silver(
+            spark,
+            sf_dir,
+            "silver_overnights",
+            silver_people_day.query_overnights,
+            partition_by=["zone_level"],
+        )
+    )
+    holidays = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.trunc("l_shipdate", "month").alias("holiday_date"))
+        .distinct()
+    )
+    enriched = (
+        ov.withColumn("d", F.to_date("date"))
+        .join(
+            F.broadcast(holidays),
+            F.col("d") == F.col("holiday_date"),
+            "left",
+        )
+        .withColumn("is_holiday", F.col("holiday_date").isNotNull())
+        .withColumn("is_weekend", weekend_flag(F.col("d")))
+    )
+    sum_people = F.sum(F.col("people").cast(_DEC)).cast("double")
+    return enriched.groupBy(
+        "zone_level",
+        F.substring("date", 1, 7).alias("month"),
+        "is_weekend",
+        "is_holiday",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("overnight_zone").alias("n_zones"),
+        F.count_distinct("overnight_zone", "residence_zone").alias("n_routes"),
+        round_portable(sum_people, 2).alias("sum_people"),
+        round_portable(sum_people / F.count(F.lit(1)), 6).alias("avg_people"),
+    )
+
+
+def _oracle_gold_overnights_seasonality() -> str:
+    from bigdata_project_spark.plans import silver_people_day
+
+    return f"""
+WITH silver AS ({silver_people_day.ORACLE_OVERNIGHTS}),
+holidays AS (
+    SELECT DISTINCT CAST(date_trunc('month', l_shipdate) AS DATE) AS holiday_date
+    FROM lineitem
+),
+enriched AS (
+    SELECT *, CAST(strptime(date, '%Y-%m-%d') AS DATE) AS d FROM silver
+)
+SELECT zone_level,
+       substring(date, 1, 7) AS month,
+       isodow(d) IN (6, 7) AS is_weekend,
+       d IN (SELECT holiday_date FROM holidays) AS is_holiday,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT overnight_zone) AS n_zones,
+       COUNT(DISTINCT (overnight_zone, residence_zone)) AS n_routes,
+       {round_portable_sql("CAST(SUM(CAST(people AS DECIMAL(27,6))) AS DOUBLE)", 2)} AS sum_people,
+       {round_portable_sql("CAST(SUM(CAST(people AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)", 6)} AS avg_people
+FROM enriched
+GROUP BY 1, 2, 3, 4
+"""
+
+
+ORACLE_GOLD_OVERNIGHTS_SEASONALITY = _oracle_gold_overnights_seasonality()
 
 
 def _oracle_gold_income_mobility() -> str:
