@@ -100,11 +100,14 @@ def _load() -> None:
     on the real fixture + a 130-source multi-word-bitmap kernel test).
     168 registrations remain.
 
-    Round 12 queue (pre-staged directly after slot 50): (1) the 21
+    Round 12 queue (pre-staged directly after slot 50): (0)
+    gold_overnights_seasonality — the one r11 net-new (third gold
+    rollup; 1.5 s steady-state at sf0.1, clearing the budget rule),
+    never driver-checked, so rule (1) puts it first; (1) the 21
     r8-checked rows this window could not hold (ml_group_ols,
     pipeline_chunk_docs … win_range_7d) — they hit the 4-round ceiling
-    at r12, so all 21 go first; (2) 29 of the 49 r9-checked rows,
-    stalest-first in file order; the remaining 20 r9 rows go to r13
+    at r12, so all 21 go next; (2) 28 of the 49 r9-checked rows,
+    stalest-first in file order; the remaining 21 r9 rows go to r13
     with the r10 block (reaching, not exceeding, the ceiling). Any
     r11/r12 commit that changes a checked query's behavior pulls it
     forward per rule (3)."""
@@ -324,6 +327,14 @@ def _load() -> None:
         layout_scan.query_layout_partition_pruning,
         layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
     )
+    # ---- r11 net-new (after slot 50 per rotation policy; never ------
+    # ---- driver-checked, so rule (1) puts it FIRST at r12) ------------
+    register(
+        "gold_overnights_seasonality",
+        gold.query_gold_overnights_seasonality,
+        gold.ORACLE_GOLD_OVERNIGHTS_SEASONALITY,
+    )
+
     # ---- r12 queue head: the 21 r8-checked rows this window could ----
     # ---- not hold (they hit the 4-round ceiling at r12) ---------------
     register(

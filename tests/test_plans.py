@@ -474,3 +474,40 @@ def test_bloom_prefilter_broadcasts_sketch(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # sketch broadcast, never shuffled
     assert "shiftright" in plan  # the bit-test membership expression
+
+
+def test_incremental_store_never_broadcast(spark, sf_dir):
+    """The 100 TB contract of the incremental screen: the STORED corpus
+    signature tables (billions of rows at scale) must never sit under a
+    BroadcastExchange — both stages broadcast the tiny batch side into
+    a scan of the store (text_dedup.screen_batch_against_store)."""
+    from bigdata_project_spark.operators import text_dedup as td
+
+    hash_t, band_t = td._incremental_sig_store(spark, sf_dir)
+    df = td.query_dedup_incremental_lsh(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert hash_t in plan and band_t in plan  # both stores scanned
+
+    # walk the plan tree: a store FileScan may only sit under a
+    # BroadcastExchange if a JOIN bounds the exchanged rows between the
+    # two (the stage-1 shape: store ⋈ broadcast(batch hashes) → the
+    # bounded HIT set is what gets broadcast, never the raw store)
+    stack: list[tuple[int, str]] = []
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip(": +-"))
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        if hash_t in line or band_t in line:
+            bcast_idx = [
+                i
+                for i, (_, name) in enumerate(stack)
+                if "BroadcastExchange" in name or "BroadcastQueryStage" in name
+            ]
+            if bcast_idx:
+                between = stack[bcast_idx[-1] + 1 :]
+                assert any("Join" in name for _, name in between), (
+                    f"raw store scan broadcast with no bounding join:\n{line}"
+                )
+        stack.append((indent, line))
+    # and the joins are broadcast-shaped (batch side broadcast)
+    assert plan.count("BroadcastHashJoin") >= 2
