@@ -1625,15 +1625,40 @@ _INCR_STORES: dict[tuple[str, str], tuple[str, str]] = {}
 _INCR_STORE_LOCK = threading.Lock()
 
 
+#: width (hex chars) of the optional hash-prefix partition column: 2 →
+#: 256 partitions. At corpus scale this is what keeps a batch screen
+#: from scanning the whole hash store: the scan prunes to only the
+#: prefixes the batch's hashes touch.
+_HP_CHARS = 2
+
+
+def _with_hash_prefix(df: DataFrame) -> DataFrame:
+    return df.withColumn("hp", F.substring("content_hash", 1, _HP_CHARS))
+
+
 def build_sig_store(
-    spark: SparkSession, corpus: DataFrame, hash_t: str, band_t: str
+    spark: SparkSession,
+    corpus: DataFrame,
+    hash_t: str,
+    band_t: str,
+    partition_by_hash_prefix: bool = False,
 ) -> None:
     """Materialize the signature store for ``corpus`` (doc_id, text):
     ``hash_t`` holds (content_hash, exact_match = lowest doc with that
     hash) and ``band_t`` the LSH band melt (doc_id, band, sig). One
     corpus pass, written through the same ``replace_table`` path the
     gold tier uses; every batch screen afterwards reads these tables
-    instead of re-deriving corpus signatures."""
+    instead of re-deriving corpus signatures.
+
+    ``partition_by_hash_prefix`` is the PRODUCTION layout for the hash
+    table: partitioned by the first two hex chars of the content hash
+    (256 uniform partitions — md5 prefixes are uniform by construction),
+    so a batch screen's stage 1 PARTITION-PRUNES the store to only the
+    prefixes present in the batch instead of scanning the whole corpus
+    hash set (plan-asserted in tests/test_text_dedup_blocking.py). Off
+    by default at fixture scale, where 256 file-opens cost more than the
+    scan they save — the layout knob, not the semantics, is what flips
+    at 100 TB."""
     from bigdata_project_spark.sources.sinks import (
         drop_table_and_orphan_location,
         replace_table,
@@ -1647,6 +1672,13 @@ def build_sig_store(
         .groupBy("content_hash")
         .agg(F.min("ex_id").alias("exact_match"))
     )
+    if partition_by_hash_prefix:
+        drop_table_and_orphan_location(spark, hash_t)
+        replace_table(_with_hash_prefix(ex_hash), hash_t, partition_by=["hp"])
+        ex_melt = _band_melt(minhash_signatures(shingle_rows(corpus)))
+        drop_table_and_orphan_location(spark, band_t)
+        replace_table(ex_melt.coalesce(4), band_t)
+        return
     ex_melt = _band_melt(minhash_signatures(shingle_rows(corpus)))
     for t, df in ((hash_t, ex_hash), (band_t, ex_melt)):
         drop_table_and_orphan_location(spark, t)
@@ -1676,7 +1708,12 @@ def append_batch_to_store(
         .groupBy("content_hash")
         .agg(F.min("ex_id").alias("exact_match"))
     )
-    append_table(new_hash.coalesce(1), hash_t)
+    if "hp" in spark.table(hash_t).columns:
+        append_table(
+            _with_hash_prefix(new_hash).coalesce(1), hash_t, partition_by=["hp"]
+        )
+    else:
+        append_table(new_hash.coalesce(1), hash_t)
     append_table(
         _band_melt(minhash_signatures(shingle_rows(kept))).coalesce(1), band_t
     )
@@ -1750,6 +1787,20 @@ def screen_batch_against_store(
     new_hashed = new.select(
         "doc_id", "text", content_hash(F.col("text")).alias("content_hash")
     )
+    if "hp" in ex_hash.columns:
+        # hash-prefix-partitioned store layout: prune the scan to only
+        # the prefixes this batch touches (bounded collect: ≤ min(batch
+        # size, 256) two-char strings) — at corpus scale this is the
+        # difference between reading the whole hash store and reading
+        # the few partitions a batch can possibly collide with
+        prefixes = [
+            r[0]
+            for r in _with_hash_prefix(new_hashed.select("content_hash"))
+            .select("hp")
+            .distinct()
+            .collect()
+        ]
+        ex_hash = ex_hash.filter(F.col("hp").isin(prefixes)).drop("hp")
     hash_hits = ex_hash.join(
         F.broadcast(new_hashed.select("content_hash").distinct()),
         "content_hash",

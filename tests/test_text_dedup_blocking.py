@@ -219,3 +219,66 @@ def test_incremental_store_append_two_batches(spark, duck, sf_dir):
                 duck.unregister(v)
             except Exception:
                 pass
+
+
+def test_incremental_store_hash_prefix_layout(spark, sf_dir):
+    """The PRODUCTION store layout (r11): hash table partitioned by a
+    2-hex-char md5 prefix. A batch screen must (a) produce output
+    identical to the flat layout, (b) partition-prune the hash-store
+    scan to the batch's prefixes, and (c) keep the append path working
+    against the partitioned table."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.operators import text_dedup as td
+    from bigdata_project_spark.oracle_check import canonicalize
+    from bigdata_project_spark.sources.readers import load_table
+    from bigdata_project_spark.sources.sinks import drop_table_and_orphan_location
+
+    flat_h, flat_b = "t_hp_flat_hash", "t_hp_flat_band"
+    part_h, part_b = "t_hp_part_hash", "t_hp_part_band"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = td._incremental_batch(spark, sf_dir)
+    try:
+        td.build_sig_store(spark, docs, flat_h, flat_b)
+        td.build_sig_store(
+            spark, docs, part_h, part_b, partition_by_hash_prefix=True
+        )
+
+        out_flat = td.screen_batch_against_store(
+            spark, docs, batch, flat_h, flat_b
+        ).toPandas()
+        screened = td.screen_batch_against_store(
+            spark, docs, batch, part_h, part_b
+        )
+        out_part = screened.toPandas()
+        assert canonicalize(out_flat).equals(canonicalize(out_part))
+
+        # (b) the partitioned hash scan carries a real partition filter
+        plan = screened._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [
+            l for l in plan.splitlines() if part_h in l and "FileScan" in l
+        ]
+        assert scan_lines, "partitioned hash store not scanned?"
+        assert any(
+            "PartitionFilters: [" in l and "hp" in l.split("PartitionFilters:")[1]
+            for l in scan_lines
+        ), f"no hp partition filter pushed:\n{scan_lines}"
+
+        # (c) append kept docs into the PARTITIONED store, screen again:
+        # the resubmitted kept docs must now come back exact_dup
+        kept_ids = sorted(
+            int(i) for i in out_part.loc[out_part.verdict == "kept", "doc_id"]
+        )
+        assert kept_ids
+        kept1 = batch.filter(F.col("doc_id").isin(kept_ids))
+        td.append_batch_to_store(spark, kept1, part_h, part_b)
+        resub = kept1.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+        out2 = td.screen_batch_against_store(
+            spark, docs.unionByName(kept1), resub, part_h, part_b
+        ).toPandas().set_index("doc_id")
+        for k in kept_ids:
+            assert out2.loc[k + 2_000_000, "verdict"] == "exact_dup"
+            assert int(out2.loc[k + 2_000_000, "matched_doc"]) == k
+    finally:
+        for tbl in (flat_h, flat_b, part_h, part_b):
+            drop_table_and_orphan_location(spark, tbl)
