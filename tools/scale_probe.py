@@ -77,6 +77,10 @@ PROBES = [
     # over a materialized silver table — growth must track the fact
     # scan) is probed here.
     ("gold_income_mobility", "gold_income_mobility"),
+    # r11 addition: third gold rollup — broadcast holiday dim + one
+    # low-cardinality hash agg with two exact distincts over the
+    # materialized overnights silver; growth must track the fact scan
+    ("gold_overnights_seasonality", "gold_overnights_seasonality"),
 ]
 
 TABLES = [
@@ -186,6 +190,9 @@ def main() -> None:
         # silver_people_day derives from orders; the renta dim (part) is
         # broadcast-sized by construction
         "gold_income_mobility": "orders",
+        # silver_overnights derives from lineitem; the holiday dim is
+        # month-cardinality by construction
+        "gold_overnights_seasonality": "lineitem",
     }
     for probe, name in PROBES:
         if args.only and probe not in args.only:
