@@ -56,12 +56,16 @@ _DEC = "decimal(27,6)"
 
 # session-local memo of silver tables already materialized: keyed by
 # (app id, sf_dir, silver name) so a fresh session (new warehouse
-# state) re-writes and distinct silvers don't collide. The lock guards
-# the check-then-write: two concurrent first invocations of the same
-# gold query must not race two replace_table writers against the same
-# table name (r10 ADVICE; mirrors text_dedup._INCR_STORE_LOCK).
+# state) re-writes and distinct silvers don't collide. Per-KEY locks
+# guard the check-then-write: two concurrent first invocations of the
+# same gold query must not race two replace_table writers against the
+# same table name (r10 ADVICE), while first-builds of UNRELATED silvers
+# proceed in parallel (a single global lock would serialize them for
+# the full multi-second silver write). The guard lock only protects the
+# lock-dict itself (microseconds).
 _MATERIALIZED: set[tuple[str, str, str]] = set()
-_MATERIALIZED_LOCK = threading.Lock()
+_MATERIALIZED_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
+_MATERIALIZED_GUARD = threading.Lock()
 
 
 def _materialize_silver(
@@ -82,7 +86,9 @@ def _materialize_silver(
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
     table = f"{name}__{tag}_{digest}"
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    with _MATERIALIZED_LOCK:
+    with _MATERIALIZED_GUARD:
+        lock = _MATERIALIZED_LOCKS.setdefault(key, threading.Lock())
+    with lock:
         if key not in _MATERIALIZED:
             # a previous PROCESS may have left the managed location behind
             # with no catalog entry (fresh session, same warehouse dir) —
@@ -180,10 +186,12 @@ def query_gold_income_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(
             "zone_level",
-            # floor division, NOT `div`: Spark's `div` truncates toward
-            # zero while the DuckDB oracle's `//` floors, so a negative
-            # renta would land in different brackets per engine (r10
-            # ADVICE). FLOOR(ri/1000) is exact for |ri| < 2^52.
+            # EXPLICIT floor division on BOTH engines (r10 ADVICE, with
+            # its premise corrected r11: DuckDB's integer `//` also
+            # truncates toward zero — verified SELECT -1500//1000 = -1 —
+            # so the portable form is FLOOR(x/1000.0) on both sides, not
+            # one operator per engine). Exact for |ri| < 2^52; negative
+            # renta lands in the same bracket under either engine.
             F.floor(F.col("ri") / F.lit(1000))
             .cast("bigint")
             .alias("income_bracket"),
@@ -308,13 +316,13 @@ zones AS (
     FROM renta
 )
 SELECT p.zone_level,
-       z.ri // 1000 AS income_bracket,
+       CAST(FLOOR(z.ri / 1000.0) AS BIGINT) AS income_bracket,
        COUNT(*) AS n_rows,
        COUNT(DISTINCT p.zone_id) AS n_zones,
        {round_portable_sql("CAST(SUM(CAST(p.people AS DECIMAL(27,6))) AS DOUBLE)", 2)} AS sum_people,
        {round_portable_sql("SUM(z.ri) / (10.0 * COUNT(*))", 6)} AS avg_renta
 FROM people p JOIN zones z USING (zone_id)
-GROUP BY p.zone_level, z.ri // 1000
+GROUP BY p.zone_level, CAST(FLOOR(z.ri / 1000.0) AS BIGINT)
 """
 
 

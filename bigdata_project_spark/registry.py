@@ -98,7 +98,8 @@ def _load() -> None:
     beside text_source_overlap, and its behavior is pinned by
     tests/test_text_signals.py (exact-equality vs the pairwise sibling
     on the real fixture + a 130-source multi-word-bitmap kernel test).
-    168 registrations remain.
+    168 registrations after the demotion; 169 after the r11 net-new
+    below.
 
     Round 12 queue (pre-staged directly after slot 50): (0)
     gold_overnights_seasonality — the one r11 net-new (third gold
@@ -442,8 +443,9 @@ def _load() -> None:
         _ew.query_win_range_7d,
         _ew.ORACLE_WIN_RANGE_7D,
     )
-    # ---- r12 queue tail: 49 r9-checked rows (30 stalest fill r12 ------
-    # ---- after the r8 block; the rest go r13 with the r10 block) ------
+    # ---- r12 queue tail: 49 r9-checked rows (28 stalest fill r12 ------
+    # ---- after the net-new + 21 r8-ceiling rows; the remaining 21 -----
+    # ---- go r13 with the r10 block) -----------------------------------
     register(
         "silver_ine_empresas", silver_ine.query_ine_empresas, silver_ine.ORACLE_INE_EMPRESAS
     )

@@ -6,7 +6,8 @@ The partitioned layout exists for corpus scale: stage 1 of
 2-hex-char md5 prefixes present in the batch (≤ min(batch, 256)
 partitions out of 256), so per-batch scan bytes track the BATCH, not
 the corpus. At fixture scale the effect is file-open-count noise — this
-probe measures both layouts on a replicated ~100× corpus and records:
+probe measures both layouts on a replicated 10× corpus (50k docs) and
+records:
 
 - wall time per screen (3-run median) per layout,
 - the fraction of store partitions a screen actually touches,
