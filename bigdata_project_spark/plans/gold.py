@@ -1,5 +1,5 @@
 """Gold layer: the aggregate consumption tier the reference declares and
-never builds (reference README.md:215-216 — "Gold layer: TODO"). Two
+never builds (reference README.md:215-216 — "Gold layer: TODO"). Three
 demonstration rollups go one step past the reference's own roadmap.
 
 ``gold_od_daily``: daily trip/km rollup of ``silver_od`` per
