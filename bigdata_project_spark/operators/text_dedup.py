@@ -1688,7 +1688,11 @@ def build_sig_store(
 
 
 def append_batch_to_store(
-    spark: SparkSession, kept: DataFrame, hash_t: str, band_t: str
+    spark: SparkSession,
+    kept: DataFrame,
+    hash_t: str,
+    band_t: str,
+    out_partitions: int = 1,
 ) -> None:
     """GROW the signature store with a screened batch's kept docs —
     the append-per-batch path of the incremental contract (each ingest
@@ -1697,7 +1701,14 @@ def append_batch_to_store(
     the appended hash rows cannot collide with stored ones; duplicate
     texts WITHIN the kept set (possible — a batch is screened against
     the corpus, not against itself) collapse to one row via min(doc_id)
-    so the hash table stays unique-keyed."""
+    so the hash table stays unique-keyed.
+
+    ``out_partitions`` sizes the appended files: the default 1 is the
+    FIXTURE-scale choice (a sub-MB batch appended as one file per
+    table keeps the store's file-open count low, mirroring
+    build_sig_store's coalesce(4)); a production batch appends with
+    enough partitions that each written file lands near the target
+    file size — the knob, not the semantics, is what flips at 100 TB."""
     from bigdata_project_spark.sources.sinks import append_table
 
     new_hash = (
@@ -1710,12 +1721,15 @@ def append_batch_to_store(
     )
     if "hp" in spark.table(hash_t).columns:
         append_table(
-            _with_hash_prefix(new_hash).coalesce(1), hash_t, partition_by=["hp"]
+            _with_hash_prefix(new_hash).coalesce(out_partitions),
+            hash_t,
+            partition_by=["hp"],
         )
     else:
-        append_table(new_hash.coalesce(1), hash_t)
+        append_table(new_hash.coalesce(out_partitions), hash_t)
     append_table(
-        _band_melt(minhash_signatures(shingle_rows(kept))).coalesce(1), band_t
+        _band_melt(minhash_signatures(shingle_rows(kept))).coalesce(out_partitions),
+        band_t,
     )
 
 
@@ -1756,7 +1770,20 @@ def screen_batch_against_store(
     signature store. ``corpus_texts`` is the text lookup for collision
     candidates only (original docs plus every previously appended
     batch's kept docs) — it is scanned via a candidate semi-join, never
-    shingled whole. Verdict per new doc:
+    shingled whole.
+
+    DETERMINISM REQUIREMENT on ``batch``: when the store is
+    hash-prefix partitioned, the batch's distinct prefixes are
+    collected once at plan-construction time to prune the store scan,
+    and the batch lineage is then RE-evaluated inside the join. A
+    non-deterministic batch (e.g. built on ``rand()`` or an
+    uncheckpointed sample) could re-evaluate to hashes whose prefixes
+    were not in the collected list and silently classify exact dups as
+    kept. Pass a deterministic DataFrame (a table read, or a
+    ``.localCheckpoint()`` of anything else); every in-repo caller is
+    a parquet/table read or the deterministic fixture batch.
+
+    Verdict per new doc:
 
     - ``exact_dup``: content hash already present — caught by ONE
       hash lookup before any LSH work (jaccard 1.0 by identity,

@@ -96,6 +96,13 @@ def _materialize_silver(
             drop_table_and_orphan_location(spark, table)
             replace_table(build(spark, sf_dir), table, partition_by=partition_by)
             _MATERIALIZED.add(key)
+    # GC the per-key lock once the key is memoized (r11 ADVICE: the dict
+    # otherwise grows one dead lock per fixture dir forever). Safe: any
+    # thread still holding/awaiting the popped lock re-checks the memo
+    # and no-ops, and a late setdefault of a FRESH lock also finds the
+    # key already in _MATERIALIZED — the write happens at most once.
+    with _MATERIALIZED_GUARD:
+        _MATERIALIZED_LOCKS.pop(key, None)
     return table
 
 

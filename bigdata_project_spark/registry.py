@@ -70,48 +70,43 @@ def _load() -> None:
     coverage — e.g. emb_gram_matrix, demoted round 10, its equivalence
     vs emb_gram_blas owned by tests/test_graph_funnel.py).
 
-    Round 11 window, exactly as pre-staged by the round-10 queue
-    (CORRECTNESS_r10.json confirmed all 50 r10 slots green, so the
-    queue advances unchanged):
-    (1) gold_income_mobility — the one registered query with no driver
-    row ever (the r10 net-new that replaced the demoted
-    emb_gram_matrix slot), rule (1) puts it first;
-    (2) the 19 r7-checked rows at their 4-round hard ceiling
-    (join_range_bands, join_semi_anti, layout_bucketed_join,
-    pipeline_clean_corpus, pipeline_dedup_canonical,
-    pipeline_global_shuffle, silver_od, sim_ivf_kmeans_topk,
-    sim_ivfpq_topk, sim_pq_adc_topk, skew_salted_agg, skew_salted_join,
-    stream_dedup, stream_upsert_sink, text_char_entropy, win_lead_lag,
-    win_rank_family, win_running_total, win_topk_per_group);
-    (3) dedup_incremental_lsh per rule (3): round-11 commits change its
-    stage-1 physical plan (the batch's content hashes now broadcast
-    into the stored hash-table scan — the store is never broadcast,
-    matching stage 2's direction and the 100 TB contract) and extract
-    the store lifecycle into build/screen/append functions;
-    (4) 29 of the 50 r8-checked rows, stalest-first in prior file
-    order (agg_pricing_summary … layout_partition_pruning;
-    ml_group_ols spills to the r12 queue head). 1+19+1+29 = 50.
+    Round 12 window, exactly as pre-staged by the round-11 queue
+    (CORRECTNESS_r11.json confirmed all 50 r11 slots green, so the
+    queue advances unchanged; the r11 verdict's top-next item is this
+    rotation executed verbatim):
+    (1) gold_overnights_seasonality — the one registered query with no
+    driver row ever (the r11 net-new, third gold rollup), rule (1)
+    puts it first;
+    (2) the 21 r8-checked rows at their 4-round hard ceiling
+    (ml_group_ols, pipeline_chunk_docs, pipeline_domain_reweight,
+    pipeline_pack_sequences, pipeline_quality_funnel, sketch_cms_topk,
+    source_orc_roundtrip, source_text_logs, stream_interval_join,
+    stream_sessionize, stream_tumbling, text_bigram_perplexity,
+    text_dup_spans, text_hashing_features, text_ngram_novelty,
+    text_oov_rate, text_quality_linear, text_url_domains,
+    ts_ewma_hourly, ts_gapfill_ffill, win_range_7d);
+    (3) 28 of the 49 r9-checked rows, stalest-first in prior file
+    order (silver_ine_empresas … multimodal_frame_sample).
+    1+21+28 = 50. No rule-(3) pulls: round-12 commits are
+    attribution/probe work, no checked query's plan changes. No
+    net-new: the reference surface is complete and the LLM-pipeline
+    surface saturated (r11 verdict item 6) — net-new must displace,
+    and nothing earns displacement this round.
 
-    DEMOTED round 11 (registration budget rule, pre-staged by the r10
-    docstring): text_source_overlap_bitmap — its r10 driver row landed
-    green, it is the output-identical >64-source escape hatch benched
-    beside text_source_overlap, and its behavior is pinned by
-    tests/test_text_signals.py (exact-equality vs the pairwise sibling
-    on the real fixture + a 130-source multi-word-bitmap kernel test).
-    168 registrations after the demotion; 169 after the r11 net-new
-    below.
+    Round 13 queue (pre-staged directly after slot 50): (1) the
+    remaining 21 r9-checked rows this window could not hold
+    (pipeline_domain_mixture … text_lang_id) — they reach the 4-round
+    ceiling at r13, so all 21 go first; (2) 29 of the 48 r10-checked
+    rows, stalest-first in file order (dedup_minhash_recall …
+    agg_small_qty_revenue); the remaining 19 r10 rows go to r14 with
+    the r11 block (reaching, not exceeding, the ceiling). Any r12/r13
+    commit that changes a checked query's behavior pulls it forward
+    per rule (3).
 
-    Round 12 queue (pre-staged directly after slot 50): (0)
-    gold_overnights_seasonality — the one r11 net-new (third gold
-    rollup; 1.5 s steady-state at sf0.1, clearing the budget rule),
-    never driver-checked, so rule (1) puts it first; (1) the 21
-    r8-checked rows this window could not hold (ml_group_ols,
-    pipeline_chunk_docs … win_range_7d) — they hit the 4-round ceiling
-    at r12, so all 21 go next; (2) 28 of the 49 r9-checked rows,
-    stalest-first in file order; the remaining 21 r9 rows go to r13
-    with the r10 block (reaching, not exceeding, the ceiling). Any
-    r11/r12 commit that changes a checked query's behavior pulls it
-    forward per rule (3)."""
+    DEMOTIONS (registration budget rule): emb_gram_matrix (r10) and
+    text_source_overlap_bitmap (r11) both keep pytest-owned
+    equivalence vs their production twins (tests/test_graph_funnel.py,
+    tests/test_text_signals.py). 169 registrations."""
     if _QUERIES:
         return
 
@@ -174,170 +169,15 @@ def _load() -> None:
         windows as stream_windows,
     )
 
-    # ---- r11 window slot 1: the one never-driver-checked query ------
-    register(
-        "gold_income_mobility",
-        gold.query_gold_income_mobility,
-        gold.ORACLE_GOLD_INCOME_MOBILITY,
-    )
-    # ---- r11 window slots 2-20: the 19 r7-checked rows at their -----
-    # ---- 4-round hard ceiling ----------------------------------------
-    register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
-    register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
-    register(
-        "layout_bucketed_join",
-        bucketing.query_bucketed_join_revenue,
-        bucketing.ORACLE_BUCKETED_JOIN,
-    )
-    register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
-    register(
-        "pipeline_dedup_canonical",
-        dedup_cluster.query_dedup_canonical,
-        dedup_cluster.ORACLE_DEDUP_CANONICAL,
-    )
-    register(
-        "pipeline_global_shuffle",
-        ordering.query_global_shuffle,
-        ordering.ORACLE_GLOBAL_SHUFFLE,
-    )
-    register("silver_od", silver_od.query, silver_od.ORACLE)
-    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, ivf.ORACLE_IVF_KMEANS_TOPK)
-    register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
-    register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
-    register("skew_salted_agg", skew.query_skew_salted_agg, skew.ORACLE_SKEW_SALTED_AGG)
-    register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
-    register(
-        "stream_dedup",
-        _sw0.query_stream_dedup,
-        _sw0.ORACLE_STREAM_DEDUP,
-    )
-    register(
-        "stream_upsert_sink",
-        stream_windows.query_stream_upsert_sink,
-        stream_windows.ORACLE_STREAM_UPSERT,
-    )
-    register(
-        "text_char_entropy",
-        corpus_quality.query_text_char_entropy,
-        corpus_quality.ORACLE_TEXT_CHAR_ENTROPY,
-    )
-    register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
-    register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
-    register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
-    register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)
-    # ---- r11 window slot 21 (rule 3): round-11 commits change this ---
-    # ---- query's stage-1 physical plan (batch hashes now broadcast ----
-    # ---- into the store scan, never the store into the batch) ---------
-    register(
-        "dedup_incremental_lsh",
-        text_dedup.query_dedup_incremental_lsh,
-        text_dedup.ORACLE_DEDUP_INCREMENTAL_LSH,
-    )
-
-    # ---- r11 window slots 22-50: 29 r8-checked rows, stalest-first ---
-    # ---- in prior file order (ml_group_ols spills to the r12 head) ----
-    register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
-    register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
-    register("agg_pivot_status", analytics.query_pivot_status, analytics.ORACLE_PIVOT_STATUS)
-    register("agg_rollup_summary", analytics.query_rollup_summary, analytics.ORACLE_ROLLUP_SUMMARY)
-    register("agg_cube_summary", analytics.query_cube_summary, analytics.ORACLE_CUBE_SUMMARY)
-    register("agg_grouping_sets", analytics.query_grouping_sets, analytics.ORACLE_GROUPING_SETS)
-    register("agg_distinct_counts", analytics.query_distinct_counts, analytics.ORACLE_DISTINCT_COUNTS)
-    register("agg_approx_distinct", analytics.query_approx_distinct, analytics.ORACLE_APPROX_DISTINCT)
-    register("agg_percentiles", asof_range.query_percentiles_by_type, asof_range.ORACLE_PERCENTILES)
-    register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
-    register("cogroup_activity", analytics.query_cogroup_activity, analytics.ORACLE_COGROUP_ACTIVITY)
-    register(
-        "graph_triangles",
-        graph.query_graph_triangles,
-        graph.ORACLE_GRAPH_TRIANGLES,
-    )
-    register(
-        "layout_zorder_extents",
-        zorder.query_zorder_extents,
-        zorder.ORACLE_ZORDER_EXTENTS,
-    )
-    register(
-        "feature_binning_equidepth",
-        profiling.query_feature_binning_equidepth,
-        profiling.ORACLE_FEATURE_BINNING_EQUIDEPTH,
-    )
-    register(
-        "stream_transitions",
-        stream_stateful.query_stream_transitions,
-        funnel.ORACLE_EVENTS_TRANSITIONS,
-    )
-    register(
-        "bronze_incremental_batches",
-        incremental.query_bronze_incremental_batches,
-        incremental.ORACLE_BRONZE_INCREMENTAL,
-    )
-    register(
-        "silver_zones_geom",
-        silver_distances.query_zones_geom,
-        silver_distances.ORACLE_ZONES_WKT,
-    )
-    register(
-        "cdc_snapshot_diff",
-        cdc.query_cdc_snapshot_diff,
-        cdc.ORACLE_CDC_SNAPSHOT_DIFF,
-    )
-    register(
-        "dedup_paragraph",
-        text_dedup.query_dedup_paragraph,
-        text_dedup.ORACLE_DEDUP_PARAGRAPH,
-    )
-    register(
-        "dedup_span_removal",
-        text_dedup.query_dedup_span_removal,
-        text_dedup.ORACLE_DEDUP_SPAN_REMOVAL,
-    )
-    register(
-        "dedup_url_canonical",
-        text_signals.query_dedup_url_canonical,
-        text_signals.ORACLE_DEDUP_URL_CANONICAL,
-    )
-    register("emb_gram_blas", graph.query_emb_gram_blas, graph.ORACLE_EMB_GRAM_BLAS)
-    register(
-        "emb_int8_quantize",
-        embedding_stats.query_emb_int8_quantize,
-        embedding_stats.ORACLE_EMB_INT8_QUANTIZE,
-    )
-    register(
-        "emb_pca_project",
-        pca.query_emb_pca_project,
-        pca.oracle_emb_pca_sql(),
-        oracle_builder=pca.oracle_emb_pca_sql,
-    )
-    register(
-        "events_dau_wau", funnel.query_events_dau_wau, funnel.ORACLE_EVENTS_DAU_WAU
-    )
-    register("events_funnel", funnel.query_events_funnel, funnel.ORACLE_EVENTS_FUNNEL)
-    register(
-        "events_transitions",
-        funnel.query_events_transitions,
-        funnel.ORACLE_EVENTS_TRANSITIONS,
-    )
-    register(
-        "feature_corr_matrix",
-        stats.query_feature_corr_matrix,
-        stats.ORACLE_FEATURE_CORR_MATRIX,
-    )
-    register(
-        "layout_partition_pruning",
-        layout_scan.query_layout_partition_pruning,
-        layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
-    )
-    # ---- r11 net-new (after slot 50 per rotation policy; never ------
-    # ---- driver-checked, so rule (1) puts it FIRST at r12) ------------
+    # ---- r12 window slot 1 (rule 1): the r11 net-new, the only ----
+    # ---- registered query with no driver row ever ---------------------
     register(
         "gold_overnights_seasonality",
         gold.query_gold_overnights_seasonality,
         gold.ORACLE_GOLD_OVERNIGHTS_SEASONALITY,
     )
-
-    # ---- r12 queue head: the 21 r8-checked rows this window could ----
-    # ---- not hold (they hit the 4-round ceiling at r12) ---------------
+    # ---- r12 window slots 2-22: the 21 r8-checked rows at their ----
+    # ---- 4-round hard ceiling (pre-staged by the r11 queue) -----------
     register(
         "ml_group_ols",
         stats.query_ml_group_ols,
@@ -443,9 +283,8 @@ def _load() -> None:
         _ew.query_win_range_7d,
         _ew.ORACLE_WIN_RANGE_7D,
     )
-    # ---- r12 queue tail: 49 r9-checked rows (28 stalest fill r12 ------
-    # ---- after the net-new + 21 r8-ceiling rows; the remaining 21 -----
-    # ---- go r13 with the r10 block) -----------------------------------
+    # ---- r12 window slots 23-50: 28 r9-checked rows, stalest- ------
+    # ---- first in prior file order --------------------------------------
     register(
         "silver_ine_empresas", silver_ine.query_ine_empresas, silver_ine.ORACLE_INE_EMPRESAS
     )
@@ -552,6 +391,8 @@ def _load() -> None:
     )
     register("multimodal_features", binary_ops.query_features, binary_ops.ORACLE_FEATURES)
     register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
+    # ---- r13 queue head: the remaining 21 r9-checked rows (they ----
+    # ---- reach the 4-round ceiling at r13) ------------------------------
     register(
         "pipeline_domain_mixture",
         packing.query_domain_mixture,
@@ -619,7 +460,8 @@ def _load() -> None:
     )
     register("text_fingerprint", text_analysis.query_fingerprint, text_analysis.ORACLE_FINGERPRINT)
     register("text_lang_id", text_analysis.query_lang_id, text_analysis.ORACLE_LANG_ID)
-    # ---- r10-checked rows (freshest; due r13-r14) ---------------------
+    # ---- r13 queue tail: 48 r10-checked rows (29 stalest fill r13 --
+    # ---- after the 21 r9-ceiling rows; the remaining 19 go r14) ---------
     register(
         "dedup_minhash_recall",
         text_dedup.query_dedup_minhash_recall,
@@ -791,6 +633,152 @@ def _load() -> None:
         "join_interval_clicks",
         event_windows.query_interval_join_clicks,
         event_windows.ORACLE_INTERVAL_JOIN_CLICKS,
+    )
+    # ---- r11-checked rows (freshest; due r14) ------------------------
+    register(
+        "gold_income_mobility",
+        gold.query_gold_income_mobility,
+        gold.ORACLE_GOLD_INCOME_MOBILITY,
+    )
+    register("join_range_bands", asof_range.query_range_join_value_bands, asof_range.ORACLE_RANGE_JOIN)
+    register("join_semi_anti", analytics.query_semi_anti_join, analytics.ORACLE_SEMI_ANTI_JOIN)
+    register(
+        "layout_bucketed_join",
+        bucketing.query_bucketed_join_revenue,
+        bucketing.ORACLE_BUCKETED_JOIN,
+    )
+    register("pipeline_clean_corpus", clean_corpus.query_clean_corpus, clean_corpus.ORACLE_CLEAN_CORPUS)
+    register(
+        "pipeline_dedup_canonical",
+        dedup_cluster.query_dedup_canonical,
+        dedup_cluster.ORACLE_DEDUP_CANONICAL,
+    )
+    register(
+        "pipeline_global_shuffle",
+        ordering.query_global_shuffle,
+        ordering.ORACLE_GLOBAL_SHUFFLE,
+    )
+    register("silver_od", silver_od.query, silver_od.ORACLE)
+    register("sim_ivf_kmeans_topk", ivf.query_ivf_kmeans_topk, ivf.ORACLE_IVF_KMEANS_TOPK)
+    register("sim_ivfpq_topk", pq.query_ivfpq_topk, pq.ORACLE_IVFPQ_TOPK)
+    register("sim_pq_adc_topk", pq.query_pq_adc_topk, pq.ORACLE_PQ_ADC_TOPK)
+    register("skew_salted_agg", skew.query_skew_salted_agg, skew.ORACLE_SKEW_SALTED_AGG)
+    register("skew_salted_join", skew.query_skew_salted_join, skew.ORACLE_SKEW_SALTED_JOIN)
+    register(
+        "stream_dedup",
+        _sw0.query_stream_dedup,
+        _sw0.ORACLE_STREAM_DEDUP,
+    )
+    register(
+        "stream_upsert_sink",
+        stream_windows.query_stream_upsert_sink,
+        stream_windows.ORACLE_STREAM_UPSERT,
+    )
+    register(
+        "text_char_entropy",
+        corpus_quality.query_text_char_entropy,
+        corpus_quality.ORACLE_TEXT_CHAR_ENTROPY,
+    )
+    register("win_lead_lag", analytics.query_lead_lag_delta, analytics.ORACLE_LEAD_LAG)
+    register("win_rank_family", analytics.query_rank_family, analytics.ORACLE_RANK_FAMILY)
+    register("win_running_total", analytics.query_running_total, analytics.ORACLE_RUNNING_TOTAL)
+    register("win_topk_per_group", analytics.query_topk_per_group, analytics.ORACLE_TOPK_PER_GROUP)
+    register(
+        "dedup_incremental_lsh",
+        text_dedup.query_dedup_incremental_lsh,
+        text_dedup.ORACLE_DEDUP_INCREMENTAL_LSH,
+    )
+    register("agg_pricing_summary", analytics.query_pricing_summary, analytics.ORACLE_PRICING_SUMMARY)
+    register("agg_top_customers", analytics.query_top_customers, analytics.ORACLE_TOP_CUSTOMERS)
+    register("agg_pivot_status", analytics.query_pivot_status, analytics.ORACLE_PIVOT_STATUS)
+    register("agg_rollup_summary", analytics.query_rollup_summary, analytics.ORACLE_ROLLUP_SUMMARY)
+    register("agg_cube_summary", analytics.query_cube_summary, analytics.ORACLE_CUBE_SUMMARY)
+    register("agg_grouping_sets", analytics.query_grouping_sets, analytics.ORACLE_GROUPING_SETS)
+    register("agg_distinct_counts", analytics.query_distinct_counts, analytics.ORACLE_DISTINCT_COUNTS)
+    register("agg_approx_distinct", analytics.query_approx_distinct, analytics.ORACLE_APPROX_DISTINCT)
+    register("agg_percentiles", asof_range.query_percentiles_by_type, asof_range.ORACLE_PERCENTILES)
+    register("set_ops", analytics.query_set_ops, analytics.ORACLE_SET_OPS)
+    register("cogroup_activity", analytics.query_cogroup_activity, analytics.ORACLE_COGROUP_ACTIVITY)
+    register(
+        "graph_triangles",
+        graph.query_graph_triangles,
+        graph.ORACLE_GRAPH_TRIANGLES,
+    )
+    register(
+        "layout_zorder_extents",
+        zorder.query_zorder_extents,
+        zorder.ORACLE_ZORDER_EXTENTS,
+    )
+    register(
+        "feature_binning_equidepth",
+        profiling.query_feature_binning_equidepth,
+        profiling.ORACLE_FEATURE_BINNING_EQUIDEPTH,
+    )
+    register(
+        "stream_transitions",
+        stream_stateful.query_stream_transitions,
+        funnel.ORACLE_EVENTS_TRANSITIONS,
+    )
+    register(
+        "bronze_incremental_batches",
+        incremental.query_bronze_incremental_batches,
+        incremental.ORACLE_BRONZE_INCREMENTAL,
+    )
+    register(
+        "silver_zones_geom",
+        silver_distances.query_zones_geom,
+        silver_distances.ORACLE_ZONES_WKT,
+    )
+    register(
+        "cdc_snapshot_diff",
+        cdc.query_cdc_snapshot_diff,
+        cdc.ORACLE_CDC_SNAPSHOT_DIFF,
+    )
+    register(
+        "dedup_paragraph",
+        text_dedup.query_dedup_paragraph,
+        text_dedup.ORACLE_DEDUP_PARAGRAPH,
+    )
+    register(
+        "dedup_span_removal",
+        text_dedup.query_dedup_span_removal,
+        text_dedup.ORACLE_DEDUP_SPAN_REMOVAL,
+    )
+    register(
+        "dedup_url_canonical",
+        text_signals.query_dedup_url_canonical,
+        text_signals.ORACLE_DEDUP_URL_CANONICAL,
+    )
+    register("emb_gram_blas", graph.query_emb_gram_blas, graph.ORACLE_EMB_GRAM_BLAS)
+    register(
+        "emb_int8_quantize",
+        embedding_stats.query_emb_int8_quantize,
+        embedding_stats.ORACLE_EMB_INT8_QUANTIZE,
+    )
+    register(
+        "emb_pca_project",
+        pca.query_emb_pca_project,
+        pca.oracle_emb_pca_sql(),
+        oracle_builder=pca.oracle_emb_pca_sql,
+    )
+    register(
+        "events_dau_wau", funnel.query_events_dau_wau, funnel.ORACLE_EVENTS_DAU_WAU
+    )
+    register("events_funnel", funnel.query_events_funnel, funnel.ORACLE_EVENTS_FUNNEL)
+    register(
+        "events_transitions",
+        funnel.query_events_transitions,
+        funnel.ORACLE_EVENTS_TRANSITIONS,
+    )
+    register(
+        "feature_corr_matrix",
+        stats.query_feature_corr_matrix,
+        stats.ORACLE_FEATURE_CORR_MATRIX,
+    )
+    register(
+        "layout_partition_pruning",
+        layout_scan.query_layout_partition_pruning,
+        layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
     )
 
 
