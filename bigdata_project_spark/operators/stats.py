@@ -18,13 +18,26 @@ feature-engineering user reaches for):
   aggregated moments, so cost is O(groups), not O(rows).
 
 Float parity (the emb_gram_blas integer-scaling technique, see
-operators/graph.py): each input is scaled to the exact integer
-``floor(v·1e6 + 0.5)`` held in DECIMAL(19,0) — products and sums are
-then integer-exact on both engines (DuckDB's native DECIMAL(15,6)
-product overflows its int64 lane; scaled integers ride the int128
-lane). The 1e6 scale cancels in every correlation/slope ratio, so the
-closed forms run directly on the scaled sums in DOUBLE with one shared
-operation order; only the OLS intercept needs one explicit unscale.
+operators/graph.py): each input is scaled to an exact integer
+``floor(v·s + 0.5)`` — products and sums are then integer-exact on
+both engines, and the scale cancels in every correlation/slope ratio,
+so the closed forms run directly on the scaled sums in DOUBLE with one
+shared operation order; only the OLS intercept needs one explicit
+unscale. Two lanes:
+
+- **corr** rides the BIGINT lane at scale 100 (r12, after the weak-list
+  decomposition showed the old all-DECIMAL(19,0) aggregate was
+  arithmetic-bound, not floor-bound: 1.91 s → 0.90 s at sf0.1,
+  tools/probe_corr_zorder_r12.json). The inputs are 2-decimal currency/
+  ratio fields, so scale 100 is exact; scaled values ≤ ~1.05e7 keep
+  every per-row PRODUCT ≤ ~1.1e14 — far inside int64, so the hot
+  multiply stays in whole-stage-codegen bigint arithmetic — and only
+  the partition-parallel SUM crosses into DECIMAL(38,0) (Spark) /
+  DuckDB's automatic HUGEINT, where a bigint accumulator would
+  overflow (verified: ANSI ARITHMETIC_OVERFLOW at sf0.1).
+- **OLS** keeps the DECIMAL(19,0) lane at scale 1e6: one grouped
+  aggregate over 3 groups is floor-bound already, and its intercept
+  unscale wants the finer grid.
 """
 
 from __future__ import annotations
@@ -51,16 +64,36 @@ def _scaled_sql(expr: str) -> str:
     return f"CAST(floor(({expr}) * {_SCALE} + 0.5) AS DECIMAL(19,0))"
 
 
+_CORR_SCALE = 100.0  # 2-dp inputs → exact; products fit int64 (see module doc)
+_DEC_SUM = "decimal(38,0)"  # accumulator lane: bigint sums would overflow
+
+
+def _corr_scaled(c: str) -> Column:
+    """floor(v·100 + 0.5) as an exact BIGINT (codegen-friendly lane)."""
+    return F.floor(F.col(c) * _CORR_SCALE + F.lit(0.5)).cast("bigint")
+
+
+def _corr_scaled_sql(expr: str) -> str:
+    return f"CAST(floor(({expr}) * {_CORR_SCALE} + 0.5) AS BIGINT)"
+
+
 def query_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    scaled = li.select(*[_scaled(c).alias(f"v_{c}") for c in CORR_COLS])
+    scaled = li.select(*[_corr_scaled(c).alias(f"v_{c}") for c in CORR_COLS])
 
+    # per-row arithmetic in BIGINT (whole-stage codegen), accumulation
+    # in DECIMAL(38,0) — DuckDB's SUM(BIGINT) is HUGEINT, the same
+    # exact-integer accumulator shape
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in CORR_COLS:
-        aggs.append(F.sum(F.col(f"v_{c}")).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(f"v_{c}").cast(_DEC_SUM)).alias(f"s_{c}"))
     for i, a in enumerate(CORR_COLS):
         for b in CORR_COLS[i:]:
-            aggs.append(F.sum(F.col(f"v_{a}") * F.col(f"v_{b}")).alias(f"s_{a}_{b}"))
+            aggs.append(
+                F.sum((F.col(f"v_{a}") * F.col(f"v_{b}")).cast(_DEC_SUM)).alias(
+                    f"s_{a}_{b}"
+                )
+            )
     moments = scaled.agg(*aggs)
 
     # corr(a,b) = (n·Σab − Σa·Σb) / sqrt((n·Σa² − Σa²)(n·Σb² − Σb²));
@@ -99,7 +132,7 @@ def _oracle_corr() -> str:
     for i, a in enumerate(CORR_COLS):
         for b in CORR_COLS[i:]:
             sums.append(f"SUM(v_{a} * v_{b}) AS s_{a}_{b}")
-    scaled = ", ".join(f"{_scaled_sql(c)} AS v_{c}" for c in CORR_COLS)
+    scaled = ", ".join(f"{_corr_scaled_sql(c)} AS v_{c}" for c in CORR_COLS)
 
     def corr_sql(a: str, b: str) -> str:
         n = "CAST(n AS DOUBLE)"

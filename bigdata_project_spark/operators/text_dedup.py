@@ -1733,6 +1733,69 @@ def append_batch_to_store(
     )
 
 
+def compact_sig_store(
+    spark: SparkSession,
+    hash_t: str,
+    band_t: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Periodic small-file compaction for the signature store — the
+    missing third verb of the append-per-batch lifecycle
+    (build → screen/append … → COMPACT → screen/append …).
+
+    :func:`append_batch_to_store` adds ``out_partitions`` files per
+    table per ingested batch, so after thousands of batches the store
+    scan is file-open-bound (the operational reality documented in
+    operators/compaction.py). This pass rewrites each store table into
+    ~``target_bytes`` files using the same sizing rule as
+    :func:`bigdata_project_spark.operators.compaction.compact_parquet`.
+
+    Shape: STAGE table then rewrite-back — Spark refuses to overwrite a
+    managed location it is simultaneously reading, so compact-in-place
+    must bounce through a stage table. NOT stage-then-RENAME: ALTER
+    TABLE RENAME on a partitioned datasource table moves the root
+    location but the catalog's per-partition locations keep pointing at
+    the old stage directories, silently dropping every partition's rows
+    (observed in-session: a post-rename screen classified exact dups as
+    near dups because the hash table read back empty). The second
+    rewrite is the price of plain-parquet catalog semantics; Delta/
+    Iceberg rewrite_data_files replaces the whole dance with one
+    transactional commit (the production twin — see the delta negative
+    probe in tools/delta_probe_result.json). The hash-prefix-partitioned
+    layout compacts to one file per ``hp`` partition via a
+    partition-keyed repartition; flat tables coalesce to the byte-sized
+    file count. Returns {table: n_output_files}. Screens against a
+    compacted store are byte-for-byte equivalent (asserted
+    append→compact→screen in tests/test_text_dedup_blocking.py)
+    because compaction only changes file boundaries, never rows."""
+    from bigdata_project_spark.operators.compaction import plan_compaction
+    from bigdata_project_spark.sources.sinks import (
+        drop_table_and_orphan_location,
+        replace_table,
+    )
+
+    out: dict[str, int] = {}
+    for t in (hash_t, band_t):
+        df = spark.table(t)
+        partitioned = "hp" in df.columns
+        n_out = plan_compaction(df, target_bytes)
+        stage = f"{t}__compact_stage"
+        drop_table_and_orphan_location(spark, stage)
+        if partitioned:
+            # complete hp groups per task → one compact file per
+            # partition directory
+            replace_table(df.repartition("hp"), stage, partition_by=["hp"])
+            drop_table_and_orphan_location(spark, t)
+            replace_table(spark.table(stage), t, partition_by=["hp"])
+        else:
+            replace_table(df.coalesce(n_out), stage)
+            drop_table_and_orphan_location(spark, t)
+            replace_table(spark.table(stage).coalesce(n_out), t)
+        drop_table_and_orphan_location(spark, stage)
+        out[t] = len(spark.table(t).inputFiles())
+    return out
+
+
 def _incremental_sig_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """The PRECOMPUTED signature store the incremental contract promises
     (r9 verdict item 3), built once per session+fixture over the

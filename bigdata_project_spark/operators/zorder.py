@@ -24,8 +24,6 @@ oracle-checked (ntile over a unique total order is deterministic).
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -101,12 +99,6 @@ def write_zordered(
     )
 
 
-# perf-only cache bookkeeping — see the eviction note inside
-# distributed_ntile; guarded by _CACHE_LOCK for concurrent builders
-_CACHE_LOCK = threading.Lock()
-_PREV_CACHES: list[DataFrame] = []
-
-
 def distributed_ntile(
     df: DataFrame,
     n_buckets: int,
@@ -148,53 +140,36 @@ def distributed_ntile(
     be unique overall (true here: it ends in the lineitem primary key);
     ties on the *leading* column are fine because equal leading values
     always land in the same range (uniform-width ranges only skew
-    parallelism under data skew, never correctness)."""
-    from pyspark import StorageLevel
+    parallelism under data skew, never correctness).
 
-    # Perf-only persist: the counts subtree and the rank subtree of the
-    # single returned plan both read the projection; caching makes that
-    # one evaluation. A long session calling rank decompositions
-    # repeatedly (the bench, the driver sweep) would accumulate one
-    # pinned projection per call until eviction pressure turns
-    # MEMORY_AND_DISK into disk churn (measured: 1.2 s cold → 4 s by
-    # the 4th call), so the previous call's cache is evicted on entry —
-    # at most one stale cache is ever live, and because correctness
-    # never depends on the cache (single-plan design above), evicting a
-    # not-yet-executed plan's cache merely recomputes it.
-    # Order matters: evict BEFORE persist. Spark's CacheManager keys
-    # entries by logical plan, and consecutive calls over the same
-    # source build IDENTICAL plans — persist-then-evict would no-op the
-    # persist against the previous entry and then remove that entry,
-    # leaving no cache at all (measured: 2.5 s → 13 s, the probe-side
-    # recompute fuses the full order-key expression into the join
-    # stage's pipeline and falls out of JIT compilation).
-    with _CACHE_LOCK:
-        while _PREV_CACHES:
-            _PREV_CACHES.pop().unpersist(blocking=False)
-        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-        _PREV_CACHES.append(cached)
+    NO persist of the projection (r12, reversing the r5/r6-era cache
+    lifecycle after a same-session A/B at sf0.1 measured the machinery
+    NET-NEGATIVE, tools/probe_corr_zorder_r12.json + probe_equidepth:
+    zorder 3.12 s with evict+persist+eager-count vs 1.28 s bare;
+    equidepth 2.93 vs 1.78 s). The counts subtree and the rank subtree
+    do re-evaluate the projection, but it is a column-pruned
+    codegen'd scan+project — cheaper to recompute than to write and
+    read back through the columnar cache, plus the eager
+    materialization job the cached variant needed to stop AQE's
+    concurrent build/probe stages from racing a cold cache. The same
+    holds at cluster scale: caching a data-sized projection costs
+    memory/disk write amplification across executors, while recompute
+    rides the scan it already pays. Correctness never depended on the
+    cache — the whole computation is ONE lazy plan over deterministic
+    row-functions (see above), which is also why the removal is purely
+    physical."""
     lead = order_cols[0]
     if lead_range is not None:
         lo, hi = lead_range
         span = max(hi - lo + 1, 1)
         pid: Column = F.expr(f"CAST((({lead} - {lo}) * {n_parts}) div {span} AS INT)")
-        # Eager warm-up: AQE submits the broadcast-build and probe-map
-        # stages CONCURRENTLY, and both scan this relation — on a cold
-        # cache they race and each recomputes the projection. One cheap
-        # codegen'd scan→project job here (the projection is
-        # column-pruned source + order-key expressions) materializes
-        # the columnar cache so both stages read it. Purely a perf aid:
-        # the plan below never depends on the cache for correctness
-        # (single-plan design). The quantile branch needs no extra job —
-        # approxQuantile below already materializes the cache.
-        cached.count()
     else:
         probs = [i / n_parts for i in range(1, n_parts)]
-        cuts = sorted(set(cached.stat.approxQuantile(lead, probs, 0.001)))
+        cuts = sorted(set(df.stat.approxQuantile(lead, probs, 0.001)))
         pid = F.lit(0)
         for c in cuts:
             pid = pid + (F.col(lead) > F.lit(c)).cast("int")
-    keyed = cached.withColumn("__pid", pid)
+    keyed = df.withColumn("__pid", pid)
     # per-range counts → exclusive cumsum + global total, all in-plan:
     # both windows run over the ≤n_parts-row count table
     counts = keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))

@@ -85,20 +85,29 @@ def _load() -> None:
     text_dup_spans, text_hashing_features, text_ngram_novelty,
     text_oov_rate, text_quality_linear, text_url_domains,
     ts_ewma_hourly, ts_gapfill_ffill, win_range_7d);
-    (3) 28 of the 49 r9-checked rows, stalest-first in prior file
-    order (silver_ine_empresas … multimodal_frame_sample).
-    1+21+28 = 50. No rule-(3) pulls: round-12 commits are
-    attribution/probe work, no checked query's plan changes. No
-    net-new: the reference surface is complete and the LLM-pipeline
-    surface saturated (r11 verdict item 6) — net-new must displace,
-    and nothing earns displacement this round.
+    (3) THREE rule-(3) pulls — round-12 commits change these checked
+    queries' physical plans (the r11 verdict's weak-list items 2/5,
+    fixed rather than attributed once the decomposition showed real
+    levers, tools/probe_corr_zorder_r12.json): feature_corr_matrix
+    (bigint-product lane replaces the decimal-product aggregate,
+    1.91 → 0.90 s at sf0.1), layout_zorder_extents and
+    feature_binning_equidepth (distributed_ntile drops its
+    evict+persist+eager-count cache lifecycle, measured net-negative:
+    3.12 → 1.28 s / 2.93 → 1.78 s);
+    (4) 25 of the 49 r9-checked rows, stalest-first in prior file
+    order (silver_ine_empresas … multimodal_binary_meta; the displaced
+    multimodal_dedup_binary/features/frame_sample move to the r13
+    head). 1+21+3+25 = 50. No net-new: the reference surface is
+    complete and the LLM-pipeline surface saturated (r11 verdict item
+    6) — net-new must displace, and nothing earns displacement this
+    round.
 
     Round 13 queue (pre-staged directly after slot 50): (1) the
-    remaining 21 r9-checked rows this window could not hold
-    (pipeline_domain_mixture … text_lang_id) — they reach the 4-round
-    ceiling at r13, so all 21 go first; (2) 29 of the 48 r10-checked
+    remaining 24 r9-checked rows this window could not hold
+    (multimodal_dedup_binary … text_lang_id) — they reach the 4-round
+    ceiling at r13, so all 24 go first; (2) 26 of the 48 r10-checked
     rows, stalest-first in file order (dedup_minhash_recall …
-    agg_small_qty_revenue); the remaining 19 r10 rows go to r14 with
+    agg_forecast_revenue); the remaining 22 r10 rows go to r14 with
     the r11 block (reaching, not exceeding, the ceiling). Any r12/r13
     commit that changes a checked query's behavior pulls it forward
     per rule (3).
@@ -283,7 +292,25 @@ def _load() -> None:
         _ew.query_win_range_7d,
         _ew.ORACLE_WIN_RANGE_7D,
     )
-    # ---- r12 window slots 23-50: 28 r9-checked rows, stalest- ------
+    # ---- r12 window slots 23-25 (rule 3): round-12 commits change ----
+    # ---- these plans (bigint corr lane; distributed_ntile drops its ----
+    # ---- net-negative persist lifecycle) -------------------------------
+    register(
+        "feature_corr_matrix",
+        stats.query_feature_corr_matrix,
+        stats.ORACLE_FEATURE_CORR_MATRIX,
+    )
+    register(
+        "layout_zorder_extents",
+        zorder.query_zorder_extents,
+        zorder.ORACLE_ZORDER_EXTENTS,
+    )
+    register(
+        "feature_binning_equidepth",
+        profiling.query_feature_binning_equidepth,
+        profiling.ORACLE_FEATURE_BINNING_EQUIDEPTH,
+    )
+    # ---- r12 window slots 26-50: 25 r9-checked rows, stalest- ------
     # ---- first in prior file order --------------------------------------
     register(
         "silver_ine_empresas", silver_ine.query_ine_empresas, silver_ine.ORACLE_INE_EMPRESAS
@@ -384,6 +411,9 @@ def _load() -> None:
         _ar.ORACLE_ASOF_FORWARD,
     )
     register("multimodal_binary_meta", binary_ops.query_binary_meta, binary_ops.ORACLE_BINARY_META)
+    # ---- r13 queue head: the remaining 24 r9-checked rows (they ----
+    # ---- reach the 4-round ceiling at r13; the first three were ------
+    # ---- displaced from the r12 window by the rule-3 pulls) ------------
     register(
         "multimodal_dedup_binary",
         binary_ops.query_multimodal_dedup_binary,
@@ -391,8 +421,6 @@ def _load() -> None:
     )
     register("multimodal_features", binary_ops.query_features, binary_ops.ORACLE_FEATURES)
     register("multimodal_frame_sample", binary_ops.query_frame_sample, binary_ops.ORACLE_FRAME_SAMPLE)
-    # ---- r13 queue head: the remaining 21 r9-checked rows (they ----
-    # ---- reach the 4-round ceiling at r13) ------------------------------
     register(
         "pipeline_domain_mixture",
         packing.query_domain_mixture,
@@ -705,16 +733,6 @@ def _load() -> None:
         graph.ORACLE_GRAPH_TRIANGLES,
     )
     register(
-        "layout_zorder_extents",
-        zorder.query_zorder_extents,
-        zorder.ORACLE_ZORDER_EXTENTS,
-    )
-    register(
-        "feature_binning_equidepth",
-        profiling.query_feature_binning_equidepth,
-        profiling.ORACLE_FEATURE_BINNING_EQUIDEPTH,
-    )
-    register(
         "stream_transitions",
         stream_stateful.query_stream_transitions,
         funnel.ORACLE_EVENTS_TRANSITIONS,
@@ -769,11 +787,6 @@ def _load() -> None:
         "events_transitions",
         funnel.query_events_transitions,
         funnel.ORACLE_EVENTS_TRANSITIONS,
-    )
-    register(
-        "feature_corr_matrix",
-        stats.query_feature_corr_matrix,
-        stats.ORACLE_FEATURE_CORR_MATRIX,
     )
     register(
         "layout_partition_pruning",

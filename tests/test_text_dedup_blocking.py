@@ -287,3 +287,70 @@ def test_incremental_store_hash_prefix_layout(spark, sf_dir):
     finally:
         for tbl in (flat_h, flat_b, part_h, part_b):
             drop_table_and_orphan_location(spark, tbl)
+
+
+def test_incremental_store_compaction(spark, sf_dir):
+    """append → COMPACT → screen (r11 verdict item 8): compaction must
+    shrink the store's file count after repeated appends and leave every
+    subsequent screen byte-identical — on both the flat and the
+    hash-prefix-partitioned layout."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.operators import text_dedup as td
+    from bigdata_project_spark.oracle_check import canonicalize
+    from bigdata_project_spark.sources.readers import load_table
+    from bigdata_project_spark.sources.sinks import drop_table_and_orphan_location
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = td._incremental_batch(spark, sf_dir)
+    for layout in (False, True):
+        hash_t, band_t = f"t_cmp_hash_{int(layout)}", f"t_cmp_band_{int(layout)}"
+        try:
+            td.build_sig_store(
+                spark, docs, hash_t, band_t, partition_by_hash_prefix=layout
+            )
+            out1 = td.screen_batch_against_store(
+                spark, docs, batch, hash_t, band_t
+            ).toPandas()
+            kept_ids = sorted(
+                int(i) for i in out1.loc[out1.verdict == "kept", "doc_id"]
+            )
+            assert kept_ids
+            kept1 = batch.filter(F.col("doc_id").isin(kept_ids))
+            # several small appends -> one file per table per append
+            for lo in range(0, len(kept_ids), max(1, len(kept_ids) // 3)):
+                chunk = kept_ids[lo : lo + max(1, len(kept_ids) // 3)]
+                td.append_batch_to_store(
+                    spark, kept1.filter(F.col("doc_id").isin(chunk)), hash_t, band_t
+                )
+            corpus2 = docs.unionByName(kept1)
+            resub = kept1.select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+            before = td.screen_batch_against_store(
+                spark, corpus2, resub, hash_t, band_t
+            ).toPandas()
+            files_before = {
+                t: len(spark.table(t).inputFiles()) for t in (hash_t, band_t)
+            }
+
+            td.compact_sig_store(spark, hash_t, band_t)
+
+            files_after = {
+                t: len(spark.table(t).inputFiles()) for t in (hash_t, band_t)
+            }
+            # the band table is flat in both layouts and MUST shrink to
+            # its byte-sized count (1 at fixture scale); the hash table
+            # shrinks unless the partitioned layout already had 1/file
+            assert files_after[band_t] < files_before[band_t]
+            assert files_after[hash_t] <= files_before[hash_t]
+            after = td.screen_batch_against_store(
+                spark, corpus2, resub, hash_t, band_t
+            ).toPandas()
+            assert canonicalize(before).equals(canonicalize(after))
+            # compaction must preserve the layout's partition pruning
+            if layout:
+                assert "hp" in spark.table(hash_t).columns
+        finally:
+            for tbl in (hash_t, band_t):
+                drop_table_and_orphan_location(spark, tbl)
