@@ -24,6 +24,8 @@ oracle-checked (ntile over a unique total order is deterministic).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -99,12 +101,19 @@ def write_zordered(
     )
 
 
+# perf-only cache bookkeeping for persist_projection=True — see the
+# lifecycle note inside distributed_ntile; guarded for concurrent builders
+_CACHE_LOCK = threading.Lock()
+_PREV_CACHES: list[DataFrame] = []
+
+
 def distributed_ntile(
     df: DataFrame,
     n_buckets: int,
     order_cols: list[str],
     n_parts: int = 32,
     lead_range: tuple[int, int] | None = None,
+    persist_projection: bool = False,
 ) -> DataFrame:
     """``ntile(n_buckets) OVER (ORDER BY order_cols)`` without the global
     single-task window.
@@ -142,27 +151,53 @@ def distributed_ntile(
     always land in the same range (uniform-width ranges only skew
     parallelism under data skew, never correctness).
 
-    NO persist of the projection (r12, reversing the r5/r6-era cache
-    lifecycle after a same-session A/B at sf0.1 measured the machinery
-    NET-NEGATIVE, tools/probe_corr_zorder_r12.json + probe_equidepth:
-    zorder 3.12 s with evict+persist+eager-count vs 1.28 s bare;
-    equidepth 2.93 vs 1.78 s). The counts subtree and the rank subtree
-    do re-evaluate the projection, but it is a column-pruned
-    codegen'd scan+project — cheaper to recompute than to write and
-    read back through the columnar cache, plus the eager
-    materialization job the cached variant needed to stop AQE's
-    concurrent build/probe stages from racing a cold cache. The same
-    holds at cluster scale: caching a data-sized projection costs
-    memory/disk write amplification across executors, while recompute
-    rides the scan it already pays. Correctness never depended on the
-    cache — the whole computation is ONE lazy plan over deterministic
-    row-functions (see above), which is also why the removal is purely
-    physical."""
+    ``persist_projection`` — the cache lifecycle is now a per-caller
+    knob, measured both ways in round 12 (both IN THE BENCH CONTEXT,
+    the 169-query session that decides — standalone probe sessions
+    mislead here, see below):
+
+    - **False (default)**: no persist. The counts subtree and the rank
+      subtree re-evaluate the projection — for a CHEAP projection that
+      beats one columnar-cache write + read-back + the eager
+      materialization job the cached variant needs to stop AQE's
+      concurrent build/probe stages from racing a cold cache.
+      feature_binning_equidepth (3 plain columns): 2.36 → 1.87 s in
+      the r12b bench column.
+    - **True**: evict-then-persist-then-eager-count, for projections
+      whose re-evaluation is NOT cheap. layout_zorder_extents' 64-term
+      Morton expression measured 1.28 s no-persist in a quiet probe
+      session but **11.6 s in the r12b bench session** — the r5-era
+      cliff where the fused scan→project→exchange stage's generated
+      method grows past the JIT compile limit and the giant expression
+      runs interpreted, per evaluation. The cache confines that risk
+      to ONE evaluation. Eviction order matters: CacheManager keys by
+      logical plan, and consecutive calls build IDENTICAL plans —
+      persist-then-evict would no-op the persist and then remove the
+      previous entry, leaving nothing (measured 2.5 → 13 s in r5).
+
+    Correctness never depends on the cache — the whole computation is
+    ONE lazy plan over deterministic row-functions (see above), so the
+    knob is purely physical."""
+    if persist_projection:
+        from pyspark import StorageLevel
+
+        with _CACHE_LOCK:
+            while _PREV_CACHES:
+                _PREV_CACHES.pop().unpersist(blocking=False)
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            _PREV_CACHES.append(df)
     lead = order_cols[0]
     if lead_range is not None:
         lo, hi = lead_range
         span = max(hi - lo + 1, 1)
         pid: Column = F.expr(f"CAST((({lead} - {lo}) * {n_parts}) div {span} AS INT)")
+        if persist_projection:
+            # eager warm-up: AQE submits the broadcast-build and
+            # probe-map stages concurrently; on a cold cache they race
+            # and each re-evaluates the projection — one cheap count
+            # materializes it for both. The quantile branch needs no
+            # extra job (approxQuantile materializes the cache).
+            df.count()
     else:
         probs = [i / n_parts for i in range(1, n_parts)]
         cuts = sorted(set(df.stat.approxQuantile(lead, probs, 0.001)))
@@ -233,6 +268,10 @@ def query_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
             N_BUCKETS,
             ["z", "l_orderkey", "l_linenumber"],
             lead_range=(0, 4**Z_BITS - 1),
+            # the 64-term Morton projection MUST be evaluated once —
+            # recomputation hit the JIT-size cliff (11.6 s) in the r12b
+            # bench; see the distributed_ntile lifecycle note
+            persist_projection=True,
         )
         .groupBy("bucket")
         .agg(

@@ -90,10 +90,12 @@ def _load() -> None:
     fixed rather than attributed once the decomposition showed real
     levers, tools/probe_corr_zorder_r12.json): feature_corr_matrix
     (bigint-product lane replaces the decimal-product aggregate,
-    1.91 → 0.90 s at sf0.1), layout_zorder_extents and
-    feature_binning_equidepth (distributed_ntile drops its
-    evict+persist+eager-count cache lifecycle, measured net-negative:
-    3.12 → 1.28 s / 2.93 → 1.78 s);
+    1.91 → 0.90 s at sf0.1; 1.90 → 1.06 bench-confirmed),
+    feature_binning_equidepth (its distributed_ntile call drops the
+    persist lifecycle, 2.36 → 1.87 s bench-confirmed) and
+    layout_zorder_extents (same knob, opposite setting: the Morton
+    projection KEEPS the persist guard after the no-persist variant
+    hit an 11.6 s JIT-cliff reading in the r12b bench column);
     (4) 25 of the 49 r9-checked rows, stalest-first in prior file
     order (silver_ine_empresas … multimodal_binary_meta; the displaced
     multimodal_dedup_binary/features/frame_sample move to the r13

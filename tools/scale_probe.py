@@ -81,6 +81,13 @@ PROBES = [
     # low-cardinality hash agg with two exact distincts over the
     # materialized overnights silver; growth must track the fact scan
     ("gold_overnights_seasonality", "gold_overnights_seasonality"),
+    # r12 additions: the three plans changed this round. The no-persist
+    # distributed_ntile re-evaluates its projection in the counts and
+    # rank subtrees — still two linear scans, which is the claim to
+    # verify; the corr bigint lane is ONE scan + ONE 15-column reduce.
+    ("zorder_ntile_extents", "layout_zorder_extents"),
+    ("equidepth_ntile", "feature_binning_equidepth"),
+    ("corr_matrix_moments", "feature_corr_matrix"),
 ]
 
 TABLES = [
@@ -193,6 +200,10 @@ def main() -> None:
         # silver_overnights derives from lineitem; the holiday dim is
         # month-cardinality by construction
         "gold_overnights_seasonality": "lineitem",
+        # r12: all three changed plans scan lineitem
+        "zorder_ntile_extents": "lineitem",
+        "equidepth_ntile": "lineitem",
+        "corr_matrix_moments": "lineitem",
     }
     for probe, name in PROBES:
         if args.only and probe not in args.only:
