@@ -124,6 +124,23 @@ def main() -> None:
 
     info = classify(pre, mid, post)
     info["ratio"] = round(spark["value"] / duck["value"], 2)
+    # code-identity provenance: which commit both halves measured (the
+    # BASELINE.md pair notes previously hand-wrote this; dirty = any
+    # uncommitted source change, so a dirty stamp means "not exactly
+    # this SHA")
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    dirty = bool(
+        subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no",
+             "--", "bigdata_project_spark", "bench.py", "__spark_entry__.py",
+             "tools/duckdb_bench.py"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    )
+    info["code"] = {"head": head, "source_dirty": dirty}
     spark["pair"] = info
     duck["pair"] = info
     sp = os.path.join(HERE, f"bench_detail_sf0.1_{pair}.json")
