@@ -56,8 +56,32 @@ WORD_HASH16_SQL = HEX16_TO_INT_SQL.format(h="md5({w})")
 
 
 def hex32_to_int(hex8: Column) -> Column:
-    """First-8-hex-chars → 32-bit int (Horner over hex digits; exact in
-    BIGINT/double arithmetic on both engines)."""
+    """First-8-hex-chars → 32-bit int.
+
+    Spark side: one ``conv(hex, 16, 10)`` — base conversion is a single
+    codegen'd builtin vs the 16 string ops (8× instr + 8× substring) of
+    the Horner fold this replaced (r12: the fold was the hot scalar in
+    every per-word/per-shingle hash, measured 1.14 → 0.71 s on the
+    sf0.1 simhash aggregate together with the shiftright bit extract).
+    The DuckDB oracle twin KEEPS the Horner form (``HEX32_TO_INT_SQL``
+    below — DuckDB has no ``conv``): the two forms are value-identical
+    on every valid hex-8 input (max ffffffff = 2³²−1, well inside
+    BIGINT; null propagates through both), pinned by
+    tests/test_text_dedup_blocking.py::test_hex32_conv_matches_horner
+    against the Horner fold evaluated in the same session.
+
+    The explicit substring keeps the contract FIRST-8-chars: the
+    Horner fold only ever read positions 1-8 and callers rely on that
+    (``word_hash32`` passes the full 32-char md5) — bare ``conv``
+    parses the whole string and overflows BIGINT under ANSI beyond 15
+    hex chars."""
+    return F.conv(F.substring(hex8, 1, 8), 16, 10).cast("bigint")
+
+
+def hex32_to_int_horner(hex8: Column) -> Column:
+    """The pre-r12 Horner fold, kept as the regression reference for
+    the conv fast path (and as the exact Spark-side mirror of
+    ``HEX32_TO_INT_SQL``)."""
     digits = "0123456789abcdef"
     acc: Column | None = None
     for i in range(8):

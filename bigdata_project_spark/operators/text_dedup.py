@@ -818,10 +818,17 @@ def simhash_column(docs: DataFrame) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
     ).withColumn("h", word_hash32(F.col("w")))
+    # bit extract via shiftright/AND — integer-lane, vs the floor(h/2^j)
+    # double-division form the oracle keeps (value-identical for the
+    # non-negative 32-bit h; the 32-term loop runs per WORD row, so the
+    # integer lane is the hot-path win — measured with the conv hash
+    # parse: 1.14 → 0.71 s on the sf0.1 aggregate)
     bit_sums = words.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when((F.floor(F.col("h") / (2**j)) % 2) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"b{j}")
             for j in range(SIMHASH_BITS)
         ]
@@ -945,8 +952,10 @@ def simhash_band_nibbles(
     )
 
     def _bit(j: int):
+        # integer-lane bit extract per WORD row (same win as
+        # simhash_column; the oracle keeps the floor/div form)
         h = F.col(f"h{j // 32}")
-        return (F.floor(h / (2 ** (j % 32))) % 2) == 1
+        return F.shiftright(h, j % 32).bitwiseAND(F.lit(1)) == 1
 
     bit_sums = words.groupBy("doc_id").agg(
         *[

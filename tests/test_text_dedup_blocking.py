@@ -354,3 +354,57 @@ def test_incremental_store_compaction(spark, sf_dir):
         finally:
             for tbl in (hash_t, band_t):
                 drop_table_and_orphan_location(spark, tbl)
+
+
+def test_hex32_conv_matches_horner(spark, sf_dir):
+    """The r12 conv fast path of hex32_to_int must be value-identical
+    to the Horner fold it replaced (which stays live as the DuckDB
+    oracle form, HEX32_TO_INT_SQL) — on real corpus tokens, every
+    8-char slice position of the md5, the FULL 32-char md5 (the
+    first-8 contract: bare conv would parse all 32 chars and overflow
+    under ANSI — the regression that caught the first cut of this
+    change), and the null edge."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.functions.text import (
+        hex32_to_int,
+        hex32_to_int_horner,
+        tokens,
+    )
+    from bigdata_project_spark.sources.readers import load_table
+
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .withColumn("md5", F.md5(F.encode(F.col("w"), "UTF-8")))
+    )
+    slices = words.select(
+        *[F.substring("md5", 1 + 8 * i, 8).alias(f"s{i}") for i in range(4)]
+    )
+    cmp = slices
+    for i in range(4):
+        cmp = cmp.withColumn(f"c{i}", hex32_to_int(F.col(f"s{i}"))).withColumn(
+            f"h{i}", hex32_to_int_horner(F.col(f"s{i}"))
+        )
+    bad = cmp.filter(
+        " OR ".join(f"(c{i} IS DISTINCT FROM h{i})" for i in range(4))
+    ).count()
+    assert bad == 0
+    # the first-8 contract on a LONGER-than-8 input (full 32-char md5)
+    bad_full = (
+        words.withColumn("c", hex32_to_int(F.col("md5")))
+        .withColumn("h", hex32_to_int_horner(F.col("md5")))
+        .filter("c IS DISTINCT FROM h")
+        .count()
+    )
+    assert bad_full == 0
+    # null propagates identically through both forms
+    row = (
+        spark.range(1)
+        .select(
+            hex32_to_int(F.lit(None).cast("string")).alias("c"),
+            hex32_to_int_horner(F.lit(None).cast("string")).alias("h"),
+        )
+        .collect()[0]
+    )
+    assert row.c is None and row.h is None
