@@ -114,6 +114,25 @@ def _load() -> None:
     commit that changes a checked query's behavior pulls it forward
     per rule (3).
 
+    Rule-3 scope note (late r12): the hex32_to_int conv swap +
+    simhash shiftright bit extract (functions/text.py,
+    operators/text_dedup.py) change the physical EXPRESSION inside
+    ~15 hash-consuming checked queries but are proven
+    value-identical — conv ≡ Horner pinned by
+    tests/test_text_dedup_blocking.py::test_hex32_conv_matches_horner
+    plus a full 169-query oracle sweep at the driver's own sf0.01 run
+    green on the exact commit. Behavior is unchanged, so rule (3)'s
+    behavior trigger does not fire and the staged window above stays
+    EXACTLY as the r11 queue wrote it (the r11 verdict's top item; the
+    ceiling math for the 21 r8 rows depends on it). Four affected
+    families still get fresh r12 driver rows through queries already
+    in-window (dedup_simhash slot 43, sketch_cms_topk 7,
+    text_hashing_features 15, text_source_overlap 30); the rest
+    (minhash family, bloom, clean_corpus, hll) re-expose on their
+    standing r13 schedule. Contrast with the three r12 pulls above,
+    which changed aggregation lanes / cache lifecycles — physical
+    BEHAVIOR a driver row should re-witness.
+
     DEMOTIONS (registration budget rule): emb_gram_matrix (r10) and
     text_source_overlap_bitmap (r11) both keep pytest-owned
     equivalence vs their production twins (tests/test_graph_funnel.py,
