@@ -100,7 +100,7 @@ def query_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = melted.groupBy("word").agg(F.bit_or("bit").alias("bits"))
 
     # hash DISTINCT fact keys, not fact rows: lineitem repeats each
-    # orderkey ~4x, so the md5+Horner work (the query's hot expression)
+    # orderkey ~4x, so the md5+hex-parse work (the query's hot expression)
     # runs on ~150k keys instead of ~600k rows at sf0.1 (MEASURED
     # 3.7 -> ~2 s); the per-key verdict flags then join back — a small
     # table AQE broadcasts. At 100 TB this is the standard
