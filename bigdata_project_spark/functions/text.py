@@ -74,7 +74,16 @@ def hex32_to_int(hex8: Column) -> Column:
     Horner fold only ever read positions 1-8 and callers rely on that
     (``word_hash32`` passes the full 32-char md5) — bare ``conv``
     parses the whole string and overflows BIGINT under ANSI beyond 15
-    hex chars."""
+    hex chars.
+
+    PRECONDITION (r12 advice): input must be ≥ 8 hex chars. Below 8
+    the two forms DIVERGE — Horner (and the unchanged DuckDB oracle
+    ``HEX32_TO_INT_SQL``) left-justifies, treating missing positions
+    as 0 ('ff' → 0xff000000), while conv right-justifies ('ff' → 255).
+    Every in-repo caller passes a 32-char md5 or an 8-char slice of
+    one; a new caller with shorter hex would silently drift from the
+    oracle. The boundary is pinned by test_hex32_conv_matches_horner
+    (≥8 chars match; 'ff' asserted to diverge exactly as above)."""
     return F.conv(F.substring(hex8, 1, 8), 16, 10).cast("bigint")
 
 

@@ -1844,16 +1844,23 @@ def screen_batch_against_store(
     batch's kept docs) — it is scanned via a candidate semi-join, never
     shingled whole.
 
-    DETERMINISM REQUIREMENT on ``batch``: when the store is
-    hash-prefix partitioned, the batch's distinct prefixes are
-    collected once at plan-construction time to prune the store scan,
-    and the batch lineage is then RE-evaluated inside the join. A
-    non-deterministic batch (e.g. built on ``rand()`` or an
-    uncheckpointed sample) could re-evaluate to hashes whose prefixes
-    were not in the collected list and silently classify exact dups as
-    kept. Pass a deterministic DataFrame (a table read, or a
-    ``.localCheckpoint()`` of anything else); every in-repo caller is
-    a parquet/table read or the deterministic fixture batch.
+    DETERMINISM (r12 verdict item 2, enforced here rather than by
+    caller contract): when the store is hash-prefix partitioned, the
+    batch's distinct prefixes are collected once to prune the store
+    scan, and the batch rows are then joined — if the batch lineage
+    re-evaluated between those two uses, a non-deterministic batch
+    (``rand()``-salted, an unseeded sample) could re-evaluate to hashes
+    whose prefixes were not in the collected list and silently classify
+    exact dups as kept. So on the pruned path the hashed batch is
+    ``localCheckpoint``-ed BEFORE the prefix collect: the collect and
+    every downstream join read the same materialized partitions, one
+    evaluation by construction (tests/test_text_dedup_blocking.py::
+    test_screen_nondeterministic_batch_hp fails without this). The
+    checkpoint is ~free — the prefix collect triggers a job on the
+    batch either way, and the batch side is tiny by the screen's own
+    asymmetric contract. The flat (unpartitioned) layout does no
+    plan-time collect, so it keeps plain lazy lineage and the standard
+    Spark caveat on non-deterministic sources applies there.
 
     Verdict per new doc:
 
@@ -1891,7 +1898,10 @@ def screen_batch_against_store(
         # the prefixes this batch touches (bounded collect: ≤ min(batch
         # size, 256) two-char strings) — at corpus scale this is the
         # difference between reading the whole hash store and reading
-        # the few partitions a batch can possibly collide with
+        # the few partitions a batch can possibly collide with.
+        # Materialize FIRST so the collected prefixes and the joined
+        # rows come from one evaluation (see determinism note above).
+        new_hashed = new_hashed.localCheckpoint(eager=True)
         prefixes = [
             r[0]
             for r in _with_hash_prefix(new_hashed.select("content_hash"))

@@ -33,6 +33,85 @@ _ORACLES: dict[str, str] = {}
 _ORACLE_BUILDERS: dict[str, OracleBuilder] = {}
 
 
+# The driver-checked window for THIS round: these 50 names are moved,
+# in this order, to registration slots 1-50 by _apply_window() at the
+# end of _load(). See _load.__doc__ for the rotation rationale; the
+# assert in _apply_window guarantees a typo here fails every test
+# session rather than silently shrinking the window.
+_R13_WINDOW: list[str] = [
+    # (1) the 24 r9-checked rows at their 4-round ceiling, file order
+    "multimodal_dedup_binary",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "pipeline_domain_mixture",
+    "pipeline_sample_stratified",
+    "pipeline_train_val_split",
+    "profile_columns",
+    "scd2_event_type",
+    "silver_distances",
+    "silver_ine_renta",
+    "silver_overnights",
+    "silver_people_day",
+    "silver_zones",
+    "silver_zones_wkt",
+    "sim_ann_lsh_buckets",
+    "sim_cosine_topk",
+    "sim_neardup_pairs",
+    "spatial_point_in_zone",
+    "text_bigram_lm",
+    "text_bpe_encode",
+    "text_bpe_merges",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_lang_id",
+    # (2) rule-3 pull: r13 changes the screen's physical evaluation
+    "dedup_incremental_lsh",
+    # (3) 25 stalest r10-checked rows, CORRECTNESS_r10.json order
+    "dedup_minhash_recall",
+    "pipeline_pack_masked",
+    "sim_knn_join",
+    "sketch_hll_rollup",
+    "pipeline_shard_manifest",
+    "stream_hll_users",
+    "join_bloom_prefilter",
+    "pipeline_mixture_temperature",
+    "text_inverted_index",
+    "stream_static_enrich",
+    "ts_ohlc_hourly",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition",
+    "text_tfidf",
+    "text_token_stats",
+    "text_vocab_topk",
+    "sim_ann_recall_at_k",
+    "dedup_fuzzy_lev",
+    "agg_best_supplier",
+    "agg_bracket_revenue",
+    "agg_customer_distribution",
+    "agg_dominant_suppliers",
+    "agg_dormant_customers",
+    "agg_forecast_revenue",
+]
+
+
+def _apply_window(window: list[str]) -> None:
+    """Move ``window`` to registration slots 1-50 (driver-checked),
+    preserving relative order of everything else. Replaces physical
+    reordering of register() blocks: one reviewed list per round, and
+    an unknown/duplicate name is a hard error at import time."""
+    missing = [n for n in window if n not in _QUERIES]
+    if missing or len(set(window)) != len(window):
+        raise AssertionError(
+            f"window names missing={missing} or duplicated; refusing to rotate"
+        )
+    head = set(window)
+    ordered = [*window, *(n for n in _QUERIES if n not in head)]
+    reordered = {n: _QUERIES[n] for n in ordered}
+    _QUERIES.clear()
+    _QUERIES.update(reordered)
+
+
 def register(
     name: str,
     fn: QueryFn,
@@ -70,49 +149,38 @@ def _load() -> None:
     coverage — e.g. emb_gram_matrix, demoted round 10, its equivalence
     vs emb_gram_blas owned by tests/test_graph_funnel.py).
 
-    Round 12 window, exactly as pre-staged by the round-11 queue
-    (CORRECTNESS_r11.json confirmed all 50 r11 slots green, so the
-    queue advances unchanged; the r11 verdict's top-next item is this
-    rotation executed verbatim):
-    (1) gold_overnights_seasonality — the one registered query with no
-    driver row ever (the r11 net-new, third gold rollup), rule (1)
-    puts it first;
-    (2) the 21 r8-checked rows at their 4-round hard ceiling
-    (ml_group_ols, pipeline_chunk_docs, pipeline_domain_reweight,
-    pipeline_pack_sequences, pipeline_quality_funnel, sketch_cms_topk,
-    source_orc_roundtrip, source_text_logs, stream_interval_join,
-    stream_sessionize, stream_tumbling, text_bigram_perplexity,
-    text_dup_spans, text_hashing_features, text_ngram_novelty,
-    text_oov_rate, text_quality_linear, text_url_domains,
-    ts_ewma_hourly, ts_gapfill_ffill, win_range_7d);
-    (3) THREE rule-(3) pulls — round-12 commits change these checked
-    queries' physical plans (the r11 verdict's weak-list items 2/5,
-    fixed rather than attributed once the decomposition showed real
-    levers, tools/probe_corr_zorder_r12.json): feature_corr_matrix
-    (bigint-product lane replaces the decimal-product aggregate,
-    1.91 → 0.90 s at sf0.1; 1.90 → 1.06 bench-confirmed),
-    feature_binning_equidepth (its distributed_ntile call drops the
-    persist lifecycle, 2.36 → 1.87 s bench-confirmed) and
-    layout_zorder_extents (same knob, opposite setting: the Morton
-    projection KEEPS the persist guard after the no-persist variant
-    hit an 11.6 s JIT-cliff reading in the r12b bench column);
-    (4) 25 of the 49 r9-checked rows, stalest-first in prior file
-    order (silver_ine_empresas … multimodal_binary_meta; the displaced
-    multimodal_dedup_binary/features/frame_sample move to the r13
-    head). 1+21+3+25 = 50. No net-new: the reference surface is
-    complete and the LLM-pipeline surface saturated (r11 verdict item
-    6) — net-new must displace, and nothing earns displacement this
-    round.
+    Round 13 window (``_R13_WINDOW`` below — from r13 the window is an
+    explicit reviewed LIST applied by ``_apply_window`` after all
+    registrations, replacing the r6-r12 practice of physically
+    reordering ~100 register() blocks each round; the literal register
+    order below is frozen at its r12 state and no longer meaningful).
+    Exactly as pre-staged by the r12 queue (CORRECTNESS_r12.json: all
+    50 r12 slots green, so the queue advances unchanged; the r12
+    verdict's top-next item is this rotation executed verbatim):
+    (1) the 24 r9-checked rows at their 4-round hard ceiling, in file
+    order (multimodal_dedup_binary … text_lang_id) — slots 1-24;
+    (2) ONE rule-(3) pull — dedup_incremental_lsh: the r13 commits
+    change screen_batch_against_store's physical behavior (the hashed
+    batch is now localCheckpoint-ed before the hash-prefix prune
+    collect, r12 verdict item 2 — a lineage/evaluation change of the
+    same kind as the r12 persist-lifecycle pulls) — slot 25;
+    (3) 25 of the 48 r10-checked rows, stalest-first in
+    CORRECTNESS_r10.json file order (dedup_minhash_recall …
+    agg_forecast_revenue) — slots 26-50. 24+1+25 = 50. (The r12 queue
+    wrote "26 r10 rows" with the same endpoints, which span 25 names —
+    the rule-3 pull takes the freed slot, so the staged endpoints are
+    honored exactly.) No net-new: the reference surface is complete
+    and the LLM-pipeline surface saturated; net-new must displace, and
+    nothing earns displacement this round.
 
-    Round 13 queue (pre-staged directly after slot 50): (1) the
-    remaining 24 r9-checked rows this window could not hold
-    (multimodal_dedup_binary … text_lang_id) — they reach the 4-round
-    ceiling at r13, so all 24 go first; (2) 26 of the 48 r10-checked
-    rows, stalest-first in file order (dedup_minhash_recall …
-    agg_forecast_revenue); the remaining 22 r10 rows go to r14 with
-    the r11 block (reaching, not exceeding, the ceiling). Any r12/r13
-    commit that changes a checked query's behavior pulls it forward
-    per rule (3).
+    Round 14 queue (pre-staged directly after slot 50): (1) the
+    remaining 23 r10-checked rows (agg_late_by_class …
+    join_interval_clicks in CORRECTNESS_r10.json order) — they reach
+    the 4-round ceiling at r14, so all 23 go first; (2) 27 of the 47
+    r11-checked rows, stalest-first in CORRECTNESS_r11.json order; the
+    remaining 20 r11 rows go to r15 with the stalest r12 block
+    (reaching, not exceeding, the ceiling). Any r13/r14 commit that
+    changes a checked query's behavior pulls it forward per rule (3).
 
     Rule-3 scope note (late r12): the hex32_to_int conv swap +
     simhash shiftright bit extract (functions/text.py,
@@ -120,8 +188,13 @@ def _load() -> None:
     ~15 hash-consuming checked queries but are proven
     value-identical — conv ≡ Horner pinned by
     tests/test_text_dedup_blocking.py::test_hex32_conv_matches_horner
-    plus a full 169-query oracle sweep at the driver's own sf0.01 run
-    green on the exact commit. Behavior is unchanged, so rule (3)'s
+    plus a full 169-query oracle sweep at the driver's own sf0.01.
+    In-tree evidence (r12 advice item 4): the driver's own
+    CORRECTNESS_r12.json is committed at the r12 close (50/50 green,
+    incl. 4 hash-consuming rows), and the full-registry sweep is
+    re-run and committed each round since as
+    tools/oracle_sweep_sf0.01_r13.txt. Behavior is unchanged, so rule
+    (3)'s
     behavior trigger does not fire and the staged window above stays
     EXACTLY as the r11 queue wrote it (the r11 verdict's top item; the
     ceiling math for the 21 r8 rows depends on it). Four affected
@@ -815,6 +888,7 @@ def _load() -> None:
         layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
     )
 
+    _apply_window(_R13_WINDOW)
 
 
 def queries() -> dict[str, QueryFn]:

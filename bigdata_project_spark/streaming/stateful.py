@@ -191,7 +191,9 @@ HLL_STATE_SCHEMA = T.StructType(
 def _hll_rho32(uid: int, m: int) -> tuple[int, int]:
     """(register, rho) from the portable md5-derived 32-bit hash — the
     EXACT Python twin of the relational form in operators/sketches.py
-    (int(hexdigest[:8], 16) IS the Horner fold hex32_to_int computes)."""
+    (int(hexdigest[:8], 16) IS the value hex32_to_int computes: conv
+    on the Spark side since r12, the Horner fold in the DuckDB
+    oracle — all three parse the same first 8 hex chars)."""
     import hashlib
 
     h = int(hashlib.md5(str(uid).encode("utf-8")).hexdigest()[:8], 16)

@@ -22,3 +22,14 @@ def test_queries_and_oracles_align(spark):
     os_ = entry_mod.oracle_sql()
     assert qs, "no queries registered"
     assert set(os_) <= set(qs), "oracle without a query"
+
+
+def test_r13_window_occupies_first_50_slots():
+    """The driver checks the FIRST 50 registered queries; the rotation
+    contract (registry._load.__doc__) says slots 1-50 are exactly
+    _R13_WINDOW in order, with no other registration lost."""
+    from bigdata_project_spark import registry
+
+    names = list(registry.queries())
+    assert names[:50] == registry._R13_WINDOW
+    assert len(names) == len(set(names)) == 169

@@ -320,8 +320,15 @@ def test_incremental_store_compaction(spark, sf_dir):
             # several small appends -> one file per table per append
             for lo in range(0, len(kept_ids), max(1, len(kept_ids) // 3)):
                 chunk = kept_ids[lo : lo + max(1, len(kept_ids) // 3)]
+                # out_partitions=2 exercises the production multi-file
+                # append path (r12 verdict item 3: equivalence must
+                # hold at >1 partition, not just the fixture default 1)
                 td.append_batch_to_store(
-                    spark, kept1.filter(F.col("doc_id").isin(chunk)), hash_t, band_t
+                    spark,
+                    kept1.filter(F.col("doc_id").isin(chunk)),
+                    hash_t,
+                    band_t,
+                    out_partitions=2,
                 )
             corpus2 = docs.unionByName(kept1)
             resub = kept1.select(
@@ -354,6 +361,53 @@ def test_incremental_store_compaction(spark, sf_dir):
         finally:
             for tbl in (hash_t, band_t):
                 drop_table_and_orphan_location(spark, tbl)
+
+
+def test_screen_nondeterministic_batch_hp(spark, sf_dir):
+    """r12 verdict item 2: the hash-prefix-pruned screen must evaluate
+    the batch exactly ONCE. A genuinely non-deterministic batch (a
+    nondeterministic-UDF row filter that re-selects a different subset
+    on every evaluation) of texts that ALL exist in the store must
+    still come back 100% exact_dup. Before screen_batch_against_store
+    localCheckpoint-ed the hashed batch ahead of the prefix collect,
+    the collect and the join saw two different evaluations, and stored
+    exact dups whose re-evaluated hash prefix was not in the collected
+    prune list leaked through as 'kept' (this test failed on that
+    code with ~certainty at fixture scale: ~half the re-drawn rows
+    land in unpruned-away prefixes)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.operators import text_dedup as td
+    from bigdata_project_spark.sources.readers import load_table
+    from bigdata_project_spark.sources.sinks import drop_table_and_orphan_location
+
+    hash_t, band_t = "t_nondet_hash", "t_nondet_band"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # per-row Python UDF is deliberate HERE (test-only adversary, never
+    # the package): unlike rand(), whose seed is fixed at analysis time,
+    # an asNondeterministic() UDF re-draws on every plan evaluation —
+    # the exact failure mode the checkpoint guards against.
+    flaky = F.udf(
+        lambda: __import__("random").random(), "double"
+    ).asNondeterministic()
+    batch = (
+        docs.select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+        .filter(flaky() < 0.5)
+    )
+    try:
+        td.build_sig_store(
+            spark, docs, hash_t, band_t, partition_by_hash_prefix=True
+        )
+        out = td.screen_batch_against_store(
+            spark, docs, batch, hash_t, band_t
+        ).toPandas()
+        assert not out.empty
+        assert set(out.verdict) == {"exact_dup"}, (
+            out.verdict.value_counts().to_dict()
+        )
+    finally:
+        for tbl in (hash_t, band_t):
+            drop_table_and_orphan_location(spark, tbl)
 
 
 def test_hex32_conv_matches_horner(spark, sf_dir):
@@ -408,3 +462,18 @@ def test_hex32_conv_matches_horner(spark, sf_dir):
         .collect()[0]
     )
     assert row.c is None and row.h is None
+    # the ≥8-char PRECONDITION boundary (r12 advice): below 8 chars the
+    # forms diverge by design — Horner left-justifies (missing
+    # positions read as 0), conv right-justifies. Pin the exact shape
+    # so a future short-hex caller trips here, not in a silent oracle
+    # hash mismatch.
+    short = (
+        spark.range(1)
+        .select(
+            hex32_to_int(F.lit("ff")).alias("c"),
+            hex32_to_int_horner(F.lit("ff")).alias("h"),
+        )
+        .collect()[0]
+    )
+    assert short.c == 0xFF
+    assert short.h == 0xFF000000

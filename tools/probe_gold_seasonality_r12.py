@@ -130,12 +130,20 @@ def main() -> None:
         )
         n_rows = F.sum("cnt").alias("n_rows")
         sum_people = F.sum("sp").cast("double")
+        # n_routes must skip NULL route keys to match variant A's
+        # count_distinct(a, b) semantics (which drops tuples containing
+        # any NULL) regardless of the fixture's null coverage — a bare
+        # count(1) over pre-agg groups would include NULL-keyed groups
+        # (r12 advice item 3)
+        route_nonnull = F.col("overnight_zone").isNotNull() & F.col(
+            "residence_zone"
+        ).isNotNull()
         return (
             pre.groupBy("zone_level", "month", "is_weekend", "is_holiday")
             .agg(
                 n_rows,
                 F.count_distinct("overnight_zone").alias("n_zones"),
-                F.count(F.lit(1)).alias("n_routes"),
+                F.count(F.when(route_nonnull, 1)).alias("n_routes"),
                 round_portable(sum_people, 2).alias("sum_people"),
                 round_portable(sum_people / F.sum("cnt"), 6).alias("avg_people"),
             )
@@ -148,6 +156,50 @@ def main() -> None:
     a = {tuple(r) for r in agg_expand()}
     b = {tuple(r) for r in agg_preagg()}
     results["variants_equal"] = a == b
+
+    # distinct-cost isolation ladder (r12 advice: these stages produced
+    # the committed artifact's isolation_* keys but lived only in a
+    # session scratch — now emitted by the script itself so re-running
+    # reproduces every committed key): same enriched input + group
+    # keys, aggregate set varied one distinct at a time, plus the
+    # decimal-vs-double sum lane on the full two-distinct shape.
+    def isolation(n_distinct: int, decimal_sum: bool):
+        sp = F.sum(
+            F.col("people").cast(_DEC) if decimal_sum else F.col("people").cast("double")
+        ).cast("double")
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            round_portable(sp, 2).alias("sum_people"),
+            round_portable(sp / F.count(F.lit(1)), 6).alias("avg_people"),
+        ]
+        if n_distinct >= 1:
+            aggs.insert(1, F.count_distinct("overnight_zone").alias("n_zones"))
+        if n_distinct >= 2:
+            aggs.insert(
+                2,
+                F.count_distinct("overnight_zone", "residence_zone").alias(
+                    "n_routes"
+                ),
+            )
+        grouped = enrich().groupBy(
+            "zone_level",
+            F.substring("date", 1, 7).alias("month"),
+            "is_weekend",
+            "is_holiday",
+        )
+        return lambda: grouped.agg(*aggs).collect()
+
+    results["isolation_no_distinct"] = timed(isolation(0, True))
+    results["isolation_one_distinct"] = timed(isolation(1, True))
+    results["isolation_two_distinct_decimal"] = timed(isolation(2, True))
+    results["isolation_two_distinct_double_sum"] = timed(isolation(2, False))
+    results["silver_rows"] = ov.count()
+    results["note"] = (
+        "quiet-hour medians of 5 after warm-up; cost is the exact "
+        "multi-distinct (each distinct group adds ~0.5-0.9 s over the "
+        "silver rows); pre-agg rewrite measured equal-or-slower; "
+        "decimal sum keeps rounding parity for ~0.26 s"
+    )
 
     print(json.dumps(results, indent=2))
     with open(os.path.join(os.path.dirname(__file__), "probe_gold_seasonality_r12.json"), "w") as f:
