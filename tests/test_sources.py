@@ -61,6 +61,75 @@ def test_stage_urls_to_engine(spark, csv_files, tmp_path):
     assert {r["origen"] for r in df.collect()} == {"A01", "A02", "B01"}
 
 
+def test_mitma_feed_listing(spark, tmp_path):
+    """The RSS listing parse (reference bronze/utils.py:226-315, the
+    last unported surface per the r12 verdict): dataset/zone/date
+    filtering, case-insensitive GAU match, dedup of the feed's repeated
+    entries, date-ascending order, and validation errors — then the
+    emitted URLs flow through the EXISTING stage_urls → all-string scan
+    path end-to-end via file:// (no network)."""
+    import gzip as _gzip
+
+    from bigdata_project_spark.sources.readers import stage_urls
+    from bigdata_project_spark.sources.staging import mitma_feed_urls
+
+    base = "https://movilidad-opendata.mitma.es/estudios_basicos"
+    u = lambda z, p, d, n: f"{base}/por-{z}/{p}/ficheros-diarios/{d[:4]}-{d[4:6]}/{d}_{n}.csv.gz"  # noqa: E731
+    feed = "\n".join(
+        [
+            f"<item><link>{u('distritos', 'viajes', '20220301', 'Viajes_distritos')}</link></item>",
+            # duplicate entry — feeds repeat items
+            f"<item><link>{u('distritos', 'viajes', '20220301', 'Viajes_distritos')}</link></item>",
+            f"<item><link>{u('distritos', 'viajes', '20220303', 'Viajes_distritos')}</link></item>",
+            # out of range
+            f"<item><link>{u('distritos', 'viajes', '20220401', 'Viajes_distritos')}</link></item>",
+            # other dataset / other zone — must not match
+            f"<item><link>{u('distritos', 'personas', '20220302', 'Personas_dia_distritos')}</link></item>",
+            f"<item><link>{u('municipios', 'viajes', '20220302', 'Viajes_municipios')}</link></item>",
+            # GAU with the reference's mixed casing
+            f"<item><link>{u('GAU', 'viajes', '20220302', 'Viajes_GAU')}</link></item>",
+        ]
+    )
+    got = mitma_feed_urls(feed, "od", "distritos", "2022-03-01", "2022-03-31")
+    assert got == [
+        u("distritos", "viajes", "20220301", "Viajes_distritos"),
+        u("distritos", "viajes", "20220303", "Viajes_distritos"),
+    ]
+    assert mitma_feed_urls(feed, "od", "gau", "2022-03-01", "2022-03-31") == [
+        u("GAU", "viajes", "20220302", "Viajes_GAU")
+    ]
+    assert mitma_feed_urls(feed, "people_day", "distritos", "2022-03-02", "2022-03-02") == [
+        u("distritos", "personas", "20220302", "Personas_dia_distritos")
+    ]
+    with pytest.raises(ValueError):
+        mitma_feed_urls(feed, "nope", "distritos", "2022-03-01", "2022-03-31")
+    with pytest.raises(ValueError):
+        mitma_feed_urls(feed, "od", "nope", "2022-03-01", "2022-03-31")
+
+    # end-to-end: a local mirror in the reference's path shape, listed
+    # from a file:// feed, staged via the existing pooled download, and
+    # scanned all-string (operator S1) — no network involved
+    shaped = (
+        tmp_path
+        / "mirror/estudios_basicos/por-distritos/viajes/ficheros-diarios/2022-03"
+    )
+    shaped.mkdir(parents=True)
+    local_items = []
+    for d in ("20220301", "20220303"):
+        p = shaped / f"{d}_Viajes_distritos.csv.gz"
+        with _gzip.open(p, "wt") as f:
+            f.write(f"fecha|origen|viajes\n{d}|A01|5\n")
+        local_items.append(f"<item><link>file://{p}</link></item>")
+    local_urls = mitma_feed_urls(
+        "\n".join(local_items), "od", "distritos", "2022-03-01", "2022-03-31"
+    )
+    assert len(local_urls) == 2 and all(x.startswith("file://") for x in local_urls)
+    staged = stage_urls(local_urls, str(tmp_path / "staged"))
+    df = read_csv_all_string(spark, staged, sep="|")
+    assert df.count() == 2
+    assert {r["fecha"] for r in df.collect()} == {"20220301", "20220303"}
+
+
 def test_json_array_nested_inference(spark, tmp_path):
     payload = [
         {"COD": "1", "Nombre": "Uno. Seg", "Data": [{"Fecha": 1648771200000, "Valor": 1.5}]},
