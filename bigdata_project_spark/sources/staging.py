@@ -88,6 +88,44 @@ def mitma_feed_urls(
     return [u for u, _ in sorted(seen.items(), key=lambda kv: (kv[1], kv[0]))]
 
 
+def mitma_zoning_urls(feed_text: str, zone_type: str) -> dict:
+    """Filter a MITMA RSS feed's text down to one zone type's STATIC
+    zoning files — behavior parity with reference
+    bronze/utils.py:464-531 (``get_mitma_zoning_urls``): the shapefile
+    component URLs (.shp/.shx/.dbf/.prj under
+    ``/zonificacion/zonificacion_<Zone>/``, GAU folder uppercase) plus
+    the two auxiliary CSVs (``nombres_<suffix>.csv`` /
+    ``poblacion_<suffix>.csv``, where the GAU file suffix is ``gaus``),
+    case-insensitive and deduped, shapefile components sorted.
+
+    Returns ``{"shp_components": [...], "nombres": url|None,
+    "poblacion": url|None}`` — empty dict when the feed has rotated
+    the zoning entries out, exactly like the reference. Pure function
+    (caller supplies the feed text); pair with :func:`fetch_feed` for
+    the live feed."""
+    if zone_type not in _ZONE_TYPES:
+        raise ValueError(f"zone_type must be one of {_ZONE_TYPES}, got {zone_type!r}")
+    folder = "GAU" if zone_type == "gau" else zone_type
+    suffix = "gaus" if zone_type == "gau" else zone_type
+    url_prefix = r'((?:https?|file)://[^\s"<>]*/zonificacion/zonificacion_'
+    shp_pat = re.compile(
+        url_prefix + folder + r'/[^"<>]+\.(?:shp|shx|dbf|prj))', re.IGNORECASE
+    )
+    csv_pat = re.compile(
+        url_prefix + folder + r"/(?:nombres|poblacion)_" + suffix + r"\.csv)",
+        re.IGNORECASE,
+    )
+    shp = sorted(set(shp_pat.findall(feed_text)))
+    csvs = sorted(set(csv_pat.findall(feed_text)))
+    if not shp and not csvs:
+        return {}
+    return {
+        "shp_components": shp,
+        "nombres": next((u for u in csvs if "nombres" in u.lower()), None),
+        "poblacion": next((u for u in csvs if "poblacion" in u.lower()), None),
+    }
+
+
 def fetch_feed(
     url: str = "https://movilidad-opendata.mitma.es/RSS.xml",
     user_agent: str = "bigdata-project-spark-staging",

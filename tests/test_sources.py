@@ -130,6 +130,43 @@ def test_mitma_feed_listing(spark, tmp_path):
     assert {r["fecha"] for r in df.collect()} == {"20220301", "20220303"}
 
 
+def test_mitma_zoning_listing():
+    """The static-zoning listing parse (reference bronze/utils.py:
+    464-531): shapefile components + the two auxiliary CSVs per zone
+    type, GAU folder-vs-file-suffix asymmetry (folder GAU, file
+    gaus), dedup, and the empty-dict rotated-out signal."""
+    from bigdata_project_spark.sources.staging import mitma_zoning_urls
+
+    base = "https://movilidad-opendata.mitma.es/zonificacion"
+    feed = "\n".join(
+        [
+            f"<link>{base}/zonificacion_distritos/zonificacion_distritos.{e}</link>"
+            for e in ("shp", "shx", "dbf", "prj")
+        ]
+        + [
+            # duplicate shapefile entry
+            f"<link>{base}/zonificacion_distritos/zonificacion_distritos.shp</link>",
+            f"<link>{base}/zonificacion_distritos/nombres_distritos.csv</link>",
+            f"<link>{base}/zonificacion_distritos/poblacion_distritos.csv</link>",
+            f"<link>{base}/zonificacion_GAU/zonificacion_gau.shp</link>",
+            f"<link>{base}/zonificacion_GAU/nombres_gaus.csv</link>",
+            # wrong-suffix csv must NOT match gau
+            f"<link>{base}/zonificacion_GAU/nombres_gau.csv</link>",
+        ]
+    )
+    d = mitma_zoning_urls(feed, "distritos")
+    assert len(d["shp_components"]) == 4  # deduped, one per extension
+    assert d["nombres"].endswith("nombres_distritos.csv")
+    assert d["poblacion"].endswith("poblacion_distritos.csv")
+    g = mitma_zoning_urls(feed, "gau")
+    assert g["shp_components"] == [f"{base}/zonificacion_GAU/zonificacion_gau.shp"]
+    assert g["nombres"].endswith("nombres_gaus.csv")
+    assert g["poblacion"] is None
+    assert mitma_zoning_urls("<rss/>", "distritos") == {}
+    with pytest.raises(ValueError):
+        mitma_zoning_urls(feed, "nope")
+
+
 def test_json_array_nested_inference(spark, tmp_path):
     payload = [
         {"COD": "1", "Nombre": "Uno. Seg", "Data": [{"Fecha": 1648771200000, "Valor": 1.5}]},
