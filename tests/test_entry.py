@@ -33,3 +33,35 @@ def test_r13_window_occupies_first_50_slots():
     names = list(registry.queries())
     assert names[:50] == registry._R13_WINDOW
     assert len(names) == len(set(names)) == 169
+
+
+def test_rotation_ceiling_math():
+    """Codify the rotation policy's 4-round hard ceiling against the
+    committed driver artifacts: given the CORRECTNESS files through
+    round 12 (pinned — NOT a glob, so a driver-written r13 file can't
+    flip this test mid-round), every registered query must either have
+    a green driver row at most 3 rounds old or sit inside the current
+    window (where the next driver run gives it one). Each round's
+    rotation updates the pinned range and window name together — a
+    future window that strands a ceiling-bound query fails here
+    instead of silently shipping a coverage regression."""
+    import json
+
+    from bigdata_project_spark import registry
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    last: dict[str, int] = {}
+    for r in range(1, 13):  # pinned: artifacts that existed at r13 rotation
+        fname = f"CORRECTNESS_r{r:02d}.json" if r < 10 else f"CORRECTNESS_r{r}.json"
+        for q in json.load(open(os.path.join(root, fname))):
+            last[q] = r
+    latest = 12
+    window = set(registry._R13_WINDOW)
+    stranded = [
+        q
+        for q in registry.queries()
+        if last.get(q, 0) < latest - 2 and q not in window
+    ]
+    assert not stranded, (
+        f"queries past the 4-round ceiling and not in the window: {stranded}"
+    )
