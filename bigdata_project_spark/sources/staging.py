@@ -39,12 +39,23 @@ _DATASETS: dict[str, tuple[str, str]] = {
 _ZONE_TYPES = ("distritos", "municipios", "gau")
 
 
+def _scheme_group(allow_local: bool) -> str:
+    """URL-scheme alternation for the listing regexes. The live-feed
+    path is https-only like the reference (bronze/utils.py:226-315
+    matches the published https URLs); ``allow_local=True`` is the
+    explicit opt-in for offline file:// mirrors (r13 advice item 2 —
+    without the opt-in, remote feed content could otherwise steer
+    stage_urls at local filesystem paths)."""
+    return r"(?:https?|file)" if allow_local else r"https?"
+
+
 def mitma_feed_urls(
     feed_text: str,
     dataset: str,
     zone_type: str,
     start_date: str,
     end_date: str,
+    allow_local: bool = False,
 ) -> list[str]:
     """Filter a MITMA RSS feed's text down to the daily-file URLs for
     one (dataset, zone_type) within [start_date, end_date], deduped and
@@ -63,10 +74,10 @@ def mitma_feed_urls(
         raise ValueError(f"zone_type must be one of {_ZONE_TYPES}, got {zone_type!r}")
     path_seg, prefix = _DATASETS[dataset]
     zone_file = "GAU" if zone_type == "gau" else zone_type
-    # file:// is accepted alongside http(s) so a local mirror of the
-    # feed works offline (stage_urls supports file:// the same way)
+    # https-only unless the caller opts into file:// for an offline
+    # mirror (stage_urls supports file:// the same way)
     pattern = re.compile(
-        r'((?:https?|file)://[^\s"<>]*/estudios_basicos/por-'
+        "(" + _scheme_group(allow_local) + r'://[^\s"<>]*/estudios_basicos/por-'
         + zone_type
         + "/"
         + path_seg
@@ -88,7 +99,9 @@ def mitma_feed_urls(
     return [u for u, _ in sorted(seen.items(), key=lambda kv: (kv[1], kv[0]))]
 
 
-def mitma_zoning_urls(feed_text: str, zone_type: str) -> dict:
+def mitma_zoning_urls(
+    feed_text: str, zone_type: str, allow_local: bool = False
+) -> dict:
     """Filter a MITMA RSS feed's text down to one zone type's STATIC
     zoning files — behavior parity with reference
     bronze/utils.py:464-531 (``get_mitma_zoning_urls``): the shapefile
@@ -107,7 +120,9 @@ def mitma_zoning_urls(feed_text: str, zone_type: str) -> dict:
         raise ValueError(f"zone_type must be one of {_ZONE_TYPES}, got {zone_type!r}")
     folder = "GAU" if zone_type == "gau" else zone_type
     suffix = "gaus" if zone_type == "gau" else zone_type
-    url_prefix = r'((?:https?|file)://[^\s"<>]*/zonificacion/zonificacion_'
+    url_prefix = (
+        "(" + _scheme_group(allow_local) + r'://[^\s"<>]*/zonificacion/zonificacion_'
+    )
     shp_pat = re.compile(
         url_prefix + folder + r'/[^"<>]+\.(?:shp|shx|dbf|prj))', re.IGNORECASE
     )
@@ -129,12 +144,17 @@ def mitma_zoning_urls(feed_text: str, zone_type: str) -> dict:
 def fetch_feed(
     url: str = "https://movilidad-opendata.mitma.es/RSS.xml",
     user_agent: str = "bigdata-project-spark-staging",
+    timeout: float = 30.0,
 ) -> str:
     """Fetch the RSS feed text (the reference sends a User-Agent to
     avoid 403s, bronze/utils.py:263-265). The only network call in the
-    listing path; not exercised in the sandboxed test environment."""
+    listing path; the live endpoint is not exercised in the sandboxed
+    test environment, but the request construction (header, timeout,
+    decode) is pinned by a stubbed-urlopen test. ``timeout`` bounds a
+    hung feed server instead of blocking the driver indefinitely
+    (r13 advice item 1)."""
     import urllib.request
 
     req = urllib.request.Request(url, headers={"User-Agent": user_agent})
-    with urllib.request.urlopen(req) as resp:  # noqa: S310 — https feed
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
         return resp.read().decode("utf-8", "ignore")

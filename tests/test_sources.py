@@ -120,8 +120,22 @@ def test_mitma_feed_listing(spark, tmp_path):
         with _gzip.open(p, "wt") as f:
             f.write(f"fecha|origen|viajes\n{d}|A01|5\n")
         local_items.append(f"<item><link>file://{p}</link></item>")
+    # file:// is OPT-IN (r13 advice item 2): the default https-only
+    # parse must ignore local paths a hostile live feed could inject...
+    assert (
+        mitma_feed_urls(
+            "\n".join(local_items), "od", "distritos", "2022-03-01", "2022-03-31"
+        )
+        == []
+    )
+    # ...while allow_local=True enables the offline-mirror path
     local_urls = mitma_feed_urls(
-        "\n".join(local_items), "od", "distritos", "2022-03-01", "2022-03-31"
+        "\n".join(local_items),
+        "od",
+        "distritos",
+        "2022-03-01",
+        "2022-03-31",
+        allow_local=True,
     )
     assert len(local_urls) == 2 and all(x.startswith("file://") for x in local_urls)
     staged = stage_urls(local_urls, str(tmp_path / "staged"))
@@ -165,6 +179,43 @@ def test_mitma_zoning_listing():
     assert mitma_zoning_urls("<rss/>", "distritos") == {}
     with pytest.raises(ValueError):
         mitma_zoning_urls(feed, "nope")
+    # file:// zoning entries need the same explicit opt-in as the
+    # daily-file listing (r13 advice item 2)
+    local_feed = "<link>file:///tmp/zonificacion/zonificacion_distritos/nombres_distritos.csv</link>"
+    assert mitma_zoning_urls(local_feed, "distritos") == {}
+    assert mitma_zoning_urls(local_feed, "distritos", allow_local=True)[
+        "nombres"
+    ].startswith("file://")
+
+
+def test_fetch_feed_request_contract(monkeypatch):
+    """fetch_feed's request construction, pinned offline via a stubbed
+    urlopen (r13 verdict nit + advice item 1): the User-Agent header
+    the reference sends to avoid 403s (bronze/utils.py:263-265), a
+    finite timeout so a hung feed server can't block the driver, and
+    the tolerant utf-8 decode of the response bytes."""
+    import io
+    import urllib.request
+
+    from bigdata_project_spark.sources import staging
+
+    captured = {}
+
+    def fake_urlopen(req, timeout=None):
+        captured["url"] = req.full_url
+        captured["ua"] = req.get_header("User-agent")
+        captured["timeout"] = timeout
+        # invalid-utf8 byte exercises the errors="ignore" decode
+        return io.BytesIO(b"<rss>ok\xff</rss>")
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    text = staging.fetch_feed("https://example.invalid/RSS.xml")
+    assert text == "<rss>ok</rss>"
+    assert captured["url"] == "https://example.invalid/RSS.xml"
+    assert captured["ua"] == "bigdata-project-spark-staging"
+    assert captured["timeout"] == 30.0
+    staging.fetch_feed("https://example.invalid/RSS.xml", timeout=5.0)
+    assert captured["timeout"] == 5.0
 
 
 def test_json_array_nested_inference(spark, tmp_path):
