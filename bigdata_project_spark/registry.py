@@ -38,60 +38,65 @@ _ORACLE_BUILDERS: dict[str, OracleBuilder] = {}
 # end of _load(). See _load.__doc__ for the rotation rationale; the
 # assert in _apply_window guarantees a typo here fails every test
 # session rather than silently shrinking the window.
-_R13_WINDOW: list[str] = [
-    # (1) the 24 r9-checked rows at their 4-round ceiling, file order
-    "multimodal_dedup_binary",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "pipeline_domain_mixture",
-    "pipeline_sample_stratified",
-    "pipeline_train_val_split",
-    "profile_columns",
-    "scd2_event_type",
-    "silver_distances",
-    "silver_ine_renta",
-    "silver_overnights",
-    "silver_people_day",
-    "silver_zones",
-    "silver_zones_wkt",
-    "sim_ann_lsh_buckets",
-    "sim_cosine_topk",
-    "sim_neardup_pairs",
-    "spatial_point_in_zone",
-    "text_bigram_lm",
-    "text_bpe_encode",
-    "text_bpe_merges",
-    "text_decontaminate",
-    "text_fingerprint",
-    "text_lang_id",
-    # (2) rule-3 pull: r13 changes the screen's physical evaluation
-    "dedup_incremental_lsh",
-    # (3) 25 stalest r10-checked rows, CORRECTNESS_r10.json order
-    "dedup_minhash_recall",
-    "pipeline_pack_masked",
-    "sim_knn_join",
-    "sketch_hll_rollup",
-    "pipeline_shard_manifest",
-    "stream_hll_users",
-    "join_bloom_prefilter",
-    "pipeline_mixture_temperature",
-    "text_inverted_index",
-    "stream_static_enrich",
-    "ts_ohlc_hourly",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_repetition",
-    "text_tfidf",
-    "text_token_stats",
-    "text_vocab_topk",
-    "sim_ann_recall_at_k",
-    "dedup_fuzzy_lev",
-    "agg_best_supplier",
-    "agg_bracket_revenue",
-    "agg_customer_distribution",
-    "agg_dominant_suppliers",
-    "agg_dormant_customers",
-    "agg_forecast_revenue",
+_R14_WINDOW: list[str] = [
+    # (1) the 23 remaining r10-checked rows, at their 4-round hard
+    # ceiling this round, CORRECTNESS_r10.json order
+    "agg_late_by_class",
+    "agg_nation_profit",
+    "agg_retention_cohort",
+    "agg_small_qty_revenue",
+    "agg_supplier_part_counts",
+    "agg_top_supplier",
+    "agg_unpivot_measures",
+    "agg_waiting_suppliers",
+    "bronze_merge_all_columns",
+    "dedup_cluster_cc",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "dedup_simhash_pairs",
+    "events_json_props",
+    "events_sessionize",
+    "events_sliding_10m_5m",
+    "events_time_rollup",
+    "events_tumbling_1h",
+    "events_variant_props",
+    "graph_bfs_distance",
+    "graph_pagerank",
+    "join_interval_clicks",
+    # (2) no rule-3 pulls: the only r14 code changes so far are the
+    # driver-side staging listing hardening (sources/staging.py —
+    # pytest-owned, not a registered query); any later r14 commit
+    # that changes a checked query's physical behavior must be added
+    # here with the causing commit named.
+    # (3) 27 stalest r11-checked rows, CORRECTNESS_r11.json order
+    "gold_income_mobility",
+    "join_range_bands",
+    "join_semi_anti",
+    "layout_bucketed_join",
+    "pipeline_clean_corpus",
+    "pipeline_dedup_canonical",
+    "pipeline_global_shuffle",
+    "silver_od",
+    "sim_ivf_kmeans_topk",
+    "sim_ivfpq_topk",
+    "sim_pq_adc_topk",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "stream_dedup",
+    "stream_upsert_sink",
+    "text_char_entropy",
+    "win_lead_lag",
+    "win_rank_family",
+    "win_running_total",
+    "win_topk_per_group",
+    "agg_pricing_summary",
+    "agg_top_customers",
+    "agg_pivot_status",
+    "agg_rollup_summary",
+    "agg_cube_summary",
+    "agg_grouping_sets",
+    "agg_distinct_counts",
 ]
 
 
@@ -149,38 +154,47 @@ def _load() -> None:
     coverage — e.g. emb_gram_matrix, demoted round 10, its equivalence
     vs emb_gram_blas owned by tests/test_graph_funnel.py).
 
-    Round 13 window (``_R13_WINDOW`` below — from r13 the window is an
-    explicit reviewed LIST applied by ``_apply_window`` after all
-    registrations, replacing the r6-r12 practice of physically
-    reordering ~100 register() blocks each round; the literal register
-    order below is frozen at its r12 state and no longer meaningful).
-    Exactly as pre-staged by the r12 queue (CORRECTNESS_r12.json: all
-    50 r12 slots green, so the queue advances unchanged; the r12
-    verdict's top-next item is this rotation executed verbatim):
-    (1) the 24 r9-checked rows at their 4-round hard ceiling, in file
-    order (multimodal_dedup_binary … text_lang_id) — slots 1-24;
-    (2) ONE rule-(3) pull — dedup_incremental_lsh: the r13 commits
-    change screen_batch_against_store's physical behavior (the hashed
-    batch is now localCheckpoint-ed before the hash-prefix prune
-    collect, r12 verdict item 2 — a lineage/evaluation change of the
-    same kind as the r12 persist-lifecycle pulls) — slot 25;
-    (3) 25 of the 48 r10-checked rows, stalest-first in
-    CORRECTNESS_r10.json file order (dedup_minhash_recall …
-    agg_forecast_revenue) — slots 26-50. 24+1+25 = 50. (The r12 queue
-    wrote "26 r10 rows" with the same endpoints, which span 25 names —
-    the rule-3 pull takes the freed slot, so the staged endpoints are
+    Round 14 window (``_R14_WINDOW`` above — an explicit reviewed LIST
+    applied by ``_apply_window`` after all registrations, the practice
+    adopted r13; the literal register order below is frozen at its r12
+    state and no longer meaningful). Exactly as pre-staged by the r13
+    queue and ordered top-next in the r13 verdict (CORRECTNESS_r13.json:
+    all 50 r13 slots green, so the queue advances unchanged):
+    (1) the 23 remaining r10-checked rows, at their 4-round hard
+    ceiling this round, CORRECTNESS_r10.json file order
+    (agg_late_by_class … join_interval_clicks) — slots 1-23;
+    (2) NO rule-(3) pulls — the r14 code changes are the driver-side
+    staging listing hardening (sources/staging.py: urlopen timeout +
+    https-only default per the r13 ADVICE; pytest-owned, not a
+    registered query) and do not touch any checked query's physical
+    behavior;
+    (3) 27 of the 46 remaining r11-checked rows, stalest-first in
+    CORRECTNESS_r11.json file order (gold_income_mobility …
+    agg_distinct_counts) — slots 24-50. 23+27 = 50. (The r13 queue
+    wrote "27 of the 47 r11 rows / 20 remain": 48 r11 rows minus the
+    demoted text_source_overlap_bitmap minus silver_zones_geom is 46
+    registered-and-unrechecked, so 19 remain for r15 — the staged
+    intent, stalest-first with all ceiling-bound rows in-window, is
     honored exactly.) No net-new: the reference surface is complete
     and the LLM-pipeline surface saturated; net-new must displace, and
     nothing earns displacement this round.
 
-    Round 14 queue (pre-staged directly after slot 50): (1) the
-    remaining 23 r10-checked rows (agg_late_by_class …
-    join_interval_clicks in CORRECTNESS_r10.json order) — they reach
-    the 4-round ceiling at r14, so all 23 go first; (2) 27 of the 47
-    r11-checked rows, stalest-first in CORRECTNESS_r11.json order; the
-    remaining 20 r11 rows go to r15 with the stalest r12 block
-    (reaching, not exceeding, the ceiling). Any r13/r14 commit that
-    changes a checked query's behavior pulls it forward per rule (3).
+    Round 15 queue (pre-staged directly after slot 50): (1) the 19
+    remaining r11-checked rows (agg_approx_distinct …
+    layout_partition_pruning in CORRECTNESS_r11.json order) — they
+    reach the 4-round ceiling at r15, so all 19 go first; (2) 31 of
+    the r12-checked rows, stalest-first in CORRECTNESS_r12.json order
+    (the rest go to r16, reaching, not exceeding, the ceiling). Any
+    r14/r15 commit that changes a checked query's behavior pulls it
+    forward per rule (3).
+
+    Round 13 window, for the audit trail: the 24 r9-ceiling rows
+    (multimodal_dedup_binary … text_lang_id), ONE rule-3 pull
+    (dedup_incremental_lsh — the r13 localCheckpoint changed the
+    screen's physical evaluation), and 25 stalest r10 rows
+    (dedup_minhash_recall … agg_forecast_revenue); all 50 green in
+    CORRECTNESS_r13.json, list preserved in git history at tag-commit
+    "round 13: verdict/advice/correctness/bench".
 
     Rule-3 scope note (late r12): the hex32_to_int conv swap +
     simhash shiftright bit extract (functions/text.py,
@@ -888,7 +902,7 @@ def _load() -> None:
         layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
     )
 
-    _apply_window(_R13_WINDOW)
+    _apply_window(_R14_WINDOW)
 
 
 def queries() -> dict[str, QueryFn]:
