@@ -38,65 +38,66 @@ _ORACLE_BUILDERS: dict[str, OracleBuilder] = {}
 # end of _load(). See _load.__doc__ for the rotation rationale; the
 # assert in _apply_window guarantees a typo here fails every test
 # session rather than silently shrinking the window.
-_R14_WINDOW: list[str] = [
-    # (1) the 23 remaining r10-checked rows, at their 4-round hard
-    # ceiling this round, CORRECTNESS_r10.json order
-    "agg_late_by_class",
-    "agg_nation_profit",
-    "agg_retention_cohort",
-    "agg_small_qty_revenue",
-    "agg_supplier_part_counts",
-    "agg_top_supplier",
-    "agg_unpivot_measures",
-    "agg_waiting_suppliers",
-    "bronze_merge_all_columns",
-    "dedup_cluster_cc",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "dedup_simhash_pairs",
-    "events_json_props",
-    "events_sessionize",
-    "events_sliding_10m_5m",
-    "events_time_rollup",
-    "events_tumbling_1h",
-    "events_variant_props",
-    "graph_bfs_distance",
-    "graph_pagerank",
-    "join_interval_clicks",
-    # (2) no rule-3 pulls: the only r14 code changes so far are the
-    # driver-side staging listing hardening (sources/staging.py —
-    # pytest-owned, not a registered query); any later r14 commit
-    # that changes a checked query's physical behavior must be added
-    # here with the causing commit named.
-    # (3) 27 stalest r11-checked rows, CORRECTNESS_r11.json order
-    "gold_income_mobility",
-    "join_range_bands",
-    "join_semi_anti",
-    "layout_bucketed_join",
-    "pipeline_clean_corpus",
-    "pipeline_dedup_canonical",
-    "pipeline_global_shuffle",
-    "silver_od",
-    "sim_ivf_kmeans_topk",
-    "sim_ivfpq_topk",
-    "sim_pq_adc_topk",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "stream_dedup",
-    "stream_upsert_sink",
-    "text_char_entropy",
-    "win_lead_lag",
-    "win_rank_family",
-    "win_running_total",
-    "win_topk_per_group",
-    "agg_pricing_summary",
-    "agg_top_customers",
-    "agg_pivot_status",
-    "agg_rollup_summary",
-    "agg_cube_summary",
-    "agg_grouping_sets",
-    "agg_distinct_counts",
+_R15_WINDOW: list[str] = [
+    # (1) the 19 remaining r11-checked rows, at their 4-round hard
+    # ceiling this round, CORRECTNESS_r11.json order
+    "agg_approx_distinct",
+    "agg_percentiles",
+    "set_ops",
+    "cogroup_activity",
+    "graph_triangles",
+    "stream_transitions",
+    "bronze_incremental_batches",
+    "silver_zones_geom",
+    "cdc_snapshot_diff",
+    "dedup_paragraph",
+    "dedup_span_removal",
+    "dedup_url_canonical",
+    "emb_gram_blas",
+    "emb_int8_quantize",
+    "emb_pca_project",
+    "events_dau_wau",
+    "events_funnel",
+    "events_transitions",
+    "layout_partition_pruning",
+    # (2) no rule-3 pulls so far this round: the r15 code changes are
+    # the staging https-only scheme tightening (sources/staging.py —
+    # driver-side listing parser, pytest-owned, not a registered
+    # query) and doc/evidence fixes; any later r15 commit that
+    # changes a checked query's physical behavior must be added here
+    # with the causing commit named.
+    # (3) 31 stalest r12-checked rows, CORRECTNESS_r12.json order
+    "gold_overnights_seasonality",
+    "ml_group_ols",
+    "pipeline_chunk_docs",
+    "pipeline_domain_reweight",
+    "pipeline_pack_sequences",
+    "pipeline_quality_funnel",
+    "sketch_cms_topk",
+    "source_orc_roundtrip",
+    "source_text_logs",
+    "stream_interval_join",
+    "stream_sessionize",
+    "stream_tumbling",
+    "text_bigram_perplexity",
+    "text_dup_spans",
+    "text_hashing_features",
+    "text_ngram_novelty",
+    "text_oov_rate",
+    "text_quality_linear",
+    "text_url_domains",
+    "ts_ewma_hourly",
+    "ts_gapfill_ffill",
+    "win_range_7d",
+    "feature_corr_matrix",
+    "layout_zorder_extents",
+    "feature_binning_equidepth",
+    "silver_ine_empresas",
+    "silver_ine_poblacion",
+    "agg_approx_quantiles",
+    "text_dup_spans_lcp",
+    "text_source_overlap",
+    "agg_large_orders",
 ]
 
 
@@ -154,39 +155,49 @@ def _load() -> None:
     coverage — e.g. emb_gram_matrix, demoted round 10, its equivalence
     vs emb_gram_blas owned by tests/test_graph_funnel.py).
 
-    Round 14 window (``_R14_WINDOW`` above — an explicit reviewed LIST
+    Round 15 window (``_R15_WINDOW`` above — an explicit reviewed LIST
     applied by ``_apply_window`` after all registrations, the practice
     adopted r13; the literal register order below is frozen at its r12
-    state and no longer meaningful). Exactly as pre-staged by the r13
-    queue and ordered top-next in the r13 verdict (CORRECTNESS_r13.json:
-    all 50 r13 slots green, so the queue advances unchanged):
-    (1) the 23 remaining r10-checked rows, at their 4-round hard
-    ceiling this round, CORRECTNESS_r10.json file order
-    (agg_late_by_class … join_interval_clicks) — slots 1-23;
-    (2) NO rule-(3) pulls — the r14 code changes are the driver-side
-    staging listing hardening (sources/staging.py: urlopen timeout +
-    https-only default per the r13 ADVICE; pytest-owned, not a
-    registered query) and do not touch any checked query's physical
+    state and no longer meaningful). Exactly as pre-staged by the r14
+    queue and ordered top-next in the r14 verdict (CORRECTNESS_r14.json:
+    all 50 r14 slots green, so the queue advances unchanged):
+    (1) the 19 remaining r11-checked rows, at their 4-round hard
+    ceiling this round, CORRECTNESS_r11.json file order
+    (agg_approx_distinct … layout_partition_pruning) — slots 1-19.
+    Derivation (corrected per the r14 ADVICE: CORRECTNESS_r11.json has
+    50 rows; text_source_overlap_bitmap's demotion row is in r10, not
+    r11): 50 r11 rows minus the 4 rechecked at r12/r13 leaves 46
+    stale; 27 went in-window at r14, so these 19 (including
+    silver_zones_geom) remain, set-checked against the committed
+    CORRECTNESS files;
+    (2) NO rule-(3) pulls so far — the r15 code changes are the
+    staging https-only scheme tightening (sources/staging.py: the
+    default listing regexes now reject plain http://, closing the r14
+    ADVICE doc/claim mismatch; pytest-owned, not a registered query)
+    and doc/evidence fixes, none touching a checked query's physical
     behavior;
-    (3) 27 of the 46 remaining r11-checked rows, stalest-first in
-    CORRECTNESS_r11.json file order (gold_income_mobility …
-    agg_distinct_counts) — slots 24-50. 23+27 = 50. (The r13 queue
-    wrote "27 of the 47 r11 rows / 20 remain": 48 r11 rows minus the
-    demoted text_source_overlap_bitmap minus silver_zones_geom is 46
-    registered-and-unrechecked, so 19 remain for r15 — the staged
-    intent, stalest-first with all ceiling-bound rows in-window, is
-    honored exactly.) No net-new: the reference surface is complete
-    and the LLM-pipeline surface saturated; net-new must displace, and
+    (3) 31 of the 50 r12-checked rows (none were rechecked at
+    r13/r14), stalest-first in CORRECTNESS_r12.json file order
+    (gold_overnights_seasonality … agg_large_orders) — slots 20-50.
+    19+31 = 50. No net-new: the reference surface is complete and the
+    LLM-pipeline surface saturated; net-new must displace, and
     nothing earns displacement this round.
 
-    Round 15 queue (pre-staged directly after slot 50): (1) the 19
-    remaining r11-checked rows (agg_approx_distinct …
-    layout_partition_pruning in CORRECTNESS_r11.json order) — they
-    reach the 4-round ceiling at r15, so all 19 go first; (2) 31 of
-    the r12-checked rows, stalest-first in CORRECTNESS_r12.json order
-    (the rest go to r16, reaching, not exceeding, the ceiling). Any
-    r14/r15 commit that changes a checked query's behavior pulls it
-    forward per rule (3).
+    Round 16 queue (pre-staged directly after slot 50): (1) the 19
+    remaining r12-checked rows (agg_market_share …
+    multimodal_binary_meta in CORRECTNESS_r12.json order) — they
+    reach the 4-round ceiling at r16, so all 19 go first; (2) 31 of
+    the 50 r13-checked rows, stalest-first in CORRECTNESS_r13.json
+    order (the rest go to r17, reaching, not exceeding, the ceiling).
+    Any r15/r16 commit that changes a checked query's behavior pulls
+    it forward per rule (3).
+
+    Round 14 window, for the audit trail: the 23 remaining r10-ceiling
+    rows (agg_late_by_class … join_interval_clicks), zero rule-3
+    pulls, and 27 stalest r11 rows (gold_income_mobility …
+    agg_distinct_counts); all 50 green in CORRECTNESS_r14.json, list
+    preserved in git history at tag-commit "round 14:
+    verdict/advice/correctness/bench".
 
     Round 13 window, for the audit trail: the 24 r9-ceiling rows
     (multimodal_dedup_binary … text_lang_id), ONE rule-3 pull
@@ -902,7 +913,7 @@ def _load() -> None:
         layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
     )
 
-    _apply_window(_R14_WINDOW)
+    _apply_window(_R15_WINDOW)
 
 
 def queries() -> dict[str, QueryFn]:

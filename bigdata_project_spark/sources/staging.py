@@ -41,12 +41,14 @@ _ZONE_TYPES = ("distritos", "municipios", "gau")
 
 def _scheme_group(allow_local: bool) -> str:
     """URL-scheme alternation for the listing regexes. The live-feed
-    path is https-only like the reference (bronze/utils.py:226-315
-    matches the published https URLs); ``allow_local=True`` is the
-    explicit opt-in for offline file:// mirrors (r13 advice item 2 —
-    without the opt-in, remote feed content could otherwise steer
-    stage_urls at local filesystem paths)."""
-    return r"(?:https?|file)" if allow_local else r"https?"
+    path is strictly https-only (r14 advice: the reference's
+    bronze/utils.py matches https?://, but every published MITMA URL
+    is https, and a hostile feed must not be able to downgrade the
+    fetch to plain http); ``allow_local=True`` is the explicit opt-in
+    for offline file:// mirrors (r13 advice item 2 — without the
+    opt-in, remote feed content could otherwise steer stage_urls at
+    local filesystem paths). http:// is rejected in BOTH modes."""
+    return r"(?:https|file)" if allow_local else r"https"
 
 
 def mitma_feed_urls(

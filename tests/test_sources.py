@@ -144,6 +144,32 @@ def test_mitma_feed_listing(spark, tmp_path):
     assert {r["fecha"] for r in df.collect()} == {"20220301", "20220303"}
 
 
+def test_mitma_feed_rejects_plain_http():
+    """r14 advice: the default scheme filter claimed 'https-only' but
+    matched https?://. Now it is truly https-only — a hostile feed
+    cannot downgrade a daily-file fetch to plain http, in EITHER mode
+    (allow_local only adds file://, not http://)."""
+    from bigdata_project_spark.sources.staging import mitma_feed_urls
+
+    http_url = (
+        "http://movilidad-opendata.mitma.es/estudios_basicos/por-distritos/"
+        "viajes/ficheros-diarios/2022-03/20220301_Viajes_distritos.csv.gz"
+    )
+    feed = f"<item><link>{http_url}</link></item>"
+    assert mitma_feed_urls(feed, "od", "distritos", "2022-03-01", "2022-03-31") == []
+    assert (
+        mitma_feed_urls(
+            feed, "od", "distritos", "2022-03-01", "2022-03-31", allow_local=True
+        )
+        == []
+    )
+    # the https twin of the same entry still matches
+    https_feed = feed.replace("http://", "https://")
+    assert mitma_feed_urls(
+        https_feed, "od", "distritos", "2022-03-01", "2022-03-31"
+    ) == [http_url.replace("http://", "https://")]
+
+
 def test_mitma_zoning_listing():
     """The static-zoning listing parse (reference bronze/utils.py:
     464-531): shapefile components + the two auxiliary CSVs per zone
