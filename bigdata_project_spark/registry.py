@@ -38,66 +38,66 @@ _ORACLE_BUILDERS: dict[str, OracleBuilder] = {}
 # end of _load(). See _load.__doc__ for the rotation rationale; the
 # assert in _apply_window guarantees a typo here fails every test
 # session rather than silently shrinking the window.
-_R15_WINDOW: list[str] = [
-    # (1) the 19 remaining r11-checked rows, at their 4-round hard
-    # ceiling this round, CORRECTNESS_r11.json order
-    "agg_approx_distinct",
-    "agg_percentiles",
-    "set_ops",
-    "cogroup_activity",
-    "graph_triangles",
-    "stream_transitions",
-    "bronze_incremental_batches",
-    "silver_zones_geom",
-    "cdc_snapshot_diff",
-    "dedup_paragraph",
-    "dedup_span_removal",
-    "dedup_url_canonical",
-    "emb_gram_blas",
-    "emb_int8_quantize",
-    "emb_pca_project",
-    "events_dau_wau",
-    "events_funnel",
-    "events_transitions",
-    "layout_partition_pruning",
-    # (2) no rule-3 pulls so far this round: the r15 code changes are
-    # the staging https-only scheme tightening (sources/staging.py —
-    # driver-side listing parser, pytest-owned, not a registered
-    # query) and doc/evidence fixes; any later r15 commit that
-    # changes a checked query's physical behavior must be added here
-    # with the causing commit named.
-    # (3) 31 stalest r12-checked rows, CORRECTNESS_r12.json order
-    "gold_overnights_seasonality",
-    "ml_group_ols",
-    "pipeline_chunk_docs",
-    "pipeline_domain_reweight",
-    "pipeline_pack_sequences",
-    "pipeline_quality_funnel",
-    "sketch_cms_topk",
-    "source_orc_roundtrip",
-    "source_text_logs",
-    "stream_interval_join",
-    "stream_sessionize",
-    "stream_tumbling",
-    "text_bigram_perplexity",
-    "text_dup_spans",
-    "text_hashing_features",
-    "text_ngram_novelty",
-    "text_oov_rate",
-    "text_quality_linear",
-    "text_url_domains",
-    "ts_ewma_hourly",
-    "ts_gapfill_ffill",
-    "win_range_7d",
-    "feature_corr_matrix",
-    "layout_zorder_extents",
-    "feature_binning_equidepth",
-    "silver_ine_empresas",
-    "silver_ine_poblacion",
-    "agg_approx_quantiles",
-    "text_dup_spans_lcp",
-    "text_source_overlap",
-    "agg_large_orders",
+_R16_WINDOW: list[str] = [
+    # (1) the 19 remaining r12-checked rows, at their 4-round hard
+    # ceiling this round, CORRECTNESS_r12.json order
+    "agg_market_share",
+    "agg_order_priority",
+    "agg_promo_revenue",
+    "agg_region_revenue",
+    "agg_returned_items",
+    "agg_shipping_priority",
+    "agg_volume_shipping",
+    "bronze_holidays_json",
+    "bronze_merge_keyed",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_simhash",
+    "emb_label_centroids",
+    "events_anomaly_zscore",
+    "feature_binning",
+    "gold_od_daily",
+    "join_asof",
+    "join_asof_forward",
+    "multimodal_binary_meta",
+    # (2) no rule-3 pulls so far this round: the r16 code changes so
+    # far are the staging regex scheme-anchoring + dropped-URL
+    # warning (sources/staging.py — driver-side listing parser,
+    # pytest-owned, not a registered query); any later r16 commit
+    # that changes a checked query's physical behavior must be added
+    # here with the causing commit named.
+    # (3) 31 stalest r13-checked rows, CORRECTNESS_r13.json order
+    "multimodal_dedup_binary",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "pipeline_domain_mixture",
+    "pipeline_sample_stratified",
+    "pipeline_train_val_split",
+    "profile_columns",
+    "scd2_event_type",
+    "silver_distances",
+    "silver_ine_renta",
+    "silver_overnights",
+    "silver_people_day",
+    "silver_zones",
+    "silver_zones_wkt",
+    "sim_ann_lsh_buckets",
+    "sim_cosine_topk",
+    "sim_neardup_pairs",
+    "spatial_point_in_zone",
+    "text_bigram_lm",
+    "text_bpe_encode",
+    "text_bpe_merges",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_lang_id",
+    "dedup_incremental_lsh",
+    "dedup_minhash_recall",
+    "pipeline_pack_masked",
+    "sim_knn_join",
+    "sketch_hll_rollup",
+    "pipeline_shard_manifest",
+    "stream_hll_users",
 ]
 
 
@@ -155,42 +155,45 @@ def _load() -> None:
     coverage — e.g. emb_gram_matrix, demoted round 10, its equivalence
     vs emb_gram_blas owned by tests/test_graph_funnel.py).
 
-    Round 15 window (``_R15_WINDOW`` above — an explicit reviewed LIST
+    Round 16 window (``_R16_WINDOW`` above — an explicit reviewed LIST
     applied by ``_apply_window`` after all registrations, the practice
     adopted r13; the literal register order below is frozen at its r12
-    state and no longer meaningful). Exactly as pre-staged by the r14
-    queue and ordered top-next in the r14 verdict (CORRECTNESS_r14.json:
-    all 50 r14 slots green, so the queue advances unchanged):
-    (1) the 19 remaining r11-checked rows, at their 4-round hard
-    ceiling this round, CORRECTNESS_r11.json file order
-    (agg_approx_distinct … layout_partition_pruning) — slots 1-19.
-    Derivation (corrected per the r14 ADVICE: CORRECTNESS_r11.json has
-    50 rows; text_source_overlap_bitmap's demotion row is in r10, not
-    r11): 50 r11 rows minus the 4 rechecked at r12/r13 leaves 46
-    stale; 27 went in-window at r14, so these 19 (including
-    silver_zones_geom) remain, set-checked against the committed
-    CORRECTNESS files;
-    (2) NO rule-(3) pulls so far — the r15 code changes are the
-    staging https-only scheme tightening (sources/staging.py: the
-    default listing regexes now reject plain http://, closing the r14
-    ADVICE doc/claim mismatch; pytest-owned, not a registered query)
-    and doc/evidence fixes, none touching a checked query's physical
-    behavior;
-    (3) 31 of the 50 r12-checked rows (none were rechecked at
-    r13/r14), stalest-first in CORRECTNESS_r12.json file order
-    (gold_overnights_seasonality … agg_large_orders) — slots 20-50.
+    state and no longer meaningful). Exactly as pre-staged by the r15
+    queue and ordered top-next in the r15 verdict (CORRECTNESS_r15.json:
+    all 50 r15 slots green, so the queue advances unchanged):
+    (1) the 19 remaining r12-checked rows, at their 4-round hard
+    ceiling this round, CORRECTNESS_r12.json file order
+    (agg_market_share … multimodal_binary_meta) — slots 1-19.
+    Derivation: 50 r12 rows; 31 went in-window at r15 and none were
+    rechecked at r13/r14, so these 19 remain, set-checked against the
+    committed CORRECTNESS files;
+    (2) NO rule-(3) pulls so far — the r16 code changes are the
+    staging regex scheme-anchoring + dropped-URL warning
+    (sources/staging.py, the two r15 ADVICE items; pytest-owned, not
+    a registered query) and doc/evidence updates, none touching a
+    checked query's physical behavior;
+    (3) 31 of the 50 r13-checked rows that have no later row,
+    stalest-first in CORRECTNESS_r13.json file order
+    (multimodal_dedup_binary … stream_hll_users) — slots 20-50.
     19+31 = 50. No net-new: the reference surface is complete and the
     LLM-pipeline surface saturated; net-new must displace, and
     nothing earns displacement this round.
 
-    Round 16 queue (pre-staged directly after slot 50): (1) the 19
-    remaining r12-checked rows (agg_market_share …
-    multimodal_binary_meta in CORRECTNESS_r12.json order) — they
-    reach the 4-round ceiling at r16, so all 19 go first; (2) 31 of
-    the 50 r13-checked rows, stalest-first in CORRECTNESS_r13.json
-    order (the rest go to r17, reaching, not exceeding, the ceiling).
-    Any r15/r16 commit that changes a checked query's behavior pulls
-    it forward per rule (3).
+    Round 17 queue (pre-staged directly after slot 50): (1) the 19
+    remaining r13-checked rows (join_bloom_prefilter …
+    agg_forecast_revenue in CORRECTNESS_r13.json order) — they reach
+    the 4-round ceiling at r17, so all 19 go first; (2) 31 of the 50
+    r14-checked rows, stalest-first in CORRECTNESS_r14.json order
+    (the rest go to r18, reaching, not exceeding, the ceiling). Any
+    r16/r17 commit that changes a checked query's behavior pulls it
+    forward per rule (3).
+
+    Round 15 window, for the audit trail: the 19 remaining
+    r11-ceiling rows (agg_approx_distinct … layout_partition_pruning),
+    zero rule-3 pulls, and 31 stalest r12 rows
+    (gold_overnights_seasonality … agg_large_orders); all 50 green in
+    CORRECTNESS_r15.json, list preserved in git history at tag-commit
+    "round 15: verdict/advice/correctness/bench".
 
     Round 14 window, for the audit trail: the 23 remaining r10-ceiling
     rows (agg_late_by_class … join_interval_clicks), zero rule-3
@@ -913,7 +916,7 @@ def _load() -> None:
         layout_scan.ORACLE_LAYOUT_PARTITION_PRUNING,
     )
 
-    _apply_window(_R15_WINDOW)
+    _apply_window(_R16_WINDOW)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -24,14 +24,14 @@ def test_queries_and_oracles_align(spark):
     assert set(os_) <= set(qs), "oracle without a query"
 
 
-def test_r15_window_occupies_first_50_slots():
+def test_r16_window_occupies_first_50_slots():
     """The driver checks the FIRST 50 registered queries; the rotation
     contract (registry._load.__doc__) says slots 1-50 are exactly
-    _R15_WINDOW in order, with no other registration lost."""
+    _R16_WINDOW in order, with no other registration lost."""
     from bigdata_project_spark import registry
 
     names = list(registry.queries())
-    assert names[:50] == registry._R15_WINDOW
+    assert names[:50] == registry._R16_WINDOW
     assert len(names) == len(set(names)) == 169
 
 
@@ -51,12 +51,12 @@ def test_rotation_ceiling_math():
 
     root = os.path.join(os.path.dirname(__file__), "..")
     last: dict[str, int] = {}
-    for r in range(1, 15):  # pinned: artifacts that existed at r15 rotation
+    for r in range(1, 16):  # pinned: artifacts that existed at r16 rotation
         fname = f"CORRECTNESS_r{r:02d}.json" if r < 10 else f"CORRECTNESS_r{r}.json"
         for q in json.load(open(os.path.join(root, fname))):
             last[q] = r
-    latest = 14
-    window = set(registry._R15_WINDOW)
+    latest = 15
+    window = set(registry._R16_WINDOW)
     stranded = [
         q
         for q in registry.queries()
