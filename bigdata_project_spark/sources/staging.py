@@ -26,8 +26,11 @@ filename-derived columns working downstream.
 
 from __future__ import annotations
 
+import logging
 import re
 from datetime import datetime
+
+_log = logging.getLogger(__name__)
 
 # dataset → (URL path segment, file-name prefix), per the reference's
 # published MITMA layout (bronze/utils.py:241-246)
@@ -47,8 +50,34 @@ def _scheme_group(allow_local: bool) -> str:
     fetch to plain http); ``allow_local=True`` is the explicit opt-in
     for offline file:// mirrors (r13 advice item 2 — without the
     opt-in, remote feed content could otherwise steer stage_urls at
-    local filesystem paths). http:// is rejected in BOTH modes."""
-    return r"(?:https|file)" if allow_local else r"https"
+    local filesystem paths). http:// is rejected in BOTH modes.
+
+    The ``(?<![A-Za-z])`` lookbehind anchors the scheme as a
+    standalone token (r15 advice item 1): without it a feed token
+    like ``xhttps://…`` would still match via its embedded
+    ``https://`` substring."""
+    alt = r"(?:https|file)" if allow_local else r"https"
+    return r"(?<![A-Za-z])" + alt
+
+
+# Scheme group that matches ONLY plain http:// as a standalone token
+# (the trailing lookahead keeps it from matching inside https://).
+# Used to COUNT candidates excluded solely by the https-only policy so
+# an all-http feed is distinguishable from an empty one (r15 advice
+# item 2) — never to accept them.
+_HTTP_ONLY = r"(?<![A-Za-z])http(?=://)"
+
+
+def _warn_scheme_dropped(n: int, context: str) -> None:
+    if n:
+        _log.warning(
+            "%s: %d candidate URL(s) matched the feed pattern but were "
+            "excluded solely for using plain http:// (listing is "
+            "https-only); if the upstream feed moved to http this is a "
+            "feed change, not an empty feed",
+            context,
+            n,
+        )
 
 
 def mitma_feed_urls(
@@ -78,26 +107,35 @@ def mitma_feed_urls(
     zone_file = "GAU" if zone_type == "gau" else zone_type
     # https-only unless the caller opts into file:// for an offline
     # mirror (stage_urls supports file:// the same way)
-    pattern = re.compile(
-        "(" + _scheme_group(allow_local) + r'://[^\s"<>]*/estudios_basicos/por-'
-        + zone_type
-        + "/"
-        + path_seg
-        + r"/ficheros-diarios/\d{4}-\d{2}/(\d{8})_"
-        + prefix
-        + "_"
-        + zone_file
-        + r"\.csv\.gz)",
-        re.IGNORECASE,
-    )
+    def _pat(scheme: str) -> re.Pattern[str]:
+        return re.compile(
+            "(" + scheme + r'://[^\s"<>]*/estudios_basicos/por-'
+            + zone_type
+            + "/"
+            + path_seg
+            + r"/ficheros-diarios/\d{4}-\d{2}/(\d{8})_"
+            + prefix
+            + "_"
+            + zone_file
+            + r"\.csv\.gz)",
+            re.IGNORECASE,
+        )
+
     # YYYYMMDD compares correctly as a string; datetime.strptime is
     # still used to REJECT malformed dates rather than mis-sort them
     lo = datetime.strptime(start_date, "%Y-%m-%d").strftime("%Y%m%d")
     hi = datetime.strptime(end_date, "%Y-%m-%d").strftime("%Y%m%d")
     seen: dict[str, str] = {}
-    for url, file_date in pattern.findall(feed_text):
+    for url, file_date in _pat(_scheme_group(allow_local)).findall(feed_text):
         if lo <= file_date <= hi:
             seen[url] = file_date
+    # count (never accept) in-range candidates that differ ONLY in
+    # being plain http, so a scheme-filtered feed is distinguishable
+    # from an empty one
+    _warn_scheme_dropped(
+        sum(1 for _u, d in _pat(_HTTP_ONLY).findall(feed_text) if lo <= d <= hi),
+        f"mitma_feed_urls({dataset}/{zone_type})",
+    )
     return [u for u, _ in sorted(seen.items(), key=lambda kv: (kv[1], kv[0]))]
 
 
@@ -122,18 +160,28 @@ def mitma_zoning_urls(
         raise ValueError(f"zone_type must be one of {_ZONE_TYPES}, got {zone_type!r}")
     folder = "GAU" if zone_type == "gau" else zone_type
     suffix = "gaus" if zone_type == "gau" else zone_type
-    url_prefix = (
-        "(" + _scheme_group(allow_local) + r'://[^\s"<>]*/zonificacion/zonificacion_'
-    )
-    shp_pat = re.compile(
-        url_prefix + folder + r'/[^"<>]+\.(?:shp|shx|dbf|prj))', re.IGNORECASE
-    )
-    csv_pat = re.compile(
-        url_prefix + folder + r"/(?:nombres|poblacion)_" + suffix + r"\.csv)",
-        re.IGNORECASE,
-    )
+
+    def _pats(scheme: str) -> tuple[re.Pattern[str], re.Pattern[str]]:
+        url_prefix = "(" + scheme + r'://[^\s"<>]*/zonificacion/zonificacion_'
+        return (
+            re.compile(
+                url_prefix + folder + r'/[^"<>]+\.(?:shp|shx|dbf|prj))',
+                re.IGNORECASE,
+            ),
+            re.compile(
+                url_prefix + folder + r"/(?:nombres|poblacion)_" + suffix + r"\.csv)",
+                re.IGNORECASE,
+            ),
+        )
+
+    shp_pat, csv_pat = _pats(_scheme_group(allow_local))
     shp = sorted(set(shp_pat.findall(feed_text)))
     csvs = sorted(set(csv_pat.findall(feed_text)))
+    http_shp, http_csv = _pats(_HTTP_ONLY)
+    _warn_scheme_dropped(
+        len(set(http_shp.findall(feed_text)) | set(http_csv.findall(feed_text))),
+        f"mitma_zoning_urls({zone_type})",
+    )
     if not shp and not csvs:
         return {}
     return {

@@ -170,6 +170,85 @@ def test_mitma_feed_rejects_plain_http():
     ) == [http_url.replace("http://", "https://")]
 
 
+def test_mitma_feed_scheme_anchor_and_drop_warning(caplog):
+    """r15 advice items: (1) the scheme alternation is anchored — a
+    feed token like 'xhttps://…' must not match via its embedded
+    'https://' substring; (2) candidates excluded SOLELY for being
+    plain http are counted in a logged warning, so an all-http feed
+    is distinguishable from an empty one (http is still never
+    accepted)."""
+    import logging
+
+    from bigdata_project_spark.sources.staging import (
+        mitma_feed_urls,
+        mitma_zoning_urls,
+    )
+
+    path = (
+        "movilidad-opendata.mitma.es/estudios_basicos/por-distritos/"
+        "viajes/ficheros-diarios/2022-03/20220301_Viajes_distritos.csv.gz"
+    )
+    # (1) embedded-scheme tokens never match, in either mode
+    glued = f"<item><link>xhttps://{path}</link></item>"
+    for allow_local in (False, True):
+        assert (
+            mitma_feed_urls(
+                glued, "od", "distritos", "2022-03-01", "2022-03-31",
+                allow_local=allow_local,
+            )
+            == []
+        )
+    glued_file = "<link>xfile:///tmp/z/20220301_Viajes_distritos.csv.gz</link>"
+    assert (
+        mitma_feed_urls(
+            glued_file, "od", "distritos", "2022-03-01", "2022-03-31",
+            allow_local=True,
+        )
+        == []
+    )
+
+    # (2) in-range plain-http candidates are counted and warned about
+    feed = "\n".join(
+        [
+            f"<item><link>http://{path}</link></item>",
+            # out-of-range http entry must NOT count for the daily feed
+            f"<item><link>http://{path.replace('20220301', '20220401')}</link></item>",
+            # xhttp:// garbage is not a scheme drop either
+            f"<item><link>xhttp://{path}</link></item>",
+        ]
+    )
+    with caplog.at_level(logging.WARNING, "bigdata_project_spark.sources.staging"):
+        assert (
+            mitma_feed_urls(feed, "od", "distritos", "2022-03-01", "2022-03-31")
+            == []
+        )
+    assert any(
+        "1 candidate URL(s)" in r.message and "https-only" in r.message
+        for r in caplog.records
+    )
+    caplog.clear()
+
+    # an https feed emits NO scheme-drop warning
+    with caplog.at_level(logging.WARNING, "bigdata_project_spark.sources.staging"):
+        got = mitma_feed_urls(
+            feed.replace("http://", "https://").replace("xhttps", "xhttp"),
+            "od", "distritos", "2022-03-01", "2022-03-31",
+        )
+    assert len(got) == 1 and not caplog.records
+    caplog.clear()
+
+    # zoning listing: same warning path, still rejects + anchors
+    zfeed = "\n".join(
+        [
+            "<link>http://m.es/zonificacion/zonificacion_distritos/nombres_distritos.csv</link>",
+            "<link>xhttps://m.es/zonificacion/zonificacion_distritos/poblacion_distritos.csv</link>",
+        ]
+    )
+    with caplog.at_level(logging.WARNING, "bigdata_project_spark.sources.staging"):
+        assert mitma_zoning_urls(zfeed, "distritos") == {}
+    assert any("https-only" in r.message for r in caplog.records)
+
+
 def test_mitma_zoning_listing():
     """The static-zoning listing parse (reference bronze/utils.py:
     464-531): shapefile components + the two auxiliary CSVs per zone
