@@ -58,6 +58,86 @@ def _zvalue_sql(x: str, y: str, bits: int = Z_BITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# (shift, mask) steps of the classic "Interleave bits by Binary Magic
+# Numbers" spread (public bit-twiddling identity; Morton 1966): each
+# step doubles the gap between the low 16 bits — 4 steps and ~12 integer
+# ops per dimension versus the 64-term floor-div/mod interleave above.
+# Value-identity vs zvalue() is pinned by
+# tests/test_zorder.py::test_zvalue_spread_equals_arithmetic_zvalue and
+# the hypothesis property in tests/test_properties.py.
+_SPREAD_STEPS: tuple[tuple[int, int], ...] = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def with_zvalue_spread(
+    df: DataFrame, x: Column, y: Column, out: str = "z"
+) -> DataFrame:
+    """Append the Morton z-value of two pre-scaled 16-bit columns via
+    the 4-step shift-mask spread. Each step lands in its OWN projection
+    (chained ``withColumn``), so the previous step — referenced twice
+    as ``v | (v << s)`` — is evaluated once per row: Catalyst's
+    CollapseProject declines to inline a non-trivial alias used more
+    than once, and whole-stage codegen fuses the chain into straight-
+    line long arithmetic. ~30 integer ops total, far below any JIT
+    method-size cliff — which is what lets the registered query drop
+    the persist lifecycle the 64-term form needed (see
+    query_zorder_extents)."""
+    df = df.withColumn("__zx", x.cast("bigint")).withColumn(
+        "__zy", y.cast("bigint")
+    )
+    for c in ("__zx", "__zy"):
+        for sh, m in _SPREAD_STEPS:
+            df = df.withColumn(
+                c,
+                F.col(c).bitwiseOR(F.shiftleft(F.col(c), sh)).bitwiseAND(F.lit(m)),
+            )
+    return df.withColumn(
+        out, F.col("__zx").bitwiseOR(F.shiftleft(F.col("__zy"), 1))
+    ).drop("__zx", "__zy")
+
+
+def _zvalue_spread_sql_ctes(
+    source_sql: str, zx_expr: str, zy_expr: str, keep_cols: str
+) -> str:
+    """DuckDB mirror of :func:`with_zvalue_spread`: chained CTE selects
+    using ``* REPLACE`` so — exactly like the Column chain — every
+    spread step is a named column evaluated once, never a textually
+    exploded sub-expression. Returns CTE text ending in relation ``zz``
+    with ``keep_cols`` plus the interleaved ``z``. Pure integer bit
+    ops: bit-exact on both engines by construction."""
+    ctes = [
+        f"s0 AS (SELECT {keep_cols}, {zx_expr} AS zx, {zy_expr} AS zy"
+        f" FROM {source_sql})"
+    ]
+    prev = "s0"
+    for i, (sh, m) in enumerate(_SPREAD_STEPS, start=1):
+        ctes.append(
+            f"s{i} AS (SELECT * REPLACE ("
+            f"((zx | (zx << {sh})) & {m}) AS zx, "
+            f"((zy | (zy << {sh})) & {m}) AS zy) FROM {prev})"
+        )
+        prev = f"s{i}"
+    ctes.append(
+        f"zz AS (SELECT {keep_cols}, (zx | (zy << 1)) AS z FROM {prev})"
+    )
+    return ",\n".join(ctes)
+
+
+def scaled_cols(col: Column, lo: Column, hi: Column, bits: int = Z_BITS) -> Column:
+    """:func:`scaled` with the domain bounds as COLUMNS (a broadcast
+    1-row min/max aggregate) instead of driver-collected ints — the
+    whole scale+interleave+bucket computation then folds into ONE lazy
+    plan with no ``.first()`` action before it. Same exact-rounding
+    argument: (v-lo)*65535 ≤ ~2^53, double division exact-rounded
+    identically on both engines."""
+    span = F.greatest(hi - lo, F.lit(1))
+    return F.floor((col - lo) * ((2**bits) - 1) / span).cast("bigint")
+
+
 def scaled(col: Column, lo: int, hi: int, bits: int = Z_BITS) -> Column:
     """Min/max-scale an integer column onto [0, 2^bits): raw-bit
     interleave degenerates when one dim's domain is much narrower than
@@ -88,11 +168,13 @@ def write_zordered(
     lo_x, hi_x, lo_y, hi_y = df.agg(
         F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
     ).first()
-    z = zvalue(
-        scaled(F.col(xcol), lo_x, hi_x), scaled(F.col(ycol), lo_y, hi_y)
-    )
     (
-        df.withColumn("__z", z)
+        with_zvalue_spread(
+            df,
+            scaled(F.col(xcol), lo_x, hi_x),
+            scaled(F.col(ycol), lo_y, hi_y),
+            out="__z",
+        )
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
@@ -163,17 +245,23 @@ def distributed_ntile(
       concurrent build/probe stages from racing a cold cache.
       feature_binning_equidepth (3 plain columns): 2.36 → 1.87 s in
       the r12b bench column.
-    - **True**: evict-then-persist-then-eager-count, for projections
-      whose re-evaluation is NOT cheap. layout_zorder_extents' 64-term
-      Morton expression measured 1.28 s no-persist in a quiet probe
-      session but **11.6 s in the r12b bench session** — the r5-era
-      cliff where the fused scan→project→exchange stage's generated
-      method grows past the JIT compile limit and the giant expression
-      runs interpreted, per evaluation. The cache confines that risk
-      to ONE evaluation. Eviction order matters: CacheManager keys by
-      logical plan, and consecutive calls build IDENTICAL plans —
-      persist-then-evict would no-op the persist and then remove the
-      previous entry, leaving nothing (measured 2.5 → 13 s in r5).
+    - **True**: evict-then-persist-then-eager-count. Historically this
+      guarded layout_zorder_extents' 64-term Morton projection, whose
+      no-persist form measured **11.6 s in the r12b bench session** —
+      attributed then to a JIT method-size cliff. Round 16 found the
+      real mechanism (see the __pid coalesce below): the nullable join
+      key made the optimizer push an inferred isnotnull(__pid) filter
+      below the projection chain with every alias inlined at every use
+      site — an exponentially expanded predicate evaluated per row.
+      The cache boundary "fixed" it only by blocking that pushdown.
+      With the key declared non-null the pushdown never happens, no
+      in-repo caller needs True anymore, and the zorder consumer runs
+      ONE action instead of three. The knob stays for projections that
+      are genuinely expensive to re-evaluate twice (counts + rank
+      subtrees). Eviction order still matters when used: CacheManager
+      keys by logical plan, and consecutive calls build IDENTICAL
+      plans — persist-then-evict would no-op the persist and then
+      remove the previous entry, leaving nothing (2.5 → 13 s in r5).
 
     Correctness never depends on the cache — the whole computation is
     ONE lazy plan over deterministic row-functions (see above), so the
@@ -204,7 +292,19 @@ def distributed_ntile(
         pid = F.lit(0)
         for c in cuts:
             pid = pid + (F.col(lead) > F.lit(c)).cast("int")
-    keyed = df.withColumn("__pid", pid)
+    # The coalesce is a NULLABILITY DECLARATION, not a data change (the
+    # order key is required non-null/unique, see above): a nullable
+    # join key makes InferFiltersFromConstraints add isnotnull(__pid)
+    # to the probe side, and PushDownPredicates then substitutes the
+    # ENTIRE upstream projection chain into that filter — each alias
+    # inlined at every use site, i.e. exponential expansion for a
+    # chained expression like the Morton spread. That expanded filter
+    # was the real mechanism behind the r12b "JIT cliff" (11.6 s): the
+    # then-persist fixed it only because the cache boundary blocks
+    # pushdown. A non-nullable key means the constraint is never
+    # inferred, so nothing is pushed and no persist is needed —
+    # measured 6.3-7.5 s → 0.9-1.4 s on the zorder consumer at sf0.1.
+    keyed = df.withColumn("__pid", F.coalesce(pid, F.lit(-1)))
     # per-range counts → exclusive cumsum + global total, all in-plan:
     # both windows run over the ≤n_parts-row count table
     counts = keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -251,27 +351,40 @@ def query_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bucketing runs through :func:`distributed_ntile` — exact SQL-ntile
     semantics with no global window, so the plan scales like any range
-    exchange while the oracle keeps its plain ``ntile``."""
+    exchange while the oracle keeps its plain ``ntile``.
+
+    r16 rework (the r15 verdict's zorder watch item — 1.9-2.2× of the
+    oracle at stable hours, borderline on the 2× gate): ONE action
+    instead of three. The min/max domain bounds become a broadcast
+    1-row aggregate cross-joined into the plan (exactly the oracle's
+    ``FROM lineitem, r`` shape) instead of a driver ``.first()``; the
+    64-term floor-div Morton projection becomes the 4-step shift-mask
+    spread (:func:`with_zvalue_spread`, value-identity pinned by
+    test); and the r12-era evict+persist+eager-count lifecycle is
+    dropped entirely — its cache-materialization job only ever papered
+    over the inferred-isnotnull pushdown blowup that
+    :func:`distributed_ntile` now prevents at the source by declaring
+    ``__pid`` non-null (see the coalesce note there: 11.6 s at r12b,
+    re-reproduced and root-caused this round)."""
     li = load_table(spark, sf_dir, "lineitem")
-    lo_x, hi_x, lo_y, hi_y = li.agg(
-        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
-    ).first()
-    x = scaled(F.col("l_partkey"), lo_x, hi_x)
-    y = scaled(F.col("l_suppkey"), lo_y, hi_y)
-    zed = (
-        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-        .withColumn("z", zvalue(x, y))
+    bounds = li.agg(
+        F.min("l_partkey").alias("__lo_x"),
+        F.max("l_partkey").alias("__hi_x"),
+        F.min("l_suppkey").alias("__lo_y"),
+        F.max("l_suppkey").alias("__hi_y"),
     )
+    zed = with_zvalue_spread(
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .crossJoin(F.broadcast(bounds)),
+        scaled_cols(F.col("l_partkey"), F.col("__lo_x"), F.col("__hi_x")),
+        scaled_cols(F.col("l_suppkey"), F.col("__lo_y"), F.col("__hi_y")),
+    ).drop("__lo_x", "__hi_x", "__lo_y", "__hi_y")
     return (
         distributed_ntile(
             zed,
             N_BUCKETS,
             ["z", "l_orderkey", "l_linenumber"],
             lead_range=(0, 4**Z_BITS - 1),
-            # the 64-term Morton projection MUST be evaluated once —
-            # recomputation hit the JIT-size cliff (11.6 s) in the r12b
-            # bench; see the distributed_ntile lifecycle note
-            persist_projection=True,
         )
         .groupBy("bucket")
         .agg(
@@ -290,14 +403,15 @@ WITH r AS (
            MIN(l_suppkey) AS lo_y, MAX(l_suppkey) AS hi_y
     FROM lineitem
 ),
-z AS (
-    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-           {_zvalue_sql(_scaled_sql("l_partkey", "lo_x", "hi_x"), _scaled_sql("l_suppkey", "lo_y", "hi_y"))} AS z
-    FROM lineitem, r
-),
+{_zvalue_spread_sql_ctes(
+    "lineitem, r",
+    _scaled_sql("l_partkey", "lo_x", "hi_x"),
+    _scaled_sql("l_suppkey", "lo_y", "hi_y"),
+    "l_orderkey, l_linenumber, l_partkey, l_suppkey",
+)},
 b AS (
     SELECT *, ntile({N_BUCKETS}) OVER (ORDER BY z, l_orderkey, l_linenumber) AS bucket
-    FROM z
+    FROM zz
 )
 SELECT bucket, COUNT(*) AS n_rows,
        MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,

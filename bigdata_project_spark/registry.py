@@ -60,13 +60,18 @@ _R16_WINDOW: list[str] = [
     "join_asof",
     "join_asof_forward",
     "multimodal_binary_meta",
-    # (2) no rule-3 pulls so far this round: the r16 code changes so
-    # far are the staging regex scheme-anchoring + dropped-URL
-    # warning (sources/staging.py — driver-side listing parser,
-    # pytest-owned, not a registered query); any later r16 commit
-    # that changes a checked query's physical behavior must be added
-    # here with the causing commit named.
-    # (3) 31 stalest r13-checked rows, CORRECTNESS_r13.json order
+    # (2) rule-3 pulls: the r16 zorder rework (operators/zorder.py —
+    # non-nullable __pid kills the inferred-isnotnull pushdown blowup;
+    # zorder additionally drops its persist lifecycle, swaps the
+    # Morton expression for the value-identical bit spread, and folds
+    # the bounds .first() into the plan) changes the physical plans of
+    # BOTH distributed_ntile consumers, so both re-expose here;
+    # pipeline_shard_manifest and stream_hll_users are displaced to
+    # the front of the r17 queue (reaching, not exceeding, their
+    # ceiling there).
+    "layout_zorder_extents",
+    "feature_binning_equidepth",
+    # (3) 29 stalest r13-checked rows, CORRECTNESS_r13.json order
     "multimodal_dedup_binary",
     "multimodal_features",
     "multimodal_frame_sample",
@@ -96,8 +101,6 @@ _R16_WINDOW: list[str] = [
     "pipeline_pack_masked",
     "sim_knn_join",
     "sketch_hll_rollup",
-    "pipeline_shard_manifest",
-    "stream_hll_users",
 ]
 
 
@@ -167,26 +170,40 @@ def _load() -> None:
     Derivation: 50 r12 rows; 31 went in-window at r15 and none were
     rechecked at r13/r14, so these 19 remain, set-checked against the
     committed CORRECTNESS files;
-    (2) NO rule-(3) pulls so far — the r16 code changes are the
-    staging regex scheme-anchoring + dropped-URL warning
-    (sources/staging.py, the two r15 ADVICE items; pytest-owned, not
-    a registered query) and doc/evidence updates, none touching a
-    checked query's physical behavior;
-    (3) 31 of the 50 r13-checked rows that have no later row,
+    (2) TWO rule-(3) pulls — slots 20-21: the r16 zorder rework
+    (operators/zorder.py: distributed_ntile declares __pid non-null,
+    which kills the inferred-isnotnull pushdown blowup behind the
+    r12b 11.6 s cliff; layout_zorder_extents additionally drops its
+    persist lifecycle, swaps the 64-term Morton arithmetic for the
+    value-identical 4-step bit spread — equivalence pinned by
+    tests/test_zorder.py — and folds the bounds .first() into the
+    plan as a broadcast cross join) changes the physical plans of
+    both distributed_ntile consumers, layout_zorder_extents and
+    feature_binning_equidepth, so both re-expose this round even
+    though their values are proven unchanged (oracle-checked at
+    sf0.01 plus the full-registry sweep). The other r16 code changes
+    (sources/staging.py scheme-anchoring + dropped-URL warning, the
+    two r15 ADVICE items) are driver-side listing-parser code,
+    pytest-owned, not a registered query;
+    (3) 29 of the 50 r13-checked rows that have no later row,
     stalest-first in CORRECTNESS_r13.json file order
-    (multimodal_dedup_binary … stream_hll_users) — slots 20-50.
-    19+31 = 50. No net-new: the reference surface is complete and the
-    LLM-pipeline surface saturated; net-new must displace, and
-    nothing earns displacement this round.
+    (multimodal_dedup_binary … sketch_hll_rollup) — slots 22-50.
+    19+2+29 = 50. pipeline_shard_manifest and stream_hll_users, the
+    two staged rows the pulls displaced, move to the FRONT of the r17
+    queue: checked r13, ceiling r17 — displaced, not stranded. No
+    net-new: the reference surface is complete and the LLM-pipeline
+    surface saturated; net-new must displace, and nothing earns
+    displacement this round.
 
-    Round 17 queue (pre-staged directly after slot 50): (1) the 19
-    remaining r13-checked rows (join_bloom_prefilter …
-    agg_forecast_revenue in CORRECTNESS_r13.json order) — they reach
-    the 4-round ceiling at r17, so all 19 go first; (2) 31 of the 50
-    r14-checked rows, stalest-first in CORRECTNESS_r14.json order
-    (the rest go to r18, reaching, not exceeding, the ceiling). Any
-    r16/r17 commit that changes a checked query's behavior pulls it
-    forward per rule (3).
+    Round 17 queue (pre-staged directly after slot 50): (1) the 21
+    remaining r13-checked rows — pipeline_shard_manifest and
+    stream_hll_users (displaced above) first, then
+    join_bloom_prefilter … agg_forecast_revenue in
+    CORRECTNESS_r13.json order — all at the 4-round ceiling at r17,
+    so all 21 go first; (2) 29 of the 50 r14-checked rows,
+    stalest-first in CORRECTNESS_r14.json order (the rest go to r18,
+    reaching, not exceeding, the ceiling). Any r16/r17 commit that
+    changes a checked query's behavior pulls it forward per rule (3).
 
     Round 15 window, for the audit trail: the 19 remaining
     r11-ceiling rows (agg_approx_distinct … layout_partition_pruning),

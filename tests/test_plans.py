@@ -31,6 +31,9 @@ _CROSS_JOIN_OK = {
     "agg_approx_quantiles",
     "pipeline_domain_mixture",
     "graph_pagerank",
+    # 1-row min/max domain-bounds aggregate crossed into the Morton
+    # scaling (r16: replaces a driver-side .first() action)
+    "layout_zorder_extents",
     # 1-row vocabulary-size scalar crossed into the LM score
     "text_bigram_perplexity",
     # 1-row (N, S) totals crossed into the per-domain weights

@@ -148,6 +148,13 @@ def test_zvalue_interleave_bijective(x, y):
     # and the SQL/Column formula (pure arithmetic) agrees with bitwise
     za = sum((x // (2**j) % 2) * 4**j + (y // (2**j) % 2) * 2 * 4**j for j in range(16))
     assert za == z
+    # and the 4-step shift-mask spread (the r16 fast form the registered
+    # query and its oracle both compile to) agrees with bitwise
+    def spread(v: int) -> int:
+        for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            v = (v | (v << sh)) & m
+        return v
+    assert spread(x) | (spread(y) << 1) == z
 
 
 @given(

@@ -30,6 +30,30 @@ def test_zvalue_matches_python_reference(spark):
         assert r["z"] == _py_zvalue(r["x"], r["y"])
 
 
+def test_zvalue_spread_equals_arithmetic_zvalue(spark):
+    """r16 expression swap (rule-3 value-identity pin, same discipline
+    as the r12 hex32 conv swap): the 4-step shift-mask bit spread used
+    by the registered query must equal the 64-term floor-div/mod
+    interleave — the spec form — bit for bit, so the swap changes the
+    physical expression but never a value."""
+    from bigdata_project_spark.operators.zorder import with_zvalue_spread
+
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321),
+            (7, 1024), (32768, 1), (43690, 21845)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    both = with_zvalue_spread(df, F.col("x"), F.col("y"), out="z_fast").withColumn(
+        "z_spec", zvalue(F.col("x"), F.col("y"))
+    )
+    for r in both.collect():
+        assert r["z_fast"] == r["z_spec"] == _py_zvalue(r["x"], r["y"])
+    # exhaustive on one dimension at a time (the spread is per-dim)
+    xs = spark.createDataFrame([(i,) for i in range(0, 65536, 257)], ["x"])
+    chk = with_zvalue_spread(
+        xs, F.col("x"), F.lit(0).cast("bigint"), out="z_fast"
+    ).withColumn("z_spec", zvalue(F.col("x"), F.lit(0)))
+    assert chk.filter(F.col("z_fast") != F.col("z_spec")).count() == 0
+
+
 def test_zorder_buckets_tight_in_both_dims(spark, sf_dir):
     out = query_zorder_extents(spark, sf_dir).toPandas()
     glob_pk = out["max_partkey"].max() - out["min_partkey"].min()
