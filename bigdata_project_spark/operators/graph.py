@@ -398,10 +398,16 @@ def query_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single final job instead of K eager driver-blocking jobs. The
     frontier never exceeds the node set, K is a constant, and distances
     are small integers, so the whole computation is integer-exact and
-    needs no float-parity machinery. The source vertex is a 1-row
-    driver pull (same bounded-collect budget as the ivf/pq centroid
-    pulls); an empty edge set short-circuits to an empty result, the
-    same rows the NULL-guarded oracle produces.
+    needs no float-parity machinery.
+
+    r16: the source vertex is no longer a driver ``.first()`` pull —
+    level 0 is the 1-row ``MIN(id)`` aggregate itself, kept lazy inside
+    the one final plan (the oracle's own ``reach_0`` shape), so the
+    whole query is ONE action and the edge DAG is evaluated once
+    instead of twice (once under the old min-id job, once under the
+    final job). An empty edge set yields a NULL min filtered by the
+    ``isNotNull`` guard → empty result, the same rows the NULL-guarded
+    oracle's ``HAVING`` produces.
 
     The oracle unrolls the SAME K supersteps as chained CTEs with a
     per-level MIN merge — NOT a recursive path-enumeration CTE, which
@@ -421,10 +427,11 @@ def query_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    src_id = nodes.agg(F.min("id")).first()[0]
-    if src_id is None:  # no co-activity edges at all → empty graph
-        return spark.createDataFrame([], "user_id long, dist int")
-    reached = spark.createDataFrame([(int(src_id), 0)], "id long, dist int")
+    reached = (
+        nodes.agg(F.min("id").alias("id"))
+        .filter(F.col("id").isNotNull())  # empty graph → empty reach_0
+        .select("id", F.lit(0).cast("int").alias("dist"))
+    )
     for _ in range(BFS_MAX_HOPS):
         frontier = (
             reached.join(edges, reached.id == edges.src)

@@ -133,15 +133,25 @@ def query_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bin count and exact value extent. One tiny range aggregate + one
     combiner-friendly hash aggregate on a dense integer key — map-side
     partials collapse to ≤ N_BINS rows per partition, so shuffle volume
-    is constant regardless of table size."""
+    is constant regardless of table size.
+
+    r16: the range aggregate is a broadcast 1-row cross join inside the
+    ONE lazy plan (the oracle's own ``FROM lineitem, r`` shape) instead
+    of a driver ``.first()`` — one action, no driver data pull; the bin
+    expression is the identical double arithmetic with ``lo``/``hi`` as
+    columns (same IEEE ops, bit-identical bins)."""
     li = load_table(spark, sf_dir, "lineitem")
-    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("__lo"), F.max("l_extendedprice").alias("__hi")
+    )
     v = F.col("l_extendedprice")
     bin_ = F.least(
-        F.floor((v - F.lit(lo)) * N_BINS / F.lit(hi - lo)), F.lit(N_BINS - 1)
+        F.floor((v - F.col("__lo")) * N_BINS / (F.col("__hi") - F.col("__lo"))),
+        F.lit(N_BINS - 1),
     ).cast("bigint")
     return (
-        li.select(v.alias("v"), bin_.alias("bin"))
+        li.crossJoin(F.broadcast(bounds))
+        .select(v.alias("v"), bin_.alias("bin"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

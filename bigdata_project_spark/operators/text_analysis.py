@@ -150,9 +150,15 @@ def query_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ln() is not IEEE-correctly-rounded and may differ between libms in
     the last ulp — the 1e-6 rounding absorbs ~1e-15 relative error, the
-    same contract the cosine/sqrt operators rely on."""
+    same contract the cosine/sqrt operators rely on.
+
+    r16: N is a broadcast 1-row COUNT aggregate cross-joined onto the
+    (tiny, post-aggregation) tf⋈vocab frame — the oracle's own scalar
+    subquery shape — instead of a driver ``docs.count()``: one action,
+    one fewer full corpus pass (count(*) pruned all columns, but at
+    100 TB it still lists and scans row-group footers of every file)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar, driver-side by design (it's one number)
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     vocab = (
         words.groupBy("w")
@@ -166,15 +172,20 @@ def query_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return tf.join(F.broadcast(vocab), "w").select(
-        "doc_id",
-        "w",
-        "tf",
-        "df",
-        round_portable(
-            F.col("tf").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
-            6,
-        ).alias("tfidf"),
+    return (
+        tf.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            "df",
+            round_portable(
+                F.col("tf").cast("double")
+                * F.log(F.col("__n_docs") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
     )
 
 

@@ -417,14 +417,21 @@ def query_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(W.unboundedPreceding, 0)
         ),
     )
-    n = li.count()
+    # r16: n comes from the ~1k-row bucket table already in the plan
+    # (Σ bcnt ≡ COUNT(*) over lineitem), broadcast-joined in, instead of
+    # a driver li.count() — one action and one fewer full lineitem pass.
+    # ⌈q·n⌉ uses integer `div` (== Python // for non-negative n), so the
+    # rank arithmetic is unchanged bit for bit.
+    n_df = bck.agg(F.sum("bcnt").alias("__n"))
 
-    def exact_disc(k: int, alias: str) -> DataFrame:
+    def exact_disc(pct: int, alias: str) -> DataFrame:
+        k = F.expr(f"(__n * {pct} + 99) div 100")
         tgt = (
-            cumb.filter(F.col("cum") >= k)
+            cumb.crossJoin(F.broadcast(n_df))
+            .filter(F.col("cum") >= k)
             .orderBy("b")
             .limit(1)
-            .select("b", (F.lit(k) - (F.col("cum") - F.col("bcnt"))).alias("off"))
+            .select("b", (k - (F.col("cum") - F.col("bcnt"))).alias("off"))
         )
         inb = dist.join(F.broadcast(tgt), "b").withColumn(
             "cum_in",
@@ -436,10 +443,8 @@ def query_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c").alias(alias)
         )
 
-    k50 = (n * 50 + 99) // 100
-    k95 = (n * 95 + 99) // 100
-    exact = exact_disc(k50, "exact_p50_cents").crossJoin(
-        exact_disc(k95, "exact_p95_cents")
+    exact = exact_disc(50, "exact_p50_cents").crossJoin(
+        exact_disc(95, "exact_p95_cents")
     )
     approx = li.select(cents.alias("c")).agg(
         F.percentile_approx("c", 0.5, 10000).alias("a50"),

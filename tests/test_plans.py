@@ -49,6 +49,10 @@ _CROSS_JOIN_OK = {
     # 1-row corpus total + 1-row scaled-integer normalizer crossed into
     # the 20-row per-source weights
     "pipeline_mixture_temperature",
+    # r16 one-action rewrites: 1-row min/max (or count) aggregate
+    # broadcast-crossed into the plan, replacing a driver .first()/.count()
+    "feature_binning",
+    "text_tfidf",
 }
 
 
