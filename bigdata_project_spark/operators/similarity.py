@@ -329,15 +329,22 @@ def query_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     melted = sigs.select("vec_id", F.explode(bands).alias("bs")).select(
         "vec_id", F.col("bs.band").alias("band"), F.col("bs.nib").alias("nib")
     )
-    a, b = melted.alias("a"), melted.alias("b")
+    # r16: bucket groupBy + in-bucket pair explode instead of a melt
+    # self-join — the self-join evaluated the mapInPandas signature
+    # subtree TWICE when the planner broadcast one side (exchange reuse
+    # does not fire across a BroadcastExchange; verified on the sibling
+    # minhash melt), i.e. two full Python passes over the embeddings.
+    # One collect_list shuffle of (vec_id, band, nib) rows runs the
+    # Python pass once; the in-bucket expansion applies the identical
+    # vec_a < vec_b cut, so the candidate set is unchanged.
     pair_ids = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.nib") == F.col("b.nib"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        melted.groupBy("band", "nib")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select("ids", F.explode("ids").alias("vec_a"))
+        .select("vec_a", F.explode("ids").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
         .distinct()
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))

@@ -200,22 +200,36 @@ def _prefix_filtered_pairs(
         "doc_id", "shingle", "c"
     )
 
-    pa, pb = prefix.alias("a"), prefix.alias("b")
     # length-ratio prune (the other half of the PPJoin bound): J ≥ t
     # forces t·max(|A|,|B|) ≤ min(|A|,|B|); in exact integer arithmetic
     # both of j_num·c_a ≤ j_den·c_b and j_num·c_b ≤ j_den·c_a. Pairs
     # failing it cannot clear the caller's ≥ t cut, so pruning them in
-    # the candidate join is output-identical — and at t = 0.7 (the
-    # recall harness) it is the difference between the prefix buckets
-    # pairing everything against everything and pairing only
+    # the candidate generation is output-identical — and at t = 0.7
+    # (the recall harness) it is the difference between the prefix
+    # buckets pairing everything against everything and pairing only
     # comparable-length docs (MEASURED: truth pass 7.1 → ~3 s at sf0.1).
+    #
+    # r16: candidates come from a per-shingle bucket groupBy + in-bucket
+    # pair explode, not a prefix self-join. When the planner broadcasts
+    # one join side (it does at bench scale), the whole prefix subtree
+    # (df-count join + per-doc window + size join) is evaluated TWICE —
+    # exchange reuse does not fire across a BroadcastExchange (verified
+    # in the executed plan); the SMJ fallback pays two sorts + two
+    # shuffle reads. One collect_list shuffle of the (already
+    # rare-bucket-bounded) prefix rows is deterministically a single
+    # evaluation; the in-bucket expansion applies the identical
+    # doc_a < doc_b and length-ratio cuts, so the candidate set is
+    # unchanged row for row.
     cand = (
-        pa.join(
-            pb,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        prefix.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "c")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+        .select("ps", F.explode("ps").alias("a"))
+        .select("a", F.explode("ps").alias("b"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.c") * j_num <= F.col("b.c") * j_den)
-            & (F.col("b.c") * j_num <= F.col("a.c") * j_den),
+            & (F.col("b.c") * j_num <= F.col("a.c") * j_den)
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -443,19 +457,33 @@ def lsh_candidate_pairs(
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """Band the signatures and bucket-join: candidates agree on ≥1 band.
+    """Band the signatures and bucket: candidates agree on ≥1 band.
     Banding geometry is parameterizable for the recall sweep; the
-    registered near-dup default stays 4×3."""
+    registered near-dup default stays 4×3.
+
+    r16: per-bucket groupBy + in-bucket pair explode instead of a melt
+    self-join. When the planner broadcasts one join side (it does at
+    bench scale), the shingle→signature→melt subtree is evaluated
+    TWICE — exchange reuse does not fire across a BroadcastExchange
+    (verified in the executed plan); under the SMJ fallback it costs
+    two sorts and two shuffle reads of the melt. The bucket form is
+    deterministically one signature pass + one melt shuffle + no sort,
+    independent of the planner's join-strategy and reuse decisions.
+    The in-bucket expansion applies the identical doc_a < doc_b cut,
+    so the candidate set is unchanged row for row; per-bucket memory
+    is the same band-bucket bound the join's build side had. Local
+    cost: ~0.2 s of stage constants vs the broadcast shortcut (A/B'd
+    interleaved at sf0.1) — accepted for the scale-deterministic
+    shape."""
     melted = _band_melt(sigs, n_bands, rows_per_band)
-    a, b = melted.alias("a"), melted.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        melted.groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select("ids", F.explode("ids").alias("doc_a"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -679,20 +707,31 @@ def query_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bs.band").alias("band"),
         F.col("bs.sig").alias("sig"),
     )
-    a, b = melted.alias("a"), melted.alias("b")
+    # r16: candidate generation is a bucket groupBy + in-bucket pair
+    # explode, NOT a melt self-join. The self-join form evaluated the
+    # whole signature subtree TWICE — one 12-way min hash-aggregate
+    # pass + exchange per join side; exchange reuse does not fire
+    # because the planner wraps one side in a BroadcastExchange
+    # (verified in the executed plan), and that build side is the
+    # ENTIRE melted frame (28 band rows per doc), which only stays
+    # broadcastable at bench scale. One collect_list shuffle of the
+    # melted rows replaces both: signatures are computed once, the sig
+    # strings are dropped at the aggregate, and the quadratic in-bucket
+    # expansion is exactly the pair set the join produced (same bucket
+    # equality, same doc_a < doc_b cut), streamed by two Generate nodes
+    # map-side. Bucket sizes bound memory the same way they bounded the
+    # join's hash relation — the (12,1) geometry's degenerate fan-out
+    # is the measurement itself (see deployment note above).
+    buckets = (
+        melted.groupBy("cfg", "band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select("cfg", "ids")
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.cfg") == F.col("b.cfg"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.cfg").alias("cfg"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        buckets.select("cfg", "ids", F.explode("ids").alias("doc_a"))
+        .select("cfg", "doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     stats = (
