@@ -97,7 +97,21 @@ def query_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("pos div 63").alias("word"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("bit"),
     )
-    bloom = melted.groupBy("word").agg(F.bit_or("bit").alias("bits"))
+    # r16: the sketch is consumed BLOOM_K times (one broadcast side per
+    # hash function) and Spark copies the subtree per consumer — the
+    # before-plan rebuilt the whole bit_or aggregate (and re-ran the
+    # keys scan under it) three times, 14 lineitem+orders scans total.
+    # The sketch is ≤ BLOOM_WORDS rows, so a lazy localCheckpoint
+    # materializes it once (~0.1 s of checkpoint constants locally,
+    # one sketch build instead of three at any scale; executed-plan
+    # scans 14 → 8, results bit-identical). This does NOT revisit the
+    # r10 keys-checkpoint A/B above — keys stays lazy; only the tiny
+    # aggregated sketch is pinned.
+    bloom = (
+        melted.groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .localCheckpoint(eager=False)
+    )
 
     # hash DISTINCT fact keys, not fact rows: lineitem repeats each
     # orderkey ~4x, so the md5+hex-parse work (the query's hot expression)

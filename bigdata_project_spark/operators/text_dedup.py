@@ -1953,13 +1953,27 @@ def screen_batch_against_store(
         F.broadcast(new_hashed.select("content_hash").distinct()),
         "content_hash",
     )
-    staged = new_hashed.join(F.broadcast(hash_hits), "content_hash", "left")
+    # r16: staged / new_sh / cand sit at the plan's fan-out points
+    # (staged feeds survivors AND the final verdict; new_sh feeds the
+    # band melt AND the verify sets; cand feeds the text fetch AND the
+    # verify join) and Spark copies the whole upstream chain per
+    # consumer — the before-plan re-read the stored hash and band
+    # tables once per copy, 23 parquet scans total. All three frames
+    # are batch/collision-bounded by the screen's asymmetric contract,
+    # so lazy localCheckpoints pin each once: the store hash table,
+    # store band table and the candidate-text semi-join are each
+    # scanned exactly once per screen (executed plan 23 → 5 scans),
+    # within the same action. Determinism is untouched — everything
+    # derives from the eagerly-checkpointed new_hashed above.
+    staged = new_hashed.join(
+        F.broadcast(hash_hits), "content_hash", "left"
+    ).localCheckpoint(eager=False)
     survivors = staged.filter(F.col("exact_match").isNull()).select(
         "doc_id", "text"
     )
     # stage 2: LSH bands of the (tiny) surviving batch broadcast against
     # the STORED corpus bands; verify candidates at true Jaccard
-    new_sh = shingle_rows(survivors)
+    new_sh = shingle_rows(survivors).localCheckpoint(eager=False)
     ex_melt = spark.table(band_t)
     new_melt = _band_melt(minhash_signatures(new_sh))
     cand = (
@@ -1974,6 +1988,7 @@ def screen_batch_against_store(
             F.col("e.doc_id").alias("ex_id"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # verification fetch: shingle ONLY the candidate existing docs (a
     # semi-join by collision id — the "fetch candidate texts" step of a

@@ -399,13 +399,26 @@ def query_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     unhashable."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    # r16: dist/bck feed six consumers (both exact_disc branches × the
+    # target-bucket, in-bucket and n subtrees) and Spark copies the
+    # subtree per consumer — the before-plan held 14 lineitem scans, no
+    # runtime exchange reuse. Both frames are domain-bounded (≈ distinct
+    # price cents / $100 buckets), so a lazy localCheckpoint materializes
+    # each once inside the same single action and every consumer reads
+    # the persisted partitions; lineitem is now scanned twice total (the
+    # histogram pass and the GK-sketch pass), regardless of consumers.
     dist = (
         li.select(cents.alias("c"))
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("b", F.expr("c div 10000"))
+        .localCheckpoint(eager=False)
     )
-    bck = dist.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
+    bck = (
+        dist.groupBy("b")
+        .agg(F.sum("cnt").alias("bcnt"))
+        .localCheckpoint(eager=False)
+    )
     cumb = bck.withColumn(
         # ~1k bucket-count rows: the single-value partition key (b % 1,
         # non-foldable) marks the one task as intended and silences the

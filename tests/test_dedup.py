@@ -311,7 +311,7 @@ def test_incremental_dedup_verdicts(spark, sf_dir):
     assert kept["matched_doc"].isna().all() and kept["jaccard"].isna().all()
 
 
-def test_incremental_store_backs_the_batch_screen(spark, sf_dir):
+def test_incremental_store_backs_the_batch_screen(spark, sf_dir, monkeypatch):
     """The r10 signature-store contract: after the first call, the
     corpus' hashes/bands live in catalog tables, the per-batch plan
     READS those stores (no full-corpus signature recompute in the
@@ -319,10 +319,21 @@ def test_incremental_store_backs_the_batch_screen(spark, sf_dir):
     from bigdata_project_spark.operators import text_dedup as td
 
     df = td.query_dedup_incremental_lsh(spark, sf_dir)
+    df.limit(1).collect()  # the pinned production path still executes
     hash_t, band_t = td._incremental_sig_store(spark, sf_dir)
     assert spark.catalog.tableExists(hash_t)
     assert spark.catalog.tableExists(band_t)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # r16: the screen pins its fan-out frames with lazy localCheckpoints,
+    # which truncate lineage to LogicalRDD — the store scans live in the
+    # checkpointed sub-plans, invisible from the final frame. Re-derive
+    # the plan with checkpointing stubbed to identity (on the concrete
+    # runtime DataFrame class, not the abstract base), purely for
+    # inspection: same code path, full lineage.
+    monkeypatch.setattr(
+        type(df), "localCheckpoint", lambda self, eager=True: self
+    )
+    plan_df = td.query_dedup_incremental_lsh(spark, sf_dir)
+    plan = plan_df._jdf.queryExecution().optimizedPlan().toString()
     # the batch screen scans the stored tables, not re-derived signatures
     assert "incr_hash_store__" in plan and "incr_band_store__" in plan
     # memo: a second invocation maps to the SAME tables (no rewrite churn)

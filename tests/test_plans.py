@@ -483,7 +483,7 @@ def test_bloom_prefilter_broadcasts_sketch(spark, sf_dir):
     assert "shiftright" in plan  # the bit-test membership expression
 
 
-def test_incremental_store_never_broadcast(spark, sf_dir):
+def test_incremental_store_never_broadcast(spark, sf_dir, monkeypatch):
     """The 100 TB contract of the incremental screen: the STORED corpus
     signature tables (billions of rows at scale) must never sit under a
     BroadcastExchange — both stages broadcast the tiny batch side into
@@ -491,6 +491,14 @@ def test_incremental_store_never_broadcast(spark, sf_dir):
     from bigdata_project_spark.operators import text_dedup as td
 
     hash_t, band_t = td._incremental_sig_store(spark, sf_dir)
+    # r16: the screen pins its fan-out frames with lazy localCheckpoints,
+    # which hide the store scans behind LogicalRDD in the final plan.
+    # Inspect the same join construction with checkpointing stubbed to
+    # identity (concrete runtime class) — full lineage, same code path.
+    probe = td.query_dedup_incremental_lsh(spark, sf_dir)
+    monkeypatch.setattr(
+        type(probe), "localCheckpoint", lambda self, eager=True: self
+    )
     df = td.query_dedup_incremental_lsh(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert hash_t in plan and band_t in plan  # both stores scanned

@@ -226,7 +226,7 @@ def test_incremental_store_append_two_batches(spark, duck, sf_dir):
                 pass
 
 
-def test_incremental_store_hash_prefix_layout(spark, sf_dir):
+def test_incremental_store_hash_prefix_layout(spark, sf_dir, monkeypatch):
     """The PRODUCTION store layout (r11): hash table partitioned by a
     2-hex-char md5 prefix. A batch screen must (a) produce output
     identical to the flat layout, (b) partition-prune the hash-store
@@ -258,8 +258,22 @@ def test_incremental_store_hash_prefix_layout(spark, sf_dir):
         out_part = screened.toPandas()
         assert canonicalize(out_flat).equals(canonicalize(out_part))
 
-        # (b) the partitioned hash scan carries a real partition filter
-        plan = screened._jdf.queryExecution().executedPlan().toString()
+        # (b) the partitioned hash scan carries a real partition filter.
+        # r16: the screen pins its fan-out frames with lazy
+        # localCheckpoints, so the hash-store scan runs inside the
+        # checkpoint's own job and is invisible from the final frame's
+        # executedPlan. Re-derive and execute a probe with checkpointing
+        # stubbed to identity (on the concrete runtime class) purely for
+        # plan inspection — same code path, full lineage.
+        with monkeypatch.context() as mp:
+            mp.setattr(
+                type(screened), "localCheckpoint", lambda self, eager=True: self
+            )
+            probe = td.screen_batch_against_store(
+                spark, docs, batch, part_h, part_b
+            )
+            probe.toPandas()
+        plan = probe._jdf.queryExecution().executedPlan().toString()
         scan_lines = [
             l for l in plan.splitlines() if part_h in l and "FileScan" in l
         ]
