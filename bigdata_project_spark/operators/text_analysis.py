@@ -226,7 +226,12 @@ def query_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_frame(load_table(spark, sf_dir, "documents"))
 
 
-def quality_frame(docs: DataFrame) -> DataFrame:
+def quality_frame(docs: DataFrame, carry: list[str] | None = None) -> DataFrame:
+    """Per-row quality projection (no shuffle). ``carry`` lists extra
+    input columns to pass through the select — callers that need them
+    alongside the scores can then skip a doc_id self-join back onto
+    their input (r16: clean_corpus re-derived its whole deduped-corpus
+    subtree for exactly that join)."""
     toks = tokens(F.col("text"))
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
@@ -245,6 +250,7 @@ def quality_frame(docs: DataFrame) -> DataFrame:
         round_portable(punct_ratio, 6).alias("punct_ratio"),
         round_portable(mean_wl, 6).alias("mean_word_len"),
         round_portable(quality, 6).alias("quality"),
+        *(carry or []),
     )
 
 

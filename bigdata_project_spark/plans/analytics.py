@@ -170,14 +170,31 @@ GROUP BY l_returnflag
 """
 
 
+def _lattice_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base for the grouping-lattice family (r16): ONE plain hash
+    aggregate to the (l_returnflag, l_linestatus) cells, then
+    rollup/cube/groupingSets run over the ~6-row cell frame. The naive
+    form expands every scanned row once per grouping set (Expand ×3-4
+    ahead of the partial aggregate — at 100 TB that triples the hot
+    scan-path CPU); COUNT and the DECIMAL SUM are decomposable
+    (sum-of-sums / sum-of-counts, decimal addition is exact and
+    order-independent), so re-aggregating the cells is bit-identical to
+    expanding the raw rows, and the Expand now touches 6 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("__q"),
+    )
+
+
 def query_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (grouping-set aggregation)."""
-    li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        _lattice_cells(spark, sf_dir)
+        .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum("__n").alias("n_rows"),
+            F.sum("__q").cast("double").alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -199,13 +216,14 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 def query_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all 2^n grouping combinations (rollup's lattice superset)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """CUBE: all 2^n grouping combinations (rollup's lattice superset).
+    Runs over the pre-aggregated cells — see :func:`_lattice_cells`."""
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        _lattice_cells(spark, sf_dir)
+        .cube("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum("__n").alias("n_rows"),
+            F.sum("__q").cast("double").alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -266,10 +284,11 @@ def query_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROLLUP/CUBE, via the Spark 4 DataFrame ``groupingSets`` API. Same
     single Expand+aggregate pass; only the requested sets materialize
     (here the two 1-D marginals plus the 2-D cells, NOT the grand
-    total — exactly what CUBE can't express without a filter)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    total — exactly what CUBE can't express without a filter). Runs
+    over the pre-aggregated cells — see :func:`_lattice_cells`."""
     return (
-        li.groupingSets(
+        _lattice_cells(spark, sf_dir)
+        .groupingSets(
             [
                 ["l_returnflag", "l_linestatus"],
                 ["l_returnflag"],
@@ -279,8 +298,8 @@ def query_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linestatus",
         )
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum("__n").alias("n_rows"),
+            F.sum("__q").cast("double").alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),

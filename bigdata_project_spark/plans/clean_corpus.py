@@ -84,9 +84,12 @@ def query_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept = corpus.join(survivors, "doc_id")
-    scored = quality_frame(kept).join(
-        kept.select("doc_id", "lang", "source"), "doc_id"
-    )
+    # r16: quality_frame is a pure per-row projection, so joining its
+    # output back onto `kept` for lang/source was a corpus self-join —
+    # Spark re-derived the whole dedup subtree for the second copy
+    # (8 parquet scans in the before-plan). Carrying the two columns
+    # through the projection removes the join outright.
+    scored = quality_frame(kept, carry=["lang", "source"])
     good = scored.filter(F.col("quality") >= _Q_THRESHOLD)
     return good.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
