@@ -196,40 +196,41 @@ def _prefix_filtered_pairs(
     prefix_len = F.expr(
         f"c - (({j_num} * c + {j_den - 1}) div {j_den}) + 1"
     )
+    # r16 settled: this self-join form is the right one, unpinned.
+    # Two alternatives were measured and REVERTED this round:
+    # (a) bucket groupBy + collect_list + in-bucket pair explode — at
+    #     the recall harness's degenerate (12,1)-adjacent bucket sizes
+    #     the first explode copies the whole in-bucket array into every
+    #     output row (O(n²) array cells per bucket); the hash-probe
+    #     join streams the identical pairs without materializing
+    #     arrays (interleaved A/B at sf0.1: ngram 3.09 → 2.05 s).
+    # (b) a lazy localCheckpoint pin on the prefix frame — the
+    #     materialization round-trip costs more than the recompute it
+    #     saves at any planner choice (interleaved A/B, same session:
+    #     the verified-pairs DAG reads ~0.5 s slower with pins, and
+    #     stays slower with broadcast disabled, i.e. under the plan a
+    #     100 TB corpus would get, where runtime stage reuse already
+    #     single-evaluates the duplicate subtrees under SMJ).
     prefix = with_size.filter(F.col("pos") <= prefix_len).select(
         "doc_id", "shingle", "c"
     )
 
+    pa, pb = prefix.alias("a"), prefix.alias("b")
     # length-ratio prune (the other half of the PPJoin bound): J ≥ t
     # forces t·max(|A|,|B|) ≤ min(|A|,|B|); in exact integer arithmetic
     # both of j_num·c_a ≤ j_den·c_b and j_num·c_b ≤ j_den·c_a. Pairs
     # failing it cannot clear the caller's ≥ t cut, so pruning them in
-    # the candidate generation is output-identical — and at t = 0.7
-    # (the recall harness) it is the difference between the prefix
-    # buckets pairing everything against everything and pairing only
+    # the candidate join is output-identical — and at t = 0.7 (the
+    # recall harness) it is the difference between the prefix buckets
+    # pairing everything against everything and pairing only
     # comparable-length docs (MEASURED: truth pass 7.1 → ~3 s at sf0.1).
-    #
-    # r16: candidates come from a per-shingle bucket groupBy + in-bucket
-    # pair explode, not a prefix self-join. When the planner broadcasts
-    # one join side (it does at bench scale), the whole prefix subtree
-    # (df-count join + per-doc window + size join) is evaluated TWICE —
-    # exchange reuse does not fire across a BroadcastExchange (verified
-    # in the executed plan); the SMJ fallback pays two sorts + two
-    # shuffle reads. One collect_list shuffle of the (already
-    # rare-bucket-bounded) prefix rows is deterministically a single
-    # evaluation; the in-bucket expansion applies the identical
-    # doc_a < doc_b and length-ratio cuts, so the candidate set is
-    # unchanged row for row.
     cand = (
-        prefix.groupBy("shingle")
-        .agg(F.collect_list(F.struct("doc_id", "c")).alias("ps"))
-        .filter(F.size("ps") >= 2)
-        .select("ps", F.explode("ps").alias("a"))
-        .select("a", F.explode("ps").alias("b"))
-        .filter(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
+        pa.join(
+            pb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.c") * j_num <= F.col("b.c") * j_den)
-            & (F.col("b.c") * j_num <= F.col("a.c") * j_den)
+            & (F.col("b.c") * j_num <= F.col("a.c") * j_den),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -461,29 +462,30 @@ def lsh_candidate_pairs(
     Banding geometry is parameterizable for the recall sweep; the
     registered near-dup default stays 4×3.
 
-    r16: per-bucket groupBy + in-bucket pair explode instead of a melt
-    self-join. When the planner broadcasts one join side (it does at
-    bench scale), the shingle→signature→melt subtree is evaluated
-    TWICE — exchange reuse does not fire across a BroadcastExchange
-    (verified in the executed plan); under the SMJ fallback it costs
-    two sorts and two shuffle reads of the melt. The bucket form is
-    deterministically one signature pass + one melt shuffle + no sort,
-    independent of the planner's join-strategy and reuse decisions.
-    The in-bucket expansion applies the identical doc_a < doc_b cut,
-    so the candidate set is unchanged row for row; per-bucket memory
-    is the same band-bucket bound the join's build side had. Local
-    cost: ~0.2 s of stage constants vs the broadcast shortcut (A/B'd
-    interleaved at sf0.1) — accepted for the scale-deterministic
-    shape."""
+    r16 settled: the melt self-join, unpinned, is the right form. Two
+    alternatives were measured and REVERTED this round: (a) a bucket
+    groupBy + collect_list + in-bucket pair explode — big buckets copy
+    the whole id array once per member before the second explode
+    (O(n²) array cells per bucket, measured 2-3× slower at sf0.1 under
+    the recall sweep's degenerate geometry) while the hash-probe join
+    streams the same pairs; (b) a lazy localCheckpoint pin on the
+    signature table — the materialization round-trip costs more than
+    the recompute it saves (interleaved A/B at sf0.1, and still true
+    with broadcast disabled, i.e. under the SMJ plan a 100 TB corpus
+    gets, where runtime stage reuse single-evaluates the signature
+    subtree anyway)."""
     melted = _band_melt(sigs, n_bands, rows_per_band)
+    a, b = melted.alias("a"), melted.alias("b")
     return (
-        melted.groupBy("band", "sig")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select("ids", F.explode("ids").alias("doc_a"))
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .distinct()
     )
 
@@ -502,6 +504,14 @@ def lsh_verified_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
     # sf0.1: distinct-first wins by ~12% (early dedup shrinks the k min
     # aggregates; this corpus is duplicate-light). On duplicate-heavy
     # corpora flip to shingle_rows_raw — correctness is unaffected.
+    # r16: deliberately NOT localCheckpoint-pinned, although sh feeds
+    # the signature pass AND the set build, and sets feeds both verify
+    # sides. Pinning all three was tried and measured SLOWER in an
+    # interleaved same-session A/B at sf0.1 (median 1.95 s vs 1.47 s
+    # unpinned; still slower with broadcast disabled — the plan shape a
+    # 100 TB corpus gets), because runtime stage reuse already
+    # single-evaluates the duplicated exchange subtrees under SMJ while
+    # each pin adds a full materialization round-trip.
     sh = shingle_rows(docs)
     cands = lsh_candidate_pairs(minhash_signatures(sh))
     sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shingles"))
@@ -707,31 +717,32 @@ def query_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bs.band").alias("band"),
         F.col("bs.sig").alias("sig"),
     )
-    # r16: candidate generation is a bucket groupBy + in-bucket pair
-    # explode, NOT a melt self-join. The self-join form evaluated the
-    # whole signature subtree TWICE — one 12-way min hash-aggregate
-    # pass + exchange per join side; exchange reuse does not fire
-    # because the planner wraps one side in a BroadcastExchange
-    # (verified in the executed plan), and that build side is the
-    # ENTIRE melted frame (28 band rows per doc), which only stays
-    # broadcastable at bench scale. One collect_list shuffle of the
-    # melted rows replaces both: signatures are computed once, the sig
-    # strings are dropped at the aggregate, and the quadratic in-bucket
-    # expansion is exactly the pair set the join produced (same bucket
-    # equality, same doc_a < doc_b cut), streamed by two Generate nodes
-    # map-side. Bucket sizes bound memory the same way they bounded the
-    # join's hash relation — the (12,1) geometry's degenerate fan-out
-    # is the measurement itself (see deployment note above).
-    buckets = (
-        melted.groupBy("cfg", "band", "sig")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select("cfg", "ids")
-    )
+    # r16 settled: melt self-join, unpinned (the signature subtree
+    # derives from the eagerly checkpointed `sh`, so a per-side
+    # re-derivation is one in-memory aggregate, and runtime stage
+    # reuse collapses even that under the SMJ plan large corpora get).
+    # A bucket groupBy + collect_list + in-bucket explode variant was
+    # tried and REVERTED: under this sweep's degenerate (12,1)
+    # geometry the first explode copies the whole in-bucket id array
+    # into every output row (O(n²) array cells per bucket) — measured
+    # 9.9 s vs 3.9 s for the self-join at sf0.1 — while the hash-probe
+    # join streams the identical pair set (same bucket equality, same
+    # doc_a < doc_b cut). A lazy pin on `sigs` was also A/B'd and
+    # measured slower (materialization round-trip > saved recompute).
+    ma, mb = melted.alias("a"), melted.alias("b")
     cands = (
-        buckets.select("cfg", "ids", F.explode("ids").alias("doc_a"))
-        .select("cfg", "doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        ma.join(
+            mb,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            "a.cfg",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
     stats = (
