@@ -1505,7 +1505,15 @@ def lcp_profile(corpus: DataFrame) -> DataFrame:
     """The capped-LCP kernel over any (doc_id, text) frame — see
     :func:`query_text_dup_spans_lcp` for the plan rationale. Split out
     so the planted-corpus reference test can drive it directly."""
-    toks = corpus.select("doc_id", tokens(F.col("text")).alias("t"))
+    # toks is consumed three times (level-SA_T melt, the hi candidate
+    # join, totals) — a full-corpus tokenize per consumer without the
+    # pin. r16: pinned (module convention for full-corpus multi-consumer
+    # subtrees, same as dedup_span_removal's toks) — interleaved A/B at
+    # sf0.1 reads 3.9 s vs 4.8 s median, and at corpus scale the pin
+    # replaces two tokenize passes with a stored-token read.
+    toks = corpus.select("doc_id", tokens(F.col("text")).alias("t")).localCheckpoint(
+        eager=False
+    )
     # level-SA_T pass over the whole corpus: one hash per position. Rows
     # are (doc_id, pos, ph) ONLY — carrying the token array through the
     # melt multiplies the checkpoint by doc length (measured 2-4x the
