@@ -97,21 +97,16 @@ def query_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("pos div 63").alias("word"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("bit"),
     )
-    # r16: the sketch is consumed BLOOM_K times (one broadcast side per
-    # hash function) and Spark copies the subtree per consumer — the
-    # before-plan rebuilt the whole bit_or aggregate (and re-ran the
-    # keys scan under it) three times, 14 lineitem+orders scans total.
-    # The sketch is ≤ BLOOM_WORDS rows, so a lazy localCheckpoint
-    # materializes it once (~0.1 s of checkpoint constants locally,
-    # one sketch build instead of three at any scale; executed-plan
-    # scans 14 → 8, results bit-identical). This does NOT revisit the
-    # r10 keys-checkpoint A/B above — keys stays lazy; only the tiny
-    # aggregated sketch is pinned.
-    bloom = (
-        melted.groupBy("word")
-        .agg(F.bit_or("bit").alias("bits"))
-        .localCheckpoint(eager=False)
-    )
+    # r16 settled: the sketch is consumed BLOOM_K times (one broadcast
+    # side per hash function) and the STATIC plan copies the subtree per
+    # consumer (14 scans) — but a mid-round lazy-localCheckpoint pin was
+    # A/B'd and REVERTED: the three broadcast sides canonicalize equal,
+    # so exchange reuse already builds the sketch once at runtime, and
+    # the pin's materialization round-trip measured 1.83 s vs 1.15 s
+    # unpinned (interleaved, sf0.1). Same verdict as the r10
+    # keys-checkpoint A/B above: recompute-under-reuse beats a
+    # checkpoint write at every scale here.
+    bloom = melted.groupBy("word").agg(F.bit_or("bit").alias("bits"))
 
     # hash DISTINCT fact keys, not fact rows: lineitem repeats each
     # orderkey ~4x, so the md5+hex-parse work (the query's hot expression)

@@ -33,18 +33,18 @@ def query_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
 
-    # r16: each stage frame is consumed twice (next stage's gate + its
-    # own count sink) and Spark copies the subtree per consumer — the
-    # before-plan scanned events six times (n_p re-derived click, which
-    # re-derived view). Lazy localCheckpoints pin each per-user stage
-    # frame so events is scanned once per stage filter (3 scans, the
-    # minimum for this chain short of a one-shuffle window rewrite),
-    # still within one action.
+    # r16 settled: each stage frame is consumed twice (next stage's gate
+    # + its own count sink) and the STATIC plan copies the subtree per
+    # consumer (6 events scans) — but a mid-round lazy-localCheckpoint
+    # pin of the stage frames was A/B'd and REVERTED: the duplicated
+    # subtrees end in identical aggregate exchanges, so runtime stage
+    # reuse already evaluates each stage once, and the pins measured
+    # 0.75 s vs 0.23 s unpinned (interleaved, sf0.1) — the
+    # materialization round-trips tripled the query.
     view = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts_view"))
-        .localCheckpoint(eager=False)
     )
     click = (
         ev.filter(F.col("event_type") == "click")
@@ -52,7 +52,6 @@ def query_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("ts_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts_click"))
-        .localCheckpoint(eager=False)
     )
     purchase = (
         ev.filter(F.col("event_type") == "purchase")

@@ -1959,7 +1959,13 @@ def screen_batch_against_store(
         # the few partitions a batch can possibly collide with.
         # Materialize FIRST so the collected prefixes and the joined
         # rows come from one evaluation (see determinism note above).
-        new_hashed = new_hashed.localCheckpoint(eager=True)
+        # r16: lazy instead of eager — the prefix collect right below
+        # computes every partition of new_hashed (distinct needs full
+        # input), so the checkpoint is fully materialized by the same
+        # job and the determinism guarantee is identical, one job
+        # earlier (test_screen_nondeterministic_batch_hp still pins the
+        # guarantee).
+        new_hashed = new_hashed.localCheckpoint(eager=False)
         prefixes = [
             r[0]
             for r in _with_hash_prefix(new_hashed.select("content_hash"))
@@ -1972,27 +1978,22 @@ def screen_batch_against_store(
         F.broadcast(new_hashed.select("content_hash").distinct()),
         "content_hash",
     )
-    # r16: staged / new_sh / cand sit at the plan's fan-out points
-    # (staged feeds survivors AND the final verdict; new_sh feeds the
-    # band melt AND the verify sets; cand feeds the text fetch AND the
-    # verify join) and Spark copies the whole upstream chain per
-    # consumer — the before-plan re-read the stored hash and band
-    # tables once per copy, 23 parquet scans total. All three frames
-    # are batch/collision-bounded by the screen's asymmetric contract,
-    # so lazy localCheckpoints pin each once: the store hash table,
-    # store band table and the candidate-text semi-join are each
-    # scanned exactly once per screen (executed plan 23 → 5 scans),
-    # within the same action. Determinism is untouched — everything
-    # derives from the eagerly-checkpointed new_hashed above.
-    staged = new_hashed.join(
-        F.broadcast(hash_hits), "content_hash", "left"
-    ).localCheckpoint(eager=False)
+    # r16 settled: staged / new_sh / cand sit at the plan's fan-out
+    # points and the STATIC plan copies the upstream chain per consumer
+    # (23 parquet scans) — but a mid-round lazy-localCheckpoint pin of
+    # all three was A/B'd and REVERTED: the duplicated copies share
+    # canonical broadcast/aggregate exchanges that runtime reuse
+    # already evaluates once, and the pins measured 2.23 s vs ~0.7 s
+    # unpinned (interleaved, sf0.1) — three materialization round-trips
+    # per screen. DETERMINISM is carried solely by the eager
+    # new_hashed checkpoint above (test-pinned), which stays.
+    staged = new_hashed.join(F.broadcast(hash_hits), "content_hash", "left")
     survivors = staged.filter(F.col("exact_match").isNull()).select(
         "doc_id", "text"
     )
     # stage 2: LSH bands of the (tiny) surviving batch broadcast against
     # the STORED corpus bands; verify candidates at true Jaccard
-    new_sh = shingle_rows(survivors).localCheckpoint(eager=False)
+    new_sh = shingle_rows(survivors)
     ex_melt = spark.table(band_t)
     new_melt = _band_melt(minhash_signatures(new_sh))
     cand = (
@@ -2007,7 +2008,6 @@ def screen_batch_against_store(
             F.col("e.doc_id").alias("ex_id"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
     # verification fetch: shingle ONLY the candidate existing docs (a
     # semi-join by collision id — the "fetch candidate texts" step of a

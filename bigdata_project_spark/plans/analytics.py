@@ -418,26 +418,21 @@ def query_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     unhashable."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
-    # r16: dist/bck feed six consumers (both exact_disc branches × the
-    # target-bucket, in-bucket and n subtrees) and Spark copies the
-    # subtree per consumer — the before-plan held 14 lineitem scans, no
-    # runtime exchange reuse. Both frames are domain-bounded (≈ distinct
-    # price cents / $100 buckets), so a lazy localCheckpoint materializes
-    # each once inside the same single action and every consumer reads
-    # the persisted partitions; lineitem is now scanned twice total (the
-    # histogram pass and the GK-sketch pass), regardless of consumers.
+    # r16 settled: dist/bck feed six consumers (both exact_disc branches
+    # × the target-bucket, in-bucket and n subtrees) and the STATIC plan
+    # copies the subtree per consumer (14 lineitem scans) — but a
+    # mid-round lazy-localCheckpoint pin of both frames was A/B'd and
+    # REVERTED: every copy ends in the same canonical groupBy exchange,
+    # so runtime stage reuse already computes the histogram once, and
+    # the pins measured 1.93 s vs 0.79 s unpinned (interleaved, sf0.1)
+    # — two materialization round-trips on the query's critical path.
     dist = (
         li.select(cents.alias("c"))
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("b", F.expr("c div 10000"))
-        .localCheckpoint(eager=False)
     )
-    bck = (
-        dist.groupBy("b")
-        .agg(F.sum("cnt").alias("bcnt"))
-        .localCheckpoint(eager=False)
-    )
+    bck = dist.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
     cumb = bck.withColumn(
         # ~1k bucket-count rows: the single-value partition key (b % 1,
         # non-foldable) marks the one task as intended and silences the
