@@ -31,7 +31,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -75,40 +75,26 @@ def merge_keyed(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
             )
         else:
             residual.append(F.col(c).asc_nulls_last())
-    if set(new.columns) != set(cols):
-        # columns differ: keep the two-step form so the in-batch dedup
-        # can order by incoming-only columns before they are dropped
-        deduped = distinct_on(new, keys, residual or [F.lit(1)])
-        untouched = old.join(deduped.select(*keys), on=keys, how="left_anti")
-        return deduped.select(*cols).unionByName(untouched)
-    # r16: single-shuffle form. The two-step shape above consumed the
-    # deduped batch twice (anti-join probe + union branch), so Spark
-    # re-derived the batch subtree per consumer, and a fold chain
-    # (plans/incremental.py) compounded that duplication multiplicatively
-    # (10 scans / 27 window-family nodes in the 3-batch fold's plan).
-    # Union old+new with a source tag instead and resolve everything in
-    # ONE window pass over the merge keys: new rows sort first, so
-    # row_number()==1 within the src=0 block is exactly distinct_on(new)
-    # and any key that has a new row drops its old rows (min(src)==0) —
-    # row-for-row the semantics of the anti-join form, including
-    # duplicate-key old tables (all old rows of unmatched keys survive).
-    # Plan: one Exchange on the keys + one sort serving both window
-    # functions, versus window-exchange + anti-join exchanges + union.
-    tagged = (
-        new.select(*cols)
-        .withColumn("__src", F.lit(0))
-        .unionByName(old.select(*cols).withColumn("__src", F.lit(1)))
-    )
-    w_pick = Window.partitionBy(*keys).orderBy(
-        F.col("__src").asc(), *(residual or [F.lit(1)])
-    )
-    w_key = Window.partitionBy(*keys)
-    return (
-        tagged.withColumn("__rn", F.row_number().over(w_pick))
-        .withColumn("__min_src", F.min("__src").over(w_key))
-        .filter(
-            ((F.col("__src") == 0) & (F.col("__rn") == 1))
-            | ((F.col("__src") == 1) & (F.col("__min_src") == 1))
-        )
-        .select(*cols)
-    )
+    # r17: back to the two-step form (dedup the batch, anti-join the old
+    # table on the deduped keys, union) — the r16 one-window-pass rewrite
+    # (union old+new with a source tag, row_number + min(src) in one
+    # window) was REVERTED here. It was justified from STATIC plan counts
+    # (10 scans / 27 window nodes in the 3-batch fold), but the deduped
+    # batch subtree ends in the dedup window's key exchange, so runtime
+    # exchange reuse single-evaluates it for both consumers — the same
+    # static-plan fallacy r16 itself documented for the fan-out pins.
+    # Measured (interleaved same-session A/B at sf0.1, 8 run pairs,
+    # order-balanced, tools/ab_item1_r17.json): the one-pass form lost
+    # the 3-batch incremental fold 2.77 vs 2.58 s (7/8 iterations) and
+    # won the micro-batch upsert 1.96 vs 2.15 s (a one-job scheduling
+    # constant). The SCALE shape decides the tie: both registered uses
+    # (incremental ingest fold, streaming upsert) merge a SMALL batch
+    # into a LARGE state — the one-pass form shuffles AND sorts the
+    # entire state on every merge, while this form leaves the state
+    # unshuffled under a broadcast anti-join (batch keys broadcastable)
+    # and at worst SMJ-shuffles it without the full-width sort. The
+    # replicated-input probe (tools/merge_scale_probe_r17.py: 10x state,
+    # 1% batch) confirms two-step ≤ one-pass at the scale shape.
+    deduped = distinct_on(new, keys, residual or [F.lit(1)])
+    untouched = old.join(deduped.select(*keys), on=keys, how="left_anti")
+    return deduped.select(*cols).unionByName(untouched)

@@ -1959,13 +1959,18 @@ def screen_batch_against_store(
         # the few partitions a batch can possibly collide with.
         # Materialize FIRST so the collected prefixes and the joined
         # rows come from one evaluation (see determinism note above).
-        # r16: lazy instead of eager — the prefix collect right below
-        # computes every partition of new_hashed (distinct needs full
-        # input), so the checkpoint is fully materialized by the same
-        # job and the determinism guarantee is identical, one job
-        # earlier (test_screen_nondeterministic_batch_hp still pins the
-        # guarantee).
-        new_hashed = new_hashed.localCheckpoint(eager=False)
+        # r17: eager=True RESTORED (was lazy for one session, r16). With
+        # a lazy checkpoint, partitions whose blocks are lost AFTER the
+        # prefix-collect job (executor loss at cluster scale) are
+        # RECOMPUTED — a nondeterministic batch could then re-evaluate
+        # after the prefixes were collected, silently reopening the r12
+        # exact-dup-classified-as-kept bug this checkpoint exists to
+        # prevent. Eager finalizes the checkpoint before the collect,
+        # making later block loss a loud failure instead. Cost: one
+        # count() job on the tiny batch side — measured nil (interleaved
+        # A/B at sf0.1, tools/ab_item1_r17.json: eager 2.661 s vs lazy
+        # 2.708 s medians, a wash).
+        new_hashed = new_hashed.localCheckpoint(eager=True)
         prefixes = [
             r[0]
             for r in _with_hash_prefix(new_hashed.select("content_hash"))

@@ -491,10 +491,12 @@ def test_incremental_store_never_broadcast(spark, sf_dir, monkeypatch):
     from bigdata_project_spark.operators import text_dedup as td
 
     hash_t, band_t = td._incremental_sig_store(spark, sf_dir)
-    # r16: the screen pins its fan-out frames with lazy localCheckpoints,
-    # which hide the store scans behind LogicalRDD in the final plan.
-    # Inspect the same join construction with checkpointing stubbed to
-    # identity (concrete runtime class) — full lineage, same code path.
+    # The screen's single remaining checkpoint — the new_hashed
+    # DETERMINISM checkpoint (eager, text_dedup.py) — hides the batch
+    # subtree behind LogicalRDD in the final plan (the r16 fan-out pins
+    # were reverted; only that one checkpoint is left). Inspect the same
+    # join construction with checkpointing stubbed to identity (concrete
+    # runtime class) — full lineage, same code path.
     probe = td.query_dedup_incremental_lsh(spark, sf_dir)
     monkeypatch.setattr(
         type(probe), "localCheckpoint", lambda self, eager=True: self
