@@ -41,6 +41,7 @@ Scale notes (the whole point of these designs):
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -159,6 +160,133 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
 _J_NUM, _J_DEN = 9, 10
 
 
+#: §2.5 skew bound for every candidate self-join in this module. The
+#: joins bucket on data-dependent keys (LSH band signatures, PPJoin
+#: prefix shingles) whose collision distribution is unbounded: one hot
+#: bucket of n rows makes a single task do O(n²) pair work — the blowup
+#: class the r16 bucket-group revert hit at toy scale (degenerate
+#: single-minhash buckets >10k docs), and the case AQE's skew-join split
+#: cannot fix (it cannot split a SINGLE enormous key; guide §2.5).
+#: Buckets above this size are salt-split into ceil(n/T) deterministic
+#: slices — candidate output is IDENTICAL (every in-bucket pair is
+#: produced exactly once; property-tested in tests/test_dedup.py), only
+#: the per-task bound changes from O(n²) to O(T·n) spread over ceil(n/T)
+#: tasks.
+#:
+#: Default is SCALE-DEPENDENT (parameterized per the round rules, env
+#: overridable both ways): ON (1024) under any cluster master — every
+#: production deployment gets the bound without hand-configuration —
+#: and OFF under local[*] masters, where (a) the fixture headroom is
+#: probe-verified (max observed bucket at sf0.1 is 20 rows —
+#: tools/lsh_bucket_stats_r17.json: recall melt 12×1 geometry; 7 for the
+#: registered 4×3, 9 for the prefix buckets — 51× under the threshold,
+#: so the salt NEVER fires locally and results are byte-identical
+#: either way), and (b) detection itself costs 2-3 extra scheduling-
+#: floor jobs per query, which at bench scale is pure constant overhead
+#: (measured +0.2-0.8 s/query across the five affected queries,
+#: tools/ab_skew_bound_r17.json — both a window-count and a
+#: hot-list-join detection form) while at cluster scale it is one
+#: partial-aggregated counting pass amortized against an O(n²)
+#: single-task straggler.
+_LSH_SALT_ENV = "SPARK_GRAFT_LSH_SALT_THRESHOLD"
+_LSH_SALT_DEFAULT = 1024
+
+
+def _salt_threshold(df: DataFrame) -> int:
+    env = os.environ.get(_LSH_SALT_ENV)
+    if env is not None:
+        return int(env)
+    master = df.sparkSession.conf.get("spark.master", "") or ""
+    return 0 if master.startswith("local") else _LSH_SALT_DEFAULT
+
+
+def skew_bounded_self_pairs(
+    melt: DataFrame,
+    keys: list[str],
+    *,
+    id_col: str = "doc_id",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    carry: tuple[str, ...] = (),
+    extra_cond=None,
+    threshold: int | None = None,
+) -> DataFrame:
+    """All in-bucket id pairs (``id_a < id_b``) of a melted bucket table,
+    with per-task work bounded by ``threshold`` (guide §2.5 salting).
+
+    Every bucket gets ``ns = ceil(bucket_size / threshold)`` salt slices:
+    side a takes ONE deterministic slice per row
+    (``pmod(xxhash64(id), ns)``), side b is replicated into all ``ns``
+    slices, and the join keys gain the slice id — so each pair is found
+    exactly once (in a's slice), per-slice fan-in is ≤ threshold × n, and
+    a hot bucket spreads over ns tasks instead of stalling one. With
+    ``ns = 1`` (every bucket under the threshold — the fixture case) the
+    salt column is constant 0 and the join degenerates to the plain
+    bucket self-join, same rows out.
+
+    Detection is priced for the common case: only the HOT bucket list
+    (size > threshold) is computed — a groupBy count whose map-side
+    partial aggregation shuffles (key, count) partials, never the melt —
+    and left-joined back. With zero hot buckets (every fixture, and any
+    healthy corpus) the join side is empty, AQE's empty-relation
+    propagation collapses it, and the plan degenerates to the plain
+    self-join plus one tiny counting job (a first window-based variant
+    that shuffled + sorted the whole melt for the count was A/B'd at
+    +0.23…+1.25 s per query and replaced by this form —
+    tools/ab_skew_bound_r17.json records both). The hot list itself is
+    bounded by rows/threshold and broadcastable in any non-degenerate
+    corpus; the planner falls back to a keyed join when it is not.
+
+    ``extra_cond`` may reference the aliases ``a``/``b`` (e.g. the PPJoin
+    length-ratio prune). ``carry`` columns are taken from side a.
+    Callers apply their own ``.distinct()`` (pairs can repeat ACROSS
+    buckets, exactly as with the plain self-join).
+    """
+    t = _salt_threshold(melt) if threshold is None else threshold
+    if t <= 0:
+        a, b = melt.alias("a"), melt.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for k in reversed(keys):
+            cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+        if extra_cond is not None:
+            cond = cond & extra_cond
+        return a.join(b, cond).select(
+            *[F.col(f"a.{c}").alias(c) for c in carry],
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
+        )
+    hot = (
+        melt.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > t)
+        .select(
+            *keys,
+            F.ceil(F.col("__bn") / F.lit(t)).cast("int").alias("__ns_hot"),
+        )
+    )
+    sized = melt.join(hot, list(keys), "left").withColumn(
+        "__ns", F.coalesce(F.col("__ns_hot"), F.lit(1))
+    )
+    a = sized.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("__ns")).cast("int")
+    ).alias("a")
+    b = sized.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.col("__ns") - 1))
+    ).alias("b")
+    cond = (F.col("a.__salt") == F.col("b.__salt")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for k in reversed(keys):
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return a.join(b, cond).select(
+        *[F.col(f"a.{c}").alias(c) for c in carry],
+        F.col(f"a.{id_col}").alias(out_a),
+        F.col(f"b.{id_col}").alias(out_b),
+    )
+
+
 def _prefix_filtered_pairs(
     sh: DataFrame, j_num: int = _J_NUM, j_den: int = _J_DEN
 ) -> DataFrame:
@@ -215,7 +343,6 @@ def _prefix_filtered_pairs(
         "doc_id", "shingle", "c"
     )
 
-    pa, pb = prefix.alias("a"), prefix.alias("b")
     # length-ratio prune (the other half of the PPJoin bound): J ≥ t
     # forces t·max(|A|,|B|) ≤ min(|A|,|B|); in exact integer arithmetic
     # both of j_num·c_a ≤ j_den·c_b and j_num·c_b ≤ j_den·c_a. Pairs
@@ -224,17 +351,15 @@ def _prefix_filtered_pairs(
     # recall harness) it is the difference between the prefix buckets
     # pairing everything against everything and pairing only
     # comparable-length docs (MEASURED: truth pass 7.1 → ~3 s at sf0.1).
-    cand = (
-        pa.join(
-            pb,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.c") * j_num <= F.col("b.c") * j_den)
-            & (F.col("b.c") * j_num <= F.col("a.c") * j_den),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # r17: the self-join runs through the §2.5 skew bound (hot prefix
+    # buckets salt-split; no-op at fixture scale — see
+    # _LSH_SALT_THRESHOLD).
+    cand = skew_bounded_self_pairs(
+        prefix,
+        ["shingle"],
+        extra_cond=(F.col("a.c") * j_num <= F.col("b.c") * j_den)
+        & (F.col("b.c") * j_num <= F.col("a.c") * j_den),
+    ).distinct()
 
     # verify: true intersection count, restricted to candidates
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -475,19 +600,9 @@ def lsh_candidate_pairs(
     gets, where runtime stage reuse single-evaluates the signature
     subtree anyway)."""
     melted = _band_melt(sigs, n_bands, rows_per_band)
-    a, b = melted.alias("a"), melted.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    # r17: routed through the §2.5 skew bound (hot (band, sig) buckets
+    # salt-split; no-op at fixture scale — see _LSH_SALT_THRESHOLD).
+    return skew_bounded_self_pairs(melted, ["band", "sig"]).distinct()
 
 
 def lsh_verified_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
@@ -729,22 +844,15 @@ def query_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join streams the identical pair set (same bucket equality, same
     # doc_a < doc_b cut). A lazy pin on `sigs` was also A/B'd and
     # measured slower (materialization round-trip > saved recompute).
-    ma, mb = melted.alias("a"), melted.alias("b")
-    cands = (
-        ma.join(
-            mb,
-            (F.col("a.cfg") == F.col("b.cfg"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            "a.cfg",
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    # r17: routed through the §2.5 skew bound — this melt is the round's
+    # highest-risk site (the deliberately-degenerate 12×1 geometry makes
+    # single-minhash buckets, whose size is collision-distribution-
+    # bounded by NOTHING; the r16 bucket-group revert measured exactly
+    # this class going quadratic). No-op at fixture scale (max bucket 20
+    # rows vs threshold 1024 — tools/lsh_bucket_stats_r17.json).
+    cands = skew_bounded_self_pairs(
+        melted, ["cfg", "band", "sig"], carry=("cfg",)
+    ).distinct()
     stats = (
         cands.join(truth_marked, ["doc_a", "doc_b"], "left")
         .groupBy("cfg")

@@ -323,12 +323,13 @@ def test_incremental_store_backs_the_batch_screen(spark, sf_dir, monkeypatch):
     hash_t, band_t = td._incremental_sig_store(spark, sf_dir)
     assert spark.catalog.tableExists(hash_t)
     assert spark.catalog.tableExists(band_t)
-    # r16: the screen pins its fan-out frames with lazy localCheckpoints,
-    # which truncate lineage to LogicalRDD — the store scans live in the
-    # checkpointed sub-plans, invisible from the final frame. Re-derive
-    # the plan with checkpointing stubbed to identity (on the concrete
-    # runtime DataFrame class, not the abstract base), purely for
-    # inspection: same code path, full lineage.
+    # The screen's single remaining checkpoint — the new_hashed
+    # DETERMINISM checkpoint (eager, text_dedup.py; the r16 fan-out pins
+    # were reverted) — truncates lineage to LogicalRDD, so the store
+    # scans in the checkpointed sub-plan are invisible from the final
+    # frame. Re-derive the plan with checkpointing stubbed to identity
+    # (on the concrete runtime DataFrame class, not the abstract base),
+    # purely for inspection: same code path, full lineage.
     monkeypatch.setattr(
         type(df), "localCheckpoint", lambda self, eager=True: self
     )
@@ -382,3 +383,84 @@ def test_prefix_filter_equals_all_pairs_on_random_corpora(spark):
                 .collect()
             }
             assert got == want, f"seed={seed} t={t}"
+
+
+def test_skew_bounded_self_pairs_hot_bucket(spark):
+    """§2.5 skew bound (r17): an adversarial hot bucket must (a) produce
+    the IDENTICAL pair set as the plain self-join, (b) actually engage
+    the salt split (ceil(n/T) slices in the plan, bounded side-a slice
+    sizes), and (c) stay a no-op at the production default threshold
+    (1024 ≫ any fixture bucket — tools/lsh_bucket_stats_r17.json)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_spark.operators.text_dedup import (
+        skew_bounded_self_pairs,
+    )
+
+    # one 300-row hot bucket + seven cold buckets of 7-8 rows
+    rows = [(i, "HOT") for i in range(300)] + [
+        (1000 + i, f"c{i % 7}") for i in range(50)
+    ]
+    melt = spark.createDataFrame(rows, "doc_id long, sig string")
+
+    def pair_set(df):
+        return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+    naive = skew_bounded_self_pairs(melt, ["sig"], threshold=0)
+    want = pair_set(naive)
+    # closed form: C(300,2) hot + C(8,2) + 6*C(7,2) cold
+    assert len(want) == 300 * 299 // 2 + 28 + 6 * 21
+
+    salted = skew_bounded_self_pairs(melt, ["sig"], threshold=64)
+    assert pair_set(salted) == want  # (a) semantics identical
+
+    # (b) the bound engages: hot bucket splits into ceil(300/64)=5 salt
+    # slices; side a's per-(bucket, salt) fan-in is hash-spread around
+    # 300/5 — assert every slice is well under the unsplit 300 (2×
+    # slack over the n/ns expectation for hash unevenness), and that the
+    # salted plan really carries the window + salt machinery.
+    ns = -(-300 // 64)
+    slice_sizes = (
+        melt.filter(F.col("sig") == "HOT")
+        .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(ns)))
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    assert len(slice_sizes) == ns
+    assert max(r["count"] for r in slice_sizes) <= 2 * (300 // ns + 1)
+    salted_plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    naive_plan = naive._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in salted_plan and "__ns" in salted_plan
+    assert "__salt" not in naive_plan
+
+    # (c) deployment defaults: under a local master the bound defaults
+    # off (plain join, probe-verified fixture headroom); the env override
+    # turns it on (production default on any cluster master) — output
+    # equal either way, and no bucket here reaches the 1024 production
+    # threshold, so the salt never fires (ns=1 everywhere).
+    import os
+
+    from bigdata_project_spark.operators.text_dedup import _LSH_SALT_ENV
+
+    assert pair_set(skew_bounded_self_pairs(melt, ["sig"])) == want
+    os.environ[_LSH_SALT_ENV] = "1024"
+    try:
+        df_on = skew_bounded_self_pairs(melt, ["sig"])
+        assert pair_set(df_on) == want
+        assert "__salt" in df_on._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        os.environ.pop(_LSH_SALT_ENV, None)
+
+    # extra_cond + carry plumbing (the PPJoin/recall call shapes)
+    melt2 = melt.withColumn("c", F.col("doc_id") % 5 + 10)
+    cond = (F.col("a.c") * 9 <= F.col("b.c") * 10) & (
+        F.col("b.c") * 9 <= F.col("a.c") * 10
+    )
+    got = pair_set(
+        skew_bounded_self_pairs(melt2, ["sig"], extra_cond=cond, threshold=64)
+    )
+    want2 = pair_set(
+        skew_bounded_self_pairs(melt2, ["sig"], extra_cond=cond, threshold=0)
+    )
+    assert got == want2 and len(want2) < len(want)
