@@ -749,33 +749,61 @@ def query_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (each input row fans out map-side), so the only exchange
     is the final small-key aggregate.
 
-    Decimal-exact: values cast to DECIMAL before the melt so the
-    post-melt sum reduces exactly on both engines. NULL semantics are
-    pinned by construction (r6 advice): Spark's ``unpivot`` RETAINS
-    null values while DuckDB's UNPIVOT drops them by default, so the
-    melt filters ``value IS NOT NULL`` explicitly — parity then holds
-    even if a nullable measure ever appears (lineitem measures happen
-    to be non-null, but the filter makes that irrelevant)."""
+    Decimal-exact: values cast to DECIMAL before aggregation so the sum
+    reduces exactly on both engines. NULL semantics are pinned by
+    construction (r6 advice): the original melt filtered
+    ``value IS NOT NULL`` (Spark's ``unpivot`` RETAINS nulls, DuckDB's
+    UNPIVOT drops them), which the aggregate-first form reproduces with
+    per-column ``count(col)``/``sum``/``max`` (all null-skipping) and a
+    ``n_rows > 0`` filter for the all-null-group edge — identical
+    output even if a nullable measure ever appears (lineitem measures
+    happen to be non-null).
+
+    r17 (§2.3 — don't multiply the scan path): the melt-then-aggregate
+    form ran ``unpivot``'s Expand over every scanned row (×4 rows into
+    the partial aggregate — the same pre-aggregation class as the r16
+    cube/rollup fix). COUNT/SUM/MAX are per-column decomposable, so the
+    query now runs ONE hash aggregate over the scan (12 column
+    aggregates, no Expand) and melts the 3-row per-flag result instead.
+    Interleaved A/B at sf0.1 and plans in
+    plans/r17/agg_unpivot_measures_{before,after}.txt."""
     li = load_table(spark, sf_dir, "lineitem")
-    melted = li.select(
-        "l_returnflag",
-        F.col("l_quantity").cast(_DEC).alias("quantity"),
-        F.col("l_extendedprice").cast(_DEC).alias("extendedprice"),
-        F.col("l_discount").cast(_DEC).alias("discount"),
-        F.col("l_tax").cast(_DEC).alias("tax"),
-    ).unpivot(
-        ["l_returnflag"],
-        ["quantity", "extendedprice", "discount", "tax"],
-        "measure",
-        "value",
-    ).filter(F.col("value").isNotNull())
+    measures = [
+        ("quantity", "l_quantity"),
+        ("extendedprice", "l_extendedprice"),
+        ("discount", "l_discount"),
+        ("tax", "l_tax"),
+    ]
+    aggs = []
+    for name, col in measures:
+        v = F.col(col).cast(_DEC)
+        aggs += [
+            F.count(v).alias(f"n_{name}"),
+            F.sum(v).alias(f"s_{name}"),
+            F.max(v).alias(f"m_{name}"),
+        ]
+    per_flag = li.groupBy("l_returnflag").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("measure"),
+                F.col(f"n_{name}").alias("n_rows"),
+                F.col(f"s_{name}").alias("s"),
+                F.col(f"m_{name}").alias("m"),
+            )
+            for name, _ in measures
+        ]
+    )
     return (
-        melted.groupBy("l_returnflag", "measure")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("value").cast("double").alias("sum_value"),
-            F.max("value").cast("double").alias("max_value"),
+        per_flag.select("l_returnflag", F.explode(rows).alias("r"))
+        .select(
+            "l_returnflag",
+            F.col("r.measure").alias("measure"),
+            F.col("r.n_rows").alias("n_rows"),
+            F.col("r.s").cast("double").alias("sum_value"),
+            F.col("r.m").cast("double").alias("max_value"),
         )
+        .filter(F.col("n_rows") > 0)
         .orderBy("l_returnflag", "measure")
     )
 

@@ -568,3 +568,32 @@ def test_gold_concurrent_first_builds(spark, sf_dir):
     assert not errs, errs
     assert len(set(counts["od"])) == 1  # both same-key runs agree
     assert all(v and v[0] > 0 for v in counts.values())
+
+
+def test_unpivot_measures_preaggregates_without_expand(spark, sf_dir, tmp_path):
+    """r17 §2.3: agg_unpivot_measures aggregates per-column FIRST and
+    melts the tiny per-flag result — the unpivot Expand over every
+    scanned row is gone from the plan, and the old melt's
+    ``value IS NOT NULL`` semantics survive the rewrite (an all-null
+    measure group must drop its row, exactly as the melt filter did)."""
+    from bigdata_project_spark.plans.analytics import query_unpivot_measures
+
+    plan = _plan(spark, sf_dir, "agg_unpivot_measures")
+    assert "Expand" not in plan  # the scan path is a single hash aggregate
+
+    # null-semantics edge: flag "Z" has l_tax entirely NULL -> no
+    # ("Z", "tax") row; its other measures still appear.
+    rows = [
+        ("Z", 1.0, 10.0, 0.1, None),
+        ("Z", 2.0, 20.0, 0.2, None),
+        ("A", 3.0, 30.0, 0.3, 0.03),
+    ]
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    spark.createDataFrame(rows, cols).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = query_unpivot_measures(spark, str(tmp_path)).collect()
+    keys = {(r["l_returnflag"], r["measure"]) for r in out}
+    assert ("Z", "tax") not in keys
+    assert {("Z", "quantity"), ("Z", "extendedprice"), ("Z", "discount"),
+            ("A", "tax")} <= keys
+    z_qty = next(r for r in out if r["l_returnflag"] == "Z" and r["measure"] == "quantity")
+    assert z_qty["n_rows"] == 2 and z_qty["sum_value"] == 3.0 and z_qty["max_value"] == 2.0
