@@ -208,6 +208,7 @@ def skew_bounded_self_pairs(
     out_a: str = "doc_a",
     out_b: str = "doc_b",
     carry: tuple[str, ...] = (),
+    carry_b: tuple[str, ...] = (),
     extra_cond=None,
     threshold: int | None = None,
 ) -> DataFrame:
@@ -238,9 +239,11 @@ def skew_bounded_self_pairs(
     corpus; the planner falls back to a keyed join when it is not.
 
     ``extra_cond`` may reference the aliases ``a``/``b`` (e.g. the PPJoin
-    length-ratio prune). ``carry`` columns are taken from side a.
-    Callers apply their own ``.distinct()`` (pairs can repeat ACROSS
-    buckets, exactly as with the plain self-join).
+    length-ratio prune). ``carry`` columns are taken from side a;
+    ``carry_b`` columns come from side b with a ``_b`` suffix (r17: the
+    simhash pair verify needs both sides' hashes). Callers apply their
+    own ``.distinct()`` (pairs can repeat ACROSS buckets, exactly as
+    with the plain self-join).
     """
     t = _salt_threshold(melt) if threshold is None else threshold
     if t <= 0:
@@ -252,6 +255,7 @@ def skew_bounded_self_pairs(
             cond = cond & extra_cond
         return a.join(b, cond).select(
             *[F.col(f"a.{c}").alias(c) for c in carry],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry_b],
             F.col(f"a.{id_col}").alias(out_a),
             F.col(f"b.{id_col}").alias(out_b),
         )
@@ -282,6 +286,7 @@ def skew_bounded_self_pairs(
         cond = cond & extra_cond
     return a.join(b, cond).select(
         *[F.col(f"a.{c}").alias(c) for c in carry],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry_b],
         F.col(f"a.{id_col}").alias(out_a),
         F.col(f"b.{id_col}").alias(out_b),
     )
@@ -455,27 +460,16 @@ def query_dedup_fuzzy_lev(
     # the simhash aggregation runs once (plan-verified; an explicit
     # localCheckpoint was MEASURED slower at sf0.1)
     melted = simhash_band_pair_keys(corpus, bits=bits, band_bits=band_bits)
-    a, b = melted.alias("a"), melted.alias("b")
     # candidates carry ONLY ids through the join+distinct (MEASURED 2.2×
     # at sf0.1 vs melting the prefixes in: the 40-char strings double the
     # shuffle width of the hot distinct); prefixes join back afterwards —
     # a per-doc-keyed join AQE broadcasts at small scale and hash-joins
     # at large, either way off the candidate join's critical path.
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bj") == F.col("b.bj"))
-            & (F.col("a.ni") == F.col("b.ni"))
-            & (F.col("a.nj") == F.col("b.nj"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    # r17 (§2.5): the band-pair self-join routes through
+    # skew_bounded_self_pairs like the other candidate sites — the
+    # docstring's own numbers (hot bucket 297 at sf0.1, growing with
+    # corpus dup mass) are a single-key straggler AQE cannot split.
+    cand = skew_bounded_self_pairs(melted, ["bi", "bj", "ni", "nj"]).distinct()
     pre = corpus.select("doc_id", F.substring("text", 1, 40).alias("prefix"))
     pa = pre.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("prefix_a"))
     pb = pre.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("prefix_b"))
@@ -1197,7 +1191,17 @@ def query_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen expression that cuts the candidate stream ~100× (2.9M → tens
     of thousands at sf0.1) ahead of the dedup shuffle — filter-then-
     distinct, never distinct-then-filter, when the filter needs no
-    deduped view."""
+    deduped view.
+
+    r17 (§2.5): the band self-join routes through
+    ``skew_bounded_self_pairs`` like the LSH/PPJoin sites — the 1-band
+    ÷256 key makes this the hottest-bucketed candidate join in the
+    registry (1358-doc bucket at sf0.1; a 10×-replicated probe corpus
+    put ~92M pairs in ONE task and ran >12 min while every other query
+    finished in ≤35 s — tools/scale_sweep_r17*.json). AQE skew handling
+    cannot split a single enormous key; the salt slices can. The verify
+    stays inside the join condition (``extra_cond``), so the candidate
+    cut still happens before the dedup shuffle, salted or not."""
     docs = load_table(spark, sf_dir, "documents")
     # materialize the (doc_id, simhash) table once — 1 narrow row per
     # doc: without the checkpoint the self-join plans the explode +
@@ -1205,19 +1209,19 @@ def query_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the executed plan); at corpus scale that is two full tokenize
     # passes vs storing ~12 bytes/doc
     melted = simhash_band_melt(simhash_column(docs).localCheckpoint(eager=False))
-    a, b = melted.alias("a"), melted.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming_ab = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    pairs = skew_bounded_self_pairs(
+        melted,
+        ["band", "nib"],
+        carry=("simhash",),
+        carry_b=("simhash",),
+        extra_cond=hamming_ab <= 3,
+    )
+    hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.nib") == F.col("b.nib"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(hamming <= 3)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        pairs.select(
+            "doc_a",
+            "doc_b",
             hamming.cast("bigint").alias("hamming"),
         )
         .distinct()

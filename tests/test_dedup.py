@@ -464,3 +464,23 @@ def test_skew_bounded_self_pairs_hot_bucket(spark):
         skew_bounded_self_pairs(melt2, ["sig"], extra_cond=cond, threshold=0)
     )
     assert got == want2 and len(want2) < len(want)
+
+    # carry_b plumbing (r17: the simhash pair verify carries both sides'
+    # hashes) — the b-side column must arrive with the _b suffix and the
+    # correct per-pair value, salted and unsalted alike
+    def triple_set(df):
+        return {(r["doc_a"], r["doc_b"], r["c"], r["c_b"]) for r in df.collect()}
+
+    got_b = triple_set(
+        skew_bounded_self_pairs(
+            melt2, ["sig"], carry=("c",), carry_b=("c",), threshold=64
+        )
+    )
+    want_b = triple_set(
+        skew_bounded_self_pairs(
+            melt2, ["sig"], carry=("c",), carry_b=("c",), threshold=0
+        )
+    )
+    assert got_b == want_b
+    by_pair = {(a, b): (ca, cb) for a, b, ca, cb in want_b}
+    assert by_pair[(0, 1)] == (10, 11)  # doc 0 carries c=10, doc 1 c=11
